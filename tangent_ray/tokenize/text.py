@@ -1,0 +1,99 @@
+"""Vectorized text tokenization over Arrow batches.
+
+Replaces the reference text path (lowercase + split + Porter stem before
+querying Solr — ``text/TextResult.py:29-32``, ``text/text_engine_client.py``)
+with a native, Arrow-kernel tokenizer: ``utf8_lower`` → ``split_pattern_regex``
+→ ``list_flatten`` / ``list_parent_indices`` → hash ``group_by`` for per-doc
+term frequencies. No Python loop touches individual tokens except the
+(lru-cached, unique-values-only) stemmer.
+
+Token definition (shared verbatim with the DuckDB oracle SQL):
+``string_split_regex(lower(text), '[^a-z0-9]+')`` minus empty strings.
+Positions are 1-based ranks among the non-empty tokens of a document.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.tokenize.porter import porter_stem
+
+_SPLIT_RE = "[^a-z0-9]+"
+
+
+def split_tokens(texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Tokenize a string array.
+
+    Returns ``(parents, tokens, pos)``: one entry per non-empty token, where
+    ``parents[i]`` is the row index the token came from, ``tokens`` the token
+    string and ``pos`` its 1-based rank within its row.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lower = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lower, _SPLIT_RE)
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # Some rows may be null/empty -> parents may skip indices; that's fine.
+    parents = parents[keep]
+    tokens = flat.filter(pa.array(keep))
+    # 1-based position among kept tokens of each parent. parents is
+    # non-decreasing (list order), so a run-reset cumulative count works.
+    n = len(parents)
+    if n == 0:
+        pos = np.empty(0, dtype=np.int32)
+    else:
+        idx = np.arange(n, dtype=np.int64)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.not_equal(parents[1:], parents[:-1], out=new_run[1:])
+        run_starts = np.maximum.accumulate(np.where(new_run, idx, 0))
+        pos = (idx - run_starts + 1).astype(np.int32)
+    return parents, tokens, pos
+
+
+def stem_tokens(tokens: pa.Array) -> pa.Array:
+    """Porter-stem a token array, stemming each distinct token once."""
+    uniq = pc.unique(tokens)
+    mapping = {u: porter_stem(u) for u in uniq.to_pylist()}
+    idx = pc.index_in(tokens, value_set=uniq)
+    stemmed_uniq = pa.array([mapping[u] for u in uniq.to_pylist()], type=pa.string())
+    return pc.take(stemmed_uniq, idx)
+
+
+def tokenize_text(
+    texts: pa.Array, stem: bool = False
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(row, term) aggregated tokenization of a batch.
+
+    Returns ``(row_idx, term, tf, pos1, dl)`` where the first four are
+    parallel arrays with one entry per distinct (row, term) pair — ``tf`` the
+    term frequency, ``pos1`` the first 1-based position (the analogue of the
+    reference's first-position-only ``SubObjectMap``,
+    ``mathindexbase.h:248-255``) — and ``dl[r]`` is the token count of input
+    row r (length of the full input ``texts``).
+    """
+    parents, tokens, pos = split_tokens(texts)
+    if stem and len(tokens):
+        tokens = stem_tokens(tokens)
+    dl = np.zeros(len(texts), dtype=np.int32)
+    if len(parents):
+        np.add.at(dl, parents, 1)
+    t = pa.table(
+        {
+            "row": pa.array(parents, type=pa.int64()),
+            "term": tokens,
+            "pos": pa.array(pos, type=pa.int32()),
+        }
+    )
+    agg = t.group_by(["row", "term"]).aggregate([("pos", "count"), ("pos", "min")])
+    return (
+        agg["row"].to_numpy(zero_copy_only=False),
+        agg["term"].combine_chunks() if isinstance(agg["term"], pa.ChunkedArray) else agg["term"],
+        agg["pos_count"].to_numpy(zero_copy_only=False).astype(np.int32),
+        agg["pos_min"].to_numpy(zero_copy_only=False).astype(np.int32),
+        dl,
+    )

@@ -1,0 +1,36 @@
+import numpy as np
+import pyarrow as pa
+
+from tangent_ray.tokenize.text import split_tokens, tokenize_text
+
+
+def test_split_tokens_basic():
+    texts = pa.array(["Hello, World 42", "", "a b a", None])
+    parents, tokens, pos = split_tokens(texts)
+    assert tokens.to_pylist() == ["hello", "world", "42", "a", "b", "a"]
+    assert parents.tolist() == [0, 0, 0, 2, 2, 2]
+    assert pos.tolist() == [1, 2, 3, 1, 2, 3]
+
+
+def test_tokenize_text_agg():
+    texts = pa.array(["the cat and the hat", "cat!"])
+    rows, terms, tf, pos1, dl = tokenize_text(texts, stem=False)
+    assert dl.tolist() == [5, 1]
+    got = {(int(r), t): (int(c), int(p)) for r, t, c, p in
+           zip(rows, terms.to_pylist(), tf, pos1)}
+    assert got[(0, "the")] == (2, 1)
+    assert got[(0, "cat")] == (1, 2)
+    assert got[(0, "and")] == (1, 3)
+    assert got[(0, "hat")] == (1, 5)
+    assert got[(1, "cat")] == (1, 1)
+
+
+def test_tokenize_text_stemmed():
+    texts = pa.array(["running queries faster"])
+    _, terms, _, _, _ = tokenize_text(texts, stem=True)
+    assert sorted(terms.to_pylist()) == ["faster", "queri", "run"]
+
+
+def test_empty_batch():
+    rows, terms, tf, pos1, dl = tokenize_text(pa.array([], type=pa.string()))
+    assert len(rows) == 0 and len(dl) == 0
