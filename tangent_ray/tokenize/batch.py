@@ -1,0 +1,196 @@
+"""The per-batch tokenizer stage: Arrow batch in -> (term, docid, ...) rows out.
+
+This is the map side of the index build — the Ray-native replacement for the
+reference's per-process document pipeline (read -> MathExtractor ->
+Version03Index.add, ``index.py:68-127``) and the C++ tuple expansion
+(``mathindexmid.h:41-75``). Passed to ``Dataset.map_batches(TokenizeBatch,
+batch_format="pyarrow", concurrency=N)`` it runs as an actor pool: regexes
+and the SLT-template tuple cache are built once per actor (``__init__``),
+each call processes one zero-copy Arrow batch.
+
+Output rows (one per distinct (doc, term)):
+
+====== ======= ====================================================
+column type    meaning
+====== ======= ====================================================
+term   string  text token (stemmed) or serialized symbol-pair tuple
+kind   int8    0 = text term, 1 = math tuple term, 3 = problem marker
+docid  int64   deterministic document id (see tangent_ray.docids)
+tf     int32   term frequency within the document
+dl     int32   doc length in the term's namespace (text tokens / tuples)
+pos1   int32   first occurrence position (1-based; span ordinal for math)
+bucket int32   docid-range salt bucket for the postings shuffle
+====== ======= ====================================================
+
+Math fragments are ``$...$`` spans (the reference's extraction regex family,
+``math/math_extractor.py:26-31``) holding canonical SLT strings; identical
+SLTs within a doc are deduplicated and their tuples counted once, with the
+first span ordinal kept (reference per-doc dedup + positions,
+``math/math_extractor.py:201-211``). Unparseable fragments are counted as
+problem rows (the analogue of ``Stats.problem_files``, ``index.py:119-123``)
+and never reach the postings.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.config import EngineConfig
+from tangent_ray.sources.corpus import Corpus, corpus_from_json
+from tangent_ray.tokenize.slt import SLTParseError, parse_slt, slt_tuples, tuple_term
+from tangent_ray.tokenize.text import tokenize_text
+
+KIND_TEXT = 0
+KIND_MATH = 1
+KIND_PROBLEM = 3
+PROBLEM_TERM = "\x02problem"
+
+_MATH_RE = re.compile(r"\$([^$]+)\$")
+
+TOKEN_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("kind", pa.int8()),
+        ("docid", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+        ("pos1", pa.int32()),
+        ("bucket", pa.int32()),
+    ]
+)
+
+
+class TokenizeBatch:
+    def __init__(self, cfg: EngineConfig, corpus: Corpus | str):
+        self.cfg = cfg
+        self.corpus = corpus_from_json(corpus) if isinstance(corpus, str) else corpus
+        self._tuple_cache: dict[str, Counter | None] = {}
+        bits = cfg.salt_bits
+        self._bucket_shift = np.uint64(63 - bits) if bits > 0 else None
+
+    # -- math ------------------------------------------------------------
+    def _tuples_of(self, slt: str) -> Counter | None:
+        """Tuple-term bag of one SLT string (cached across docs/batches)."""
+        got = self._tuple_cache.get(slt)
+        if got is None and slt not in self._tuple_cache:
+            try:
+                root = parse_slt(slt)
+                tups = slt_tuples(root, self.cfg.window, self.cfg.eol)
+                got = Counter(
+                    tuple_term(fr, to, rel)
+                    for fr, to, rel, _loc in tups
+                    if len(fr) + len(to) + len(rel) <= self.cfg.max_token_len
+                )
+            except SLTParseError:
+                got = None
+            self._tuple_cache[slt] = got
+        return got
+
+    def _math_rows(
+        self, texts: pa.Array, docids: np.ndarray
+    ) -> tuple[list[str], list[int], list[int], list[int], list[int], list[int]]:
+        """Python-side math path; runs only on rows containing '$'."""
+        terms: list[str] = []
+        kinds: list[int] = []
+        out_doc: list[int] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        pos1s: list[int] = []
+        has = pc.match_substring(texts, "$").to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(has):
+            text = texts[i].as_py()
+            spans = _MATH_RE.findall(text)
+            if not spans:
+                continue
+            seen: dict[str, int] = {}
+            bag: Counter = Counter()
+            first_pos: dict[str, int] = {}
+            problems = 0
+            for ordinal, slt in enumerate(spans):
+                if slt in seen:
+                    continue
+                seen[slt] = ordinal
+                tups = self._tuples_of(slt)
+                if tups is None:
+                    problems += 1
+                    continue
+                for t, c in tups.items():
+                    bag[t] += c
+                    first_pos.setdefault(t, ordinal + 1)
+            mdl = sum(bag.values())
+            did = int(docids[i])
+            for t, c in bag.items():
+                terms.append(t)
+                kinds.append(KIND_MATH)
+                out_doc.append(did)
+                tfs.append(c)
+                dls.append(mdl)
+                pos1s.append(first_pos[t])
+            if problems:
+                terms.append(PROBLEM_TERM)
+                kinds.append(KIND_PROBLEM)
+                out_doc.append(did)
+                tfs.append(problems)
+                dls.append(0)
+                pos1s.append(0)
+        return terms, kinds, out_doc, tfs, dls, pos1s
+
+    # -- main ------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        corpus = self.corpus
+        docids = corpus.docids(batch)
+        texts = corpus.texts(batch)
+
+        math_cols = None
+        if self.cfg.math:
+            math_cols = self._math_rows(texts, docids)
+            # strip math spans before text tokenization so SLT syntax does
+            # not leak into text terms
+            texts = pc.replace_substring_regex(texts, r"\$[^$]*\$", " ")
+
+        rows, terms, tf, pos1, dl = tokenize_text(texts, stem=self.cfg.stem)
+        if self.cfg.max_token_len < 32767:
+            keep = pc.less_equal(pc.utf8_length(terms), self.cfg.max_token_len)
+            if not pc.all(keep).as_py():
+                keepn = keep.to_numpy(zero_copy_only=False)
+                rows, tf, pos1 = rows[keepn], tf[keepn], pos1[keepn]
+                terms = terms.filter(keep)
+
+        out_term = [terms]
+        out_kind = [np.zeros(len(rows), dtype=np.int8)]
+        out_docid = [docids[rows]]
+        out_tf = [tf]
+        out_dl = [dl[rows]]
+        out_pos1 = [pos1]
+        if math_cols and math_cols[0]:
+            mt, mk, md, mf, ml, mp = math_cols
+            out_term.append(pa.array(mt, type=pa.string()))
+            out_kind.append(np.asarray(mk, dtype=np.int8))
+            out_docid.append(np.asarray(md, dtype=np.int64))
+            out_tf.append(np.asarray(mf, dtype=np.int32))
+            out_dl.append(np.asarray(ml, dtype=np.int32))
+            out_pos1.append(np.asarray(mp, dtype=np.int32))
+
+        term_arr = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_term])
+        docid_arr = np.concatenate(out_docid).astype(np.int64)
+        if self._bucket_shift is not None:
+            bucket = (docid_arr.astype(np.uint64) >> self._bucket_shift).astype(np.int32)
+        else:
+            bucket = np.zeros(len(docid_arr), dtype=np.int32)
+        return pa.Table.from_arrays(
+            [
+                term_arr,
+                pa.array(np.concatenate(out_kind), type=pa.int8()),
+                pa.array(docid_arr, type=pa.int64()),
+                pa.array(np.concatenate(out_tf).astype(np.int32), type=pa.int32()),
+                pa.array(np.concatenate(out_dl).astype(np.int32), type=pa.int32()),
+                pa.array(np.concatenate(out_pos1).astype(np.int32), type=pa.int32()),
+                pa.array(bucket, type=pa.int32()),
+            ],
+            schema=TOKEN_SCHEMA,
+        )

@@ -1,0 +1,111 @@
+"""End-to-end: build index over synthetic transcripts, query, compare to the
+pure-Python oracle — rank-identical (same docids, same scores to 1e-9, same
+order)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tangent_ray.config import EngineConfig
+from tangent_ray.fixtures import generate_transcripts, query_set, write_transcripts
+from tangent_ray.index.build import build_index
+from tangent_ray.query.scorer import search
+from tangent_ray.sources.corpus import TranscriptsCorpus
+
+from oracle import OracleIndex
+
+CFG = EngineConfig(
+    window=2,
+    eol="small",
+    stem=True,
+    math=True,
+    block_size=32,  # small blocks to exercise skip structure
+    salt_buckets=4,  # exercise the salted two-stage shuffle
+    partitions=3,  # exercise multi-partial query merge
+)
+
+N_CONVS = 40
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    data_dir = str(root / "transcripts")
+    out_dir = str(root / "index")
+    write_transcripts(data_dir, N_CONVS, files=6)
+    manifest = build_index(data_dir, out_dir, CFG, TranscriptsCorpus())
+    return out_dir, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle_index():
+    oi = OracleIndex(CFG)
+    oi.add_transcripts(generate_transcripts(N_CONVS))
+    return oi
+
+
+def test_manifest_counts(built_index, oracle_index):
+    _, manifest = built_index
+    oi = oracle_index
+    assert manifest["n_docs"] == oi.N
+    assert manifest["tokens_text"] == sum(
+        sum(p.values()) for p in oi.text_post.values()
+    )
+    # verifyIndex invariant (mathindex.cpp:62-66): postings count == sum df
+    assert manifest["postings_text"] == sum(len(p) for p in oi.text_post.values())
+    assert manifest["postings_math"] == sum(len(p) for p in oi.math_post.values())
+    assert manifest["tokens_math"] == sum(
+        sum(p.values()) for p in oi.math_post.values()
+    )
+    assert manifest["problem_fragments"] == 0
+
+
+def test_rank_identity_all_queries(built_index, oracle_index):
+    out_dir, _ = built_index
+    queries = query_set()
+    res = search(queries, out_dir, concurrency=2).to_pandas()
+    by_q = dict(tuple(res.groupby("query_id")))
+    mismatches = []
+    for row in queries.to_pylist():
+        qid, kind, text, k = row["query_id"], row["kind"], row["text"], row["topk"]
+        want = oracle_index.search(text, kind, k)
+        got = by_q.get(qid)
+        got_rows = (
+            []
+            if got is None
+            else list(zip(got.sort_values("rank")["docid"], got["score"]))
+        )
+        if len(want) != len(got_rows):
+            mismatches.append((qid, "len", len(want), len(got_rows)))
+            continue
+        for (wd, ws), (gd, gs) in zip(want, got_rows):
+            if wd != gd or abs(ws - gs) > 1e-9:
+                mismatches.append((qid, "row", (wd, ws), (int(gd), float(gs))))
+                break
+    assert not mismatches, mismatches[:10]
+
+
+def test_nonempty_results(built_index):
+    out_dir, _ = built_index
+    res = search(query_set(), out_dir, concurrency=1).to_pandas()
+    assert res.shape[0] > 50
+    assert set(res.columns) == {"query_id", "rank", "docid", "dockey", "score"}
+    # dockeys resolve to conv:turn strings
+    assert res["dockey"].str.contains(":").all()
+
+
+def test_resume_skips_complete_partitions(built_index, tmp_path_factory):
+    """Rebuild with resume: identical manifest, partials untouched."""
+    out_dir, manifest = built_index
+    import json
+
+    mtimes = {}
+    pdir = os.path.join(out_dir, "partials")
+    for p in os.listdir(pdir):
+        mtimes[p] = os.path.getmtime(os.path.join(pdir, p, "_MANIFEST.json"))
+    data_dir = os.path.join(os.path.dirname(out_dir), "transcripts")
+    m2 = build_index(data_dir, out_dir, CFG, TranscriptsCorpus())
+    assert m2 == manifest
+    for p, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(pdir, p, "_MANIFEST.json")) == mt
