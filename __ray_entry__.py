@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship pipeline on /root/testdata/sf0.001: build the
+  transcripts inverted index (tokenize -> salted groupby -> compressed
+  postings) and run the fixed query set through the BM25 / tuple-F-measure
+  actor-pool scorer; returns the top-k result Dataset.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data extension set); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB twins for every SQL-expressible entry
+  (column names/types/rounding match exactly). Engine-only entries
+  (math tuples, formula scoring, flagship) are rows-only checked by the
+  driver and rank-identity checked against a pure-Python oracle in pytest.
 """
 
 from __future__ import annotations
@@ -21,24 +23,18 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from tangent_ray.pipelines.entry_queries import q_transcript_bm25
+
+    return q_transcript_bm25("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tangent_ray.pipelines.entry_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tangent_ray.pipelines.entry_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_cosine``: brute-force cosine top-k — the query matrix is broadcast
+  once (``ray.put``) and every batch does one float64 matmul against it;
+  per-batch partial top-k rows are merged with one tiny final selection.
+  Scales linearly with corpus size and is the exact baseline.
+- ``lsh_knn``: random-hyperplane LSH bucketing as the approximate scale
+  path — signatures per batch, candidates via ``groupby(bucket)``, exact
+  rescoring only within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+class BruteForceKNN:
+    """map_batches stage: emits per-batch partial top-k (qid, vec_id, score)."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))  # (n, d)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ m.T  # (nq, n)
+        k = min(self.k, sims.shape[1])
+        out_q: list[int] = []
+        out_id: list[int] = []
+        out_s: list[float] = []
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            if len(s) > k:
+                part = np.argpartition(-s, k - 1)[:k]
+            else:
+                part = np.arange(len(s))
+            out_q.extend([qi] * len(part))
+            out_id.extend(ids[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int32()),
+                self.id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def knn_cosine(ds, query_vecs: np.ndarray, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               concurrency: int | tuple[int, int] = (1, 4)):
+    """Exact cosine top-k of each query vector; result (qid, id, score desc).
+
+    Final merge happens on the tiny partial-top-k table (k rows per query per
+    batch), sorted (score desc, id asc) — deterministic tie order."""
+    import pandas as pd
+    import ray
+
+    ref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    partial = ds.map_batches(
+        BruteForceKNN,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return partial.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: (id, bucket) rows for ANN bucketing."""
+
+    def __init__(self, n_planes: int = 12, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.RandomState(42)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[self.vec_col])
+        bits = (m @ self.planes) > 0
+        bucket = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
+            }
+        )

@@ -1,0 +1,69 @@
+"""Stream-shaped aggregates over the ``events`` table.
+
+Ray Data is a batch engine; the reference's stream semantics (stateful
+D/E/T/Q command stream, ``mathindex.cpp:377-403``) map to bounded pipelines.
+Tumbling windows are implemented as a *pre-aggregated* groupby: each batch
+emits one partial row per (key, window) — the combiner — and the final
+groupby sums the tiny partials (SURVEY §2.9; ordering assumption: none, the
+window key is derived from the event timestamp, not arrival order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.util import round_half_away
+
+
+def tumbling_window_partial(
+    batch: pa.Table,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> pa.Table:
+    win = pc.floor_temporal(batch[ts_col], unit=unit)
+    t = pa.table(
+        {
+            key_col: batch[key_col],
+            "window_start": win,
+            "v": batch[value_col],
+        }
+    )
+    agg = t.group_by([key_col, "window_start"]).aggregate(
+        [("v", "sum"), ("v", "count")]
+    )
+    return pa.table(
+        {
+            key_col: agg[key_col],
+            "window_start": agg["window_start"],
+            "n": pc.cast(agg["v_count"], pa.int64()),
+            "sum_value": agg["v_sum"],
+        }
+    )
+
+
+def tumbling_window(ds, key_col="event_type", ts_col="ts", value_col="value", unit="hour"):
+    """(key, window_start, n, sum_value) with sum_value rounded to 6."""
+    import pandas as pd
+
+    partial = ds.map_batches(
+        lambda b: tumbling_window_partial(b, key_col, ts_col, value_col, unit),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n": [np.int64(g["n"].sum())],
+                "sum_value": [float(round_half_away(g["sum_value"].sum(), 6))],
+            }
+        )
+
+    return partial.groupby([key_col, "window_start"]).map_groups(
+        final, batch_format="pandas"
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are vectorized ``map_batches`` stages over Arrow batches: token counting,
+quality scoring (length/alpha/stopword ratios), n-gram-heuristic language ID,
+and rolling-hash document fingerprints. These extend the reference's text
+path (Porter + Solr keywords) with the operations a 100 TB corpus pipeline
+needs; each has a ``queries()`` entry over the ``documents`` test table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.tokenize.text import split_tokens
+from tangent_ray.util import round_half_away
+
+# tiny public stopword lists (top function words) per language — enough for
+# an n-gram/stopword-overlap heuristic, not a real model.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "que", "de", "por"},
+}
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, n_words, alpha_ratio) — shared definition with the DuckDB oracle:
+    n_words = non-empty ``[^a-z0-9]+`` splits of lower(text); alpha_ratio =
+    |[A-Za-z] chars| / |chars| rounded to 6."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, _tokens, _ = split_tokens(texts)
+    n_words = np.zeros(len(texts), dtype=np.int64)
+    if len(parents):
+        np.add.at(n_words, parents, 1)
+    total = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha = pc.utf8_length(
+        pc.replace_substring_regex(texts, "[^A-Za-z]", "")
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    ratio = round_half_away(np.divide(alpha, total, out=np.zeros_like(alpha), where=total > 0), 6)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "alpha_ratio": pa.array(ratio, type=pa.float64()),
+        }
+    )
+
+
+def token_count_partial(batch: pa.Table, group_col: str = "source", text_col: str = "text") -> pa.Table:
+    """Partial per-batch aggregate (pre-aggregation before the tiny groupby):
+    one row per group value per batch."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, _tokens, _ = split_tokens(texts)
+    per_row = np.zeros(len(texts), dtype=np.int64)
+    if len(parents):
+        np.add.at(per_row, parents, 1)
+    t = pa.table({group_col: batch[group_col], "tok": pa.array(per_row)})
+    agg = t.group_by([group_col]).aggregate([("tok", "sum"), ("tok", "count")])
+    return pa.table(
+        {
+            group_col: agg[group_col],
+            "total_tokens": agg["tok_sum"],
+            "n_docs": agg["tok_count"],
+        }
+    )
+
+
+class LangId:
+    """Stopword-overlap language scorer (stateful stage: sets compiled once).
+
+    Emits the argmax language among the stopword tables, 'und' (undetermined)
+    when nothing matches — a deliberately simple, deterministic heuristic.
+    """
+
+    def __init__(self):
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parents, tokens, _ = split_tokens(texts)
+        toks = tokens.to_pylist()
+        langs = sorted(self.tables)
+        counts = np.zeros((len(texts), len(langs)), dtype=np.int32)
+        for li, lang in enumerate(langs):
+            table = self.tables[lang]
+            hits = np.fromiter((t in table for t in toks), count=len(toks), dtype=bool)
+            np.add.at(counts[:, li], parents[hits], 1)
+        best = counts.argmax(axis=1)
+        none = counts.max(axis=1) == 0
+        pred = np.array(langs, dtype=object)[best]
+        pred[none] = "und"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(pred.tolist(), type=pa.string()),
+            }
+        )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit rolling-hash document fingerprint (deterministic, unsalted):
+    polynomial rolling hash over the token stream."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, tokens, _ = split_tokens(texts)
+    import zlib
+
+    tok_h = np.fromiter(
+        (zlib.crc32(t.encode()) for t in tokens.to_pylist()),
+        count=len(parents),
+        dtype=np.uint64,
+    )
+    out = np.zeros(len(texts), dtype=np.uint64)
+    B = np.uint64(1000003)
+    for i in range(len(parents)):  # per-token rolling; parents are grouped
+        p = parents[i]
+        out[p] = out[p] * B + tok_h[i]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "fingerprint": pa.array(out.astype(np.int64), type=pa.int64()),
+        }
+    )

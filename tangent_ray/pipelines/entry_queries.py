@@ -1,0 +1,587 @@
+"""The driver-contract pipelines: ``queries()`` callables + oracle SQL.
+
+Each entry is one operator/pipeline from SURVEY.md §2 (or the training-data
+extension set) run over the driver's Parquet tables at ``sf_dir``; the paired
+SQL in ``ORACLE_SQL`` computes the same result in DuckDB over the same tables
+(views pre-registered by the driver). Column names/types match exactly; float
+columns are rounded identically on both sides.
+
+Tokenizer parity: every oracle-checked pipeline uses ``SQL_PARITY_CONFIG``
+(lowercase + split on ``[^a-z0-9]+``, no stemming, no math) — the SQL twin is
+``unnest(string_split_regex(lower(text), '[^a-z0-9]+')) ... <> ''``.
+
+Engine-only pipelines (math tuple extraction, formula top-k, the transcripts
+flagship) have no SQL twin — the driver records a rows-only check and pytest
+holds them to the pure-Python oracle instead (tests/test_build_query.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.config import EngineConfig, SQL_PARITY_CONFIG
+from tangent_ray.util import round_half_away
+
+# fixed parameters shared by Ray pipelines and their SQL twins
+BM25_QUERY_TERMS = ["spark", "hash", "join"]
+BM25_K = 20
+BOOL_TERMS = ["window", "stream", "merge"]
+SHINGLE_N = 5
+KNN_QUERY_VEC_ID = 0
+KNN_K = 10
+
+_TMP_ROOT = "/tmp/tangent_ray_cache"
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a (small) Dataset result into one Arrow table."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    tables = [t for t in tables if t.num_rows > 0] or tables[:1]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+
+def _doc_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _triples(sf_dir: str):
+    """(term, doc_id, tf, dl, pos1) rows via the real tokenizer stage."""
+    import ray.data
+
+    from tangent_ray.sources.corpus import DocumentsCorpus
+    from tangent_ray.tokenize.batch import TokenizeBatch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        TokenizeBatch,
+        fn_constructor_args=(SQL_PARITY_CONFIG, DocumentsCorpus()),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+def _cast64(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pc.cast(t[c], pa.int64()))
+    return t
+
+
+def _docs_index(sf_dir: str) -> str:
+    """Build (once, cached) the documents BM25 index for this sf_dir."""
+    from tangent_ray.index.build import build_index
+    from tangent_ray.sources.corpus import DocumentsCorpus
+
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = os.path.join(_TMP_ROOT, f"docs-{key}")
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        cfg = EngineConfig(
+            stem=False, math=False, window=1, eol="none", partitions=2
+        )
+        build_index(_doc_path(sf_dir), out, cfg, DocumentsCorpus())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked pipelines
+
+
+def q_term_doc_tf(sf_dir: str):
+    t = _collect(_triples(sf_dir).select_columns(["term", "docid", "tf"]))
+    t = t.rename_columns(["term", "doc_id", "tf"])
+    return _cast64(t, ["doc_id", "tf"])
+
+
+def q_term_stats(sf_dir: str):
+    """Per-term df/cf aggregated from the BUILT index segments — validates
+    the shuffle+encode path against SQL ground truth, not just the
+    tokenizer."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = _docs_index(sf_dir)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(idx, "partials", "*", "terms", "*.parquet")))
+    seg = ray.data.read_parquet(files, columns=["term", "kind", "df", "cf"])
+    seg = seg.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
+    )
+    out = seg.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    return _cast64(_collect(out), ["df", "cf"])
+
+
+def q_doc_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    tr = _triples(sf_dir)
+    out = tr.groupby("docid").aggregate(Sum("tf", alias_name="dl"))
+    t = _collect(out).rename_columns(["doc_id", "dl"])
+    return _cast64(t, ["doc_id", "dl"])
+
+
+def q_first_positions(sf_dir: str):
+    t = _collect(_triples(sf_dir).select_columns(["term", "docid", "pos1"]))
+    t = t.rename_columns(["term", "doc_id", "first_pos"])
+    return _cast64(t, ["doc_id", "first_pos"])
+
+
+def q_bm25_topk(sf_dir: str):
+    from tangent_ray.query.scorer import search
+
+    idx = _docs_index(sf_dir)
+    res = _collect(search(
+        [{"query_id": "q", "kind": "text", "text": " ".join(BM25_QUERY_TERMS)}],
+        idx,
+        topk=BM25_K,
+    ))
+    return pa.table(
+        {
+            "doc_id": res["docid"],
+            "score": pa.array(
+                round_half_away(res["score"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
+def q_boolean_and(sf_dir: str):
+    """Conjunctive match: docs containing ALL of BOOL_TERMS."""
+    tr = _triples(sf_dir)
+    want = set(BOOL_TERMS)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["term"], value_set=pa.array(sorted(want)))
+        return b.filter(mask).select(["docid", "term"])
+
+    from ray.data.aggregate import Count
+
+    hits = tr.map_batches(per_batch, batch_format="pyarrow")
+    # (docid, term) pairs are distinct already (tokenizer aggregates per doc)
+    cnt = hits.groupby("docid").aggregate(Count(alias_name="nterms"))
+    t = _collect(cnt)
+    t = t.filter(pc.equal(t["nterms"], len(want))).select(["docid"])
+    return _cast64(t.rename_columns(["doc_id"]), ["doc_id"])
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    t = _collect(exact_dedup(ds)).select(["doc_id", "dups"])
+    return _cast64(t, ["doc_id", "dups"])
+
+
+def q_quality_scores(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.textstats import quality_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(quality_batch, batch_format="pyarrow"))
+
+
+def q_token_count_by_source(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tangent_ray.ops.textstats import token_count_partial
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "source"])
+    partial = ds.map_batches(token_count_partial, batch_format="pyarrow")
+    out = partial.groupby("source").aggregate(
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+    return _cast64(_collect(out), ["total_tokens", "n_docs"])
+
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from tangent_ray.ops.ann import knn_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qrow = qt.filter(pc.equal(qt["vec_id"], KNN_QUERY_VEC_ID))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = _collect(knn_cosine(ds, qvec, k=KNN_K))
+    return pa.table(
+        {
+            "vec_id": pc.cast(out["vec_id"], pa.int64()),
+            "score": pa.array(
+                round_half_away(out["score"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
+def q_shingle_candidates(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.dedup import shingle_candidates
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    t = _collect(shingle_candidates(ds, n=SHINGLE_N))
+    return _cast64(t.select(["doc_a", "doc_b"]), ["doc_a", "doc_b"])
+
+
+def q_events_window(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.streaming import tumbling_window
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    t = _collect(tumbling_window(ds))
+    i = t.column_names.index("window_start")
+    t = t.set_column(i, "window_start", pc.cast(t["window_start"], pa.timestamp("us")))
+    return _cast64(t, ["n"])
+
+
+def q_top_revenue_nations(sf_dir: str):
+    """Broadcast-dimension join: orders->customer->nation maps shipped once
+    via ray.put; lineitem streams through a partial-aggregating map_batches;
+    the final groupby runs over (nations x batches) partial rows only."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    c2n = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    nk2name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    o2name = {
+        ok: nk2name[c2n[ck]]
+        for ok, ck in zip(
+            orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()
+        )
+    }
+    ref = ray.put(o2name)
+
+    class RevenuePartial:
+        def __init__(self, ref):
+            self.o2name = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            # exact integer arithmetic: price/discount live on a 0.01 grid,
+            # so revenue*10000 is an exact int64 -> no fp summation-order
+            # sensitivity vs the SQL oracle
+            price_c = np.rint(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            disc_c = np.rint(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            rev = price_c * (100 - disc_c)
+            names = [self.o2name[k] for k in b["l_orderkey"].to_pylist()]
+            df = pd.DataFrame({"n_name": names, "rev": rev})
+            g = df.groupby("n_name", as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    partial = li.map_batches(
+        RevenuePartial, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = partial.groupby("n_name").aggregate(
+        Sum("rev", alias_name="revenue_x10000")
+    )
+    return _cast64(_collect(out), ["revenue_x10000"])
+
+
+# ---------------------------------------------------------------------------
+# engine-only pipelines (no SQL twin -> rows-only driver check + pytest golden)
+
+_SF_CONVS = {"0.001": 50, "0.01": 120, "0.1": 400}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def _transcripts_index(sf_dir: str) -> str:
+    from tangent_ray.fixtures import write_transcripts
+    from tangent_ray.index.build import build_index
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    sf = _sf_of(sf_dir)
+    n_convs = _SF_CONVS.get(sf, 120)
+    data_dir = os.path.join(_TMP_ROOT, f"transcripts-{sf}")
+    out = os.path.join(_TMP_ROOT, f"tidx-{sf}")
+    write_transcripts(data_dir, n_convs, files=4)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        cfg = EngineConfig(
+            window=2, eol="small", stem=True, math=True, salt_buckets=4, partitions=2
+        )
+        build_index(data_dir, out, cfg, TranscriptsCorpus())
+    return out
+
+
+def q_transcript_bm25(sf_dir: str):
+    from tangent_ray.fixtures import query_set
+    from tangent_ray.query.scorer import search
+
+    idx = _transcripts_index(sf_dir)
+    return _collect(search(query_set(), idx, concurrency=2))
+
+
+def q_math_tuple_stats(sf_dir: str):
+    """Symbol-pair tuple vocabulary of the transcripts index (df/cf per
+    tuple term) — the Lexicon analogue (mathindexbase.h:200-240)."""
+    import glob
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = _transcripts_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(idx, "partials", "*", "terms", "*.parquet")))
+    seg = ray.data.read_parquet(files, columns=["term", "kind", "df", "cf"])
+    seg = seg.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 1)), batch_format="pyarrow"
+    )
+    out = seg.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    return _cast64(_collect(out), ["df", "cf"])
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.textstats import LangId
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2)))
+
+
+def q_minhash_candidates(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.dedup import minhash_candidates
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(minhash_candidates(ds)).select(["doc_a", "doc_b"])
+
+
+def q_simhash(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.dedup import simhash_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(simhash_batch, batch_format="pyarrow"))
+
+
+def q_fingerprints(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.textstats import fingerprint_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
+
+
+def q_media_features(sf_dir: str):
+    import ray.data
+
+    from tangent_ray.ops.multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    out = _collect(decode_features(ds))
+    return out.select(["media_id", "kind", "payload_bytes"])
+
+
+# ---------------------------------------------------------------------------
+
+TOKS = (
+    "(SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents)"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "term_doc_tf": f"""
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM {TOKS} WHERE term <> '' GROUP BY term, doc_id
+    """,
+    "term_stats": f"""
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+        FROM {TOKS} WHERE term <> '' GROUP BY term
+    """,
+    "doc_stats": f"""
+        SELECT doc_id, count(*)::BIGINT AS dl
+        FROM {TOKS} WHERE term <> '' GROUP BY doc_id
+    """,
+    "first_positions": """
+        WITH raw AS (
+          SELECT doc_id, ts[i] AS term, i
+          FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        ), tok AS (
+          SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+          FROM raw WHERE term <> ''
+        )
+        SELECT term, doc_id, min(pos)::BIGINT AS first_pos
+        FROM tok GROUP BY term, doc_id
+    """,
+    "bm25_topk": f"""
+        WITH toks AS (SELECT * FROM {TOKS} WHERE term <> ''),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl)::DOUBLE
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                    ) AS score
+          FROM tf
+          JOIN df USING (term) JOIN dl USING (doc_id), stats
+          WHERE tf.term IN (SELECT term FROM q)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 6) AS score
+        FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
+    """,
+    "boolean_and": f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, count(DISTINCT term) AS nt
+          FROM {TOKS}
+          WHERE term IN ({", ".join(repr(t) for t in BOOL_TERMS)})
+          GROUP BY doc_id
+        ) WHERE nt = {len(BOOL_TERMS)}
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dups
+        FROM documents GROUP BY text
+    """,
+    "quality_scores": """
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))::BIGINT AS n_words,
+               round(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                               / length(text) END, 6) AS alpha_ratio
+        FROM documents
+    """,
+    "token_count_by_source": f"""
+        SELECT source, count(*) FILTER (WHERE term <> '')::BIGINT AS total_tokens,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM (SELECT doc_id, source,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents)
+        GROUP BY source
+    """,
+    "knn_cosine": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = {KNN_QUERY_VEC_ID})
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qv FROM q)), 6) AS score
+        FROM embeddings
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                        (SELECT qv FROM q)) DESC, vec_id
+        LIMIT {KNN_K}
+    """,
+    "shingle_candidates": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                       || ' ' || ts[i+4] AS shingle
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ts) - {SHINGLE_N - 1}))
+                        AS i) g
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    """,
+    "events_window": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "top_revenue_nations": """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                 AS revenue_x10000
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+}
+
+QUERIES = {
+    "term_doc_tf": q_term_doc_tf,
+    "term_stats": q_term_stats,
+    "doc_stats": q_doc_stats,
+    "first_positions": q_first_positions,
+    "bm25_topk": q_bm25_topk,
+    "boolean_and": q_boolean_and,
+    "dedup_exact": q_dedup_exact,
+    "quality_scores": q_quality_scores,
+    "token_count_by_source": q_token_count_by_source,
+    "knn_cosine": q_knn_cosine,
+    "shingle_candidates": q_shingle_candidates,
+    "events_window": q_events_window,
+    "top_revenue_nations": q_top_revenue_nations,
+    # engine-only (rows-only driver check; pytest-golden vs python oracle)
+    "transcript_bm25": q_transcript_bm25,
+    "math_tuple_stats": q_math_tuple_stats,
+    "lang_id": q_lang_id,
+    "minhash_candidates": q_minhash_candidates,
+    "simhash": q_simhash,
+    "fingerprints": q_fingerprints,
+    "media_features": q_media_features,
+}
