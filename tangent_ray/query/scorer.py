@@ -78,6 +78,8 @@ RESULT_SCHEMA = pa.schema(
 class Segment:
     """One partial index loaded into memory (Arrow-backed, binary columns)."""
 
+    MAX_CACHE = 4096  # decoded posting lists kept hot per segment
+
     def __init__(self, terms_dir: str):
         t = pq.read_table(terms_dir)
         self.table = t
@@ -87,11 +89,15 @@ class Segment:
         self.kind = t["kind"].to_numpy(zero_copy_only=False)
         self._post = t["postings"]
         self._skips = t["skips"]
+        self._cache: dict[int, tuple] = {}
 
     def postings(self, row: int):
-        return decode_postings(
-            self._post[row].as_py(), self._skips[row].as_py()
-        )
+        got = self._cache.get(row)
+        if got is None:
+            got = decode_postings(self._post[row].as_py(), self._skips[row].as_py())
+            if len(self._cache) < self.MAX_CACHE:
+                self._cache[row] = got
+        return got
 
     def wildcard_rows(self, fr: str | None, to: str | None, rel: str) -> list[int]:
         """Rows whose tuple term matches a (?,to,rel) / (fr,?,rel) pattern."""
@@ -304,28 +310,31 @@ class QueryScorer:
                 rows = seg.wildcard_rows(fr, to, rel)
                 if not rows:
                     continue
-                # ANY semantics: each var occurrence contributes at most 1
-                # per doc, drawing from remaining (tf - used) counts
-                # (IDIterANY/IDIterIND, mathindexmid.h:134-167).
-                per_doc: dict[int, float] = {}
+                # ANY semantics, vectorized: each var occurrence contributes
+                # max over its expansion set of min(times, remaining tf)
+                # per doc (IDIterANY/IDIterIND, mathindexmid.h:134-167).
+                vdocs: list[np.ndarray] = []
+                vavail: list[np.ndarray] = []
+                vdls: list[np.ndarray] = []
                 for row in rows:
                     docs, tfs, dls, _ = seg.postings(row)
                     rem = tfs.astype(np.float64) - used.get((si, row), 0.0)
-                    for dct, docs_, rem_, dls_ in [(per_doc, docs, rem, dls)]:
-                        avail = np.minimum(times, rem_)
-                        for dd, a, dl_ in zip(docs_.tolist(), avail, dls_):
-                            if a > 0:
-                                prev = dct.get(dd)
-                                if prev is None or a > prev[0]:
-                                    dct[dd] = (a, float(dl_))
-                if per_doc:
-                    darr = np.fromiter(per_doc.keys(), dtype=np.int64, count=len(per_doc))
-                    vals = np.array([v[0] for v in per_doc.values()])
-                    dlsv = np.array([v[1] for v in per_doc.values()])
-                    cand.append(darr)
-                    cc.append(vals)
-                    dtc_d.append(darr)
-                    dtc_v.append(dlsv)
+                    avail = np.minimum(times, rem)
+                    m = avail > 0
+                    vdocs.append(docs[m].astype(np.int64))
+                    vavail.append(avail[m])
+                    vdls.append(dls[m].astype(np.float64))
+                dcat = np.concatenate(vdocs)
+                if len(dcat):
+                    uniq, inv = np.unique(dcat, return_inverse=True)
+                    mx = np.zeros(len(uniq))
+                    np.maximum.at(mx, inv, np.concatenate(vavail))
+                    dlm = np.zeros(len(uniq))
+                    np.maximum.at(dlm, inv, np.concatenate(vdls))
+                    cand.append(uniq)
+                    cc.append(mx)
+                    dtc_d.append(uniq)
+                    dtc_v.append(dlm)
         docs, ccs = _accumulate(cand, cc)
         if len(docs) == 0:
             return docs, ccs
@@ -416,6 +425,9 @@ def search(
         queries = pa.Table.from_pylist(queries)
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
+    n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
+    if n_actors > 1:
+        queries = queries.repartition(n_actors * 2)
     return queries.map_batches(
         QueryScorer,
         fn_constructor_args=(index_dir, topk),
