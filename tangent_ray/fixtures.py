@@ -88,7 +88,9 @@ def _turn_text(c: int, t: int, words: list[str]) -> str:
     return " ".join(toks)
 
 
-def generate_transcripts(n_convs: int) -> pa.Table:
+def generate_conv_range(c_lo: int, c_hi: int) -> pa.Table:
+    """Rows for convs ``[c_lo, c_hi)`` — pure function of conv index, so any
+    sharding of the range concatenates to the identical corpus."""
     words = vocab()
     conv_ids: list[str] = []
     turn_idx: list[int] = []
@@ -97,7 +99,7 @@ def generate_transcripts(n_convs: int) -> pa.Table:
     tools: list[str] = []
     ts: list[int] = []
     epoch = int(datetime.datetime(2026, 1, 1).timestamp() * 1_000_000)
-    for c in range(n_convs):
+    for c in range(c_lo, c_hi):
         n_turns = 2 + (c * 7919) % 14
         for t in range(n_turns):
             conv_ids.append(f"conv{c:08d}")
@@ -119,20 +121,41 @@ def generate_transcripts(n_convs: int) -> pa.Table:
     )
 
 
-def write_transcripts(out_dir: str, n_convs: int, files: int = 4) -> list[str]:
-    """Write the corpus as ``files`` parquet shards (stable file boundaries).
+def generate_transcripts(n_convs: int) -> pa.Table:
+    return generate_conv_range(0, n_convs)
 
-    Cached: returns immediately if the layout already exists.
+
+def _write_shard(path: str, c_lo: int, c_hi: int) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(generate_conv_range(c_lo, c_hi), tmp)
+    os.replace(tmp, path)
+
+
+def write_transcripts(out_dir: str, n_convs: int, files: int = 4) -> list[str]:
+    """Write the corpus as ``files`` parquet shards (conv-contiguous ranges).
+
+    Cached: returns immediately if the layout already exists. Generation is
+    fanned out over Ray tasks when a session is up (each shard is a pure
+    function of its conv range), else done serially.
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(out_dir, f"part-{i:04d}.parquet") for i in range(files)]
     if all(os.path.exists(p) for p in paths):
         return paths
-    t = generate_transcripts(n_convs)
-    n = t.num_rows
-    per = (n + files - 1) // files
-    for i, p in enumerate(paths):
-        pq.write_table(t.slice(i * per, per), p)
+    bounds = [i * n_convs // files for i in range(files + 1)]
+    jobs = [
+        (p, bounds[i], bounds[i + 1])
+        for i, p in enumerate(paths)
+        if not os.path.exists(p)
+    ]
+    import ray
+
+    if ray.is_initialized() and n_convs >= 4096:
+        task = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([task.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _write_shard(*j)
     return paths
 
 

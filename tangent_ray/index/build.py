@@ -14,19 +14,19 @@ distributed):
 2. Within a partition::
 
        read_parquet(files, columns=corpus.columns)        # prune at read
-         .map_batches(TokenizeBatch, pyarrow, actor pool) # (term,docid,tf,..)
-         .groupby([shard, bucket]).map_groups(encode)     # THE wide shuffle
-         [.groupby(term).map_groups(concat_salt_runs)]    # only if salted
+         .map_batches(tokenize_task, pyarrow, tasks)      # (term,docid,tf,..)
+         .groupby("skey").map_groups(encode)              # the ONE wide shuffle
          .write_parquet(partial_dir)
 
-   The shuffle key is ``(crc32(term) % build_shards, bucket)``:
-   *shard* bounds the number of reduce groups (each group encodes many
-   terms vectorized, instead of one Python call per term), *bucket* is the
-   docid-range salt that splits hot terms across reducers so no group
-   exceeds a range's worth of postings (reference has no skew handling —
-   SURVEY §4; this is the explicit Ray-scale answer). Runs for one term are
-   disjoint, ordered docid ranges, so the second stage merges by pure byte
-   concatenation (``codec.concat_runs``).
+   The fused int32 shuffle key is ``skey = (crc32(term) % build_shards) *
+   salt_buckets + bucket``: *shard* bounds the number of reduce groups (each
+   group encodes many terms in one vectorized codec pass, not one Python
+   call per term), *bucket* is the docid-range salt that splits hot terms
+   across reducers so no group exceeds a range's worth of postings
+   (reference has no skew handling — SURVEY §4; this is the explicit
+   Ray-scale answer). A salted term's runs stay as separate segment rows
+   (disjoint ordered docid ranges): the scorer sums over them like it sums
+   over segments, and tiered compaction (merge.py) folds them into one run.
 
 3. ``finalize_index`` sums partial manifests into the global manifest
    (N, avgdl, token/postings counts — the BM25 analogue of the reference's
@@ -50,7 +50,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from tangent_ray.config import EngineConfig
-from tangent_ray.index.codec import concat_runs, encode_postings
+from tangent_ray.index.codec import encode_postings_multi
 from tangent_ray.sources.corpus import Corpus, corpus_kind
 from tangent_ray.tokenize.batch import KIND_PROBLEM, TokenizeBatch
 
@@ -70,6 +70,30 @@ SEGMENT_SCHEMA = pa.schema(
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+_TOK_CACHE: dict = {}
+
+
+def tokenize_task(batch: pa.Table, cfg_json: str, corpus_kind_s: str, num_shards: int) -> pa.Table:
+    """Stateless-task tokenizer with per-worker-process instance caching.
+
+    The tokenizer's only state (compiled regex + SLT template tuple cache +
+    the process-global Porter lru_cache) is cheap and process-local, so a
+    plain task pool gives the same amortization as an actor pool without the
+    pool ramp-up latency — tasks scale elastically to every free CPU, which
+    matters for the two-parallelism-level scaling criterion.
+    """
+    key = (cfg_json, corpus_kind_s, num_shards)
+    tok = _TOK_CACHE.get(key)
+    if tok is None:
+        from tangent_ray.sources.corpus import corpus_from_json
+
+        tok = TokenizeBatch(
+            EngineConfig.from_json(cfg_json), corpus_from_json(corpus_kind_s), num_shards
+        )
+        _TOK_CACHE[key] = tok
+    return tok(batch)
+
+
 def term_shards(terms: pa.Array, num_shards: int) -> np.ndarray:
     """Deterministic (cross-process stable) shard id per term via crc32."""
     uniq = pc.unique(terms)
@@ -79,17 +103,6 @@ def term_shards(terms: pa.Array, num_shards: int) -> np.ndarray:
     )
     idx = pc.index_in(terms, value_set=uniq).to_numpy(zero_copy_only=False)
     return crc[idx]
-
-
-class AddShard:
-    """Adds the build-shard column (vectorized per batch)."""
-
-    def __init__(self, num_shards: int):
-        self.num_shards = num_shards
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        shard = term_shards(batch["term"].combine_chunks() if isinstance(batch["term"], pa.ChunkedArray) else batch["term"], self.num_shards)
-        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
 
 
 def encode_group(group: pa.Table, block_size: int) -> pa.Table:
@@ -119,68 +132,36 @@ def encode_group(group: pa.Table, block_size: int) -> pa.Table:
     order = np.lexsort((docids, codes))
     codes_s = codes[order]
     docids_s = docids[order]
+    tfs_s = tfs[order]
+    dls_s = dls[order]
+    pos1_s = pos1[order]
     starts = np.flatnonzero(np.diff(codes_s, prepend=codes_s[0] - 1))
     ends = np.append(starts[1:], n)
 
-    out_term: list[str] = []
-    out_kind: list[int] = []
-    out_df: list[int] = []
-    out_cf: list[int] = []
-    out_maxtf: list[int] = []
-    out_post: list[bytes] = []
-    out_skips: list[bytes] = []
-    vocab_py = vocab.to_pylist()
-    for s, e in zip(starts, ends):
-        idx = order[s:e]
-        d = docids_s[s:e]
-        if e - s > 1 and (d[1:] == d[:-1]).any():
+    if n > 1:
+        dup = (docids_s[1:] == docids_s[:-1]) & (codes_s[1:] == codes_s[:-1])
+        if dup.any():
+            bad = int(codes_s[int(np.flatnonzero(dup)[0])])
             raise ValueError(
-                f"duplicate docid for term {vocab_py[codes_s[s]]!r} "
+                f"duplicate docid for term {vocab[bad].as_py()!r} "
                 "(repeated document in input?)"
             )
-        t = tfs[idx]
-        post, skips = encode_postings(d, t, dls[idx], pos1[idx], block_size)
-        out_term.append(vocab_py[codes_s[s]])
-        out_kind.append(int(kinds[idx[0]]))
-        out_df.append(int(e - s))
-        out_cf.append(int(t.sum()))
-        out_maxtf.append(int(t.max()))
-        out_post.append(post)
-        out_skips.append(skips)
+    out_post, out_skips = encode_postings_multi(
+        docids_s, tfs_s, dls_s, pos1_s, starts, ends, block_size
+    )
+    out_df = (ends - starts).astype(np.int64)
+    out_cf = np.add.reduceat(tfs_s.astype(np.int64), starts)
+    out_maxtf = np.maximum.reduceat(tfs_s, starts).astype(np.int32)
     return pa.Table.from_arrays(
         [
-            pa.array(out_term, type=pa.string()),
-            pa.array(out_kind, type=pa.int8()),
-            pa.array([bucket] * len(out_term), type=pa.int32()),
+            pc.take(vocab, pa.array(codes_s[starts], type=pa.int64())).cast(pa.string()),
+            pa.array(kinds[order][starts], type=pa.int8()),
+            pa.array(np.full(len(starts), bucket, dtype=np.int32), type=pa.int32()),
             pa.array(out_df, type=pa.int64()),
             pa.array(out_cf, type=pa.int64()),
             pa.array(out_maxtf, type=pa.int32()),
             pa.array(out_post, type=pa.binary()),
             pa.array(out_skips, type=pa.binary()),
-        ],
-        schema=SEGMENT_SCHEMA,
-    )
-
-
-def merge_salt_runs(group: pa.Table) -> pa.Table:
-    """Second (tiny) stage when salting: concat one term's bucket runs."""
-    if group.num_rows == 1:
-        return group
-    order = np.argsort(group["bucket"].to_numpy(zero_copy_only=False), kind="stable")
-    posts = group["postings"].to_pylist()
-    skips = group["skips"].to_pylist()
-    runs = [(posts[i], skips[i]) for i in order]
-    post, skip = concat_runs(runs)
-    return pa.Table.from_arrays(
-        [
-            group["term"].slice(0, 1),
-            group["kind"].slice(0, 1),
-            pa.array([0], type=pa.int32()),
-            pa.array([int(pc.sum(group["df"]).as_py())], type=pa.int64()),
-            pa.array([int(pc.sum(group["cf"]).as_py())], type=pa.int64()),
-            pa.array([int(pc.max(group["max_tf"]).as_py())], type=pa.int32()),
-            pa.array([post], type=pa.binary()),
-            pa.array([skip], type=pa.binary()),
         ],
         schema=SEGMENT_SCHEMA,
     )
@@ -224,31 +205,38 @@ def build_partition(
         shutil.rmtree(tmp)
     os.makedirs(os.path.join(tmp, "terms"), exist_ok=True)
 
+    # row count from parquet footers on the driver — no cluster job
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
     ds = ray.data.read_parquet(files, columns=list(corpus.columns))
-    n_docs = ds.count()
     tok = ds.map_batches(
-        TokenizeBatch,
-        fn_constructor_args=(cfg, corpus),
+        tokenize_task,
+        fn_kwargs=dict(
+            cfg_json=cfg.to_json(),
+            corpus_kind_s=corpus_kind(corpus),
+            num_shards=build_shards,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=tokenize_concurrency or (1, 8),
+        concurrency=tokenize_concurrency,
         zero_copy_batch=True,
-    ).map_batches(
-        AddShard(build_shards), batch_format="pyarrow", zero_copy_batch=True
     )
-    enc = tok.groupby(["shard", "bucket"]).map_groups(
+    # ONE wide shuffle. When salting (salt_buckets > 1) a hot term's rows
+    # split into per-docid-range bucket runs that land in different groups;
+    # the runs are NOT re-merged here — segments may carry several
+    # (term, bucket) rows and the scorer sums over them (disjoint ordered
+    # docid ranges), while tiered compaction (merge.py) folds them into one
+    # run as a side effect of its term merge. This keeps the build at a
+    # single all-to-all instead of two.
+    enc = tok.groupby("skey").map_groups(
         lambda g: encode_group(g, cfg.block_size), batch_format="pyarrow"
     )
-    if cfg.salt_buckets > 1:
-        enc = enc.groupby("term").map_groups(merge_salt_runs, batch_format="pyarrow")
-    enc.write_parquet(os.path.join(tmp, "terms"))
 
-    # docmap (decoration for non-identity corpora): key columns only
-    if corpus_kind(corpus) == "transcripts":
-        key_cols = ["conv_id", "turn_idx"]
-        ray.data.read_parquet(files, columns=key_cols).map_batches(
-            _docmap_batch, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(os.path.join(tmp, "docmap"))
+    enc.write_parquet(os.path.join(tmp, "terms"))
+    # NOTE: no docmap sidecar is written. docid -> dockey decoration is
+    # derived at query time from the partial manifests' ``input_files``
+    # (scorer.IndexReader.dockey_of) — the id is a pure function of the key
+    # columns, so the mapping is always recoverable from the corpus itself
+    # and the build stays a single wide job.
 
     manifest = _partition_manifest(tmp, files, n_docs, cfg, corpus)
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
@@ -257,17 +245,6 @@ def build_partition(
         shutil.rmtree(partial_dir)
     os.rename(tmp, partial_dir)
     return manifest
-
-
-def _docmap_batch(batch: pa.Table) -> pa.Table:
-    from tangent_ray.sources.corpus import TranscriptsCorpus
-
-    c = TranscriptsCorpus()
-    keys = c.dockeys(batch)
-    from tangent_ray.docids import dockeys_to_docids
-
-    ids = dockeys_to_docids(keys.to_pylist())
-    return pa.table({"docid": pa.array(ids, type=pa.int64()), "dockey": keys})
 
 
 def _partition_manifest(
@@ -282,12 +259,15 @@ def _partition_manifest(
     is_text = kinds == 0
     is_math = kinds == 1
     is_prob = kinds == KIND_PROBLEM
+    # a salted term may span several (term, bucket) rows — count unique terms
+    uniq = t.select(["term", "kind"]).group_by(["term", "kind"]).aggregate([])
+    ukinds = uniq["kind"].to_numpy(zero_copy_only=False)
     return {
         "schema_version": 1,
         "input_files": files,
         "n_docs": int(n_docs),
-        "n_terms_text": int(is_text.sum()),
-        "n_terms_math": int(is_math.sum()),
+        "n_terms_text": int((ukinds == 0).sum()),
+        "n_terms_math": int((ukinds == 1).sum()),
         "postings_text": int(df[is_text].sum()),
         "postings_math": int(df[is_math].sum()),
         "tokens_text": int(cf[is_text].sum()),

@@ -121,6 +121,80 @@ def encode_postings(
     return enc.tobytes(), skips.tobytes()
 
 
+def encode_postings_multi(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos1s: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    block_size: int = 128,
+) -> tuple[list[bytes], list[bytes]]:
+    """Encode MANY concatenated runs in one vectorized pass.
+
+    ``docids[starts[t]:ends[t]]`` is run ``t`` (sorted, unique). Returns
+    per-run ``(postings, skips)`` byte strings identical to calling
+    :func:`encode_postings` on each slice — but with one shared numpy pass
+    over all runs, which is what keeps the reduce side of the index-build
+    shuffle off the Python-per-term floor.
+    """
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    T = len(starts)
+    n = len(docids)
+    if n == 0 or T == 0:
+        return [b""] * T, [b""] * T
+    docids = np.ascontiguousarray(docids, dtype=np.uint64)
+    lens = ends - starts
+    # docid deltas, reset at each run start
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    deltas[starts] = docids[starts]
+    # per-run block counts -> global per-block entry counts
+    nbt = (lens + block_size - 1) // block_size
+    total_blocks = int(nbt.sum())
+    run_of_block = np.repeat(np.arange(T, dtype=np.int64), nbt)
+    bstart_of_run = np.concatenate([[0], np.cumsum(nbt[:-1])])
+    blk_local = np.arange(total_blocks, dtype=np.int64) - bstart_of_run[run_of_block]
+    estarts = starts[run_of_block] + blk_local * block_size
+    ns = np.minimum(block_size, ends[run_of_block] - estarts)
+    vstarts = 4 * estarts
+    block_of = np.repeat(np.arange(total_blocks, dtype=np.int64), ns)
+    within = np.arange(n, dtype=np.int64) - estarts[block_of]
+    vals = np.empty(4 * n, dtype=np.uint64)
+    idx = vstarts[block_of] + within
+    nsb = ns[block_of]
+    vals[idx] = deltas
+    vals[idx + nsb] = tfs.astype(np.uint64)
+    vals[idx + 2 * nsb] = dls.astype(np.uint64)
+    vals[idx + 3 * nsb] = pos1s.astype(np.uint64)
+    enc, nbytes = _varint_encode_with_lengths(vals)
+    byte_ends = np.cumsum(nbytes)
+    block_byte_start = np.where(
+        vstarts > 0, byte_ends[np.maximum(vstarts - 1, 0)], 0
+    ).astype(np.int64)
+    run_byte_start = block_byte_start[bstart_of_run]
+    run_byte_end = np.concatenate([run_byte_start[1:], [int(byte_ends[-1])]])
+    skips = np.zeros(total_blocks, dtype=SKIP_DTYPE)
+    skips["last"] = docids[estarts + ns - 1]
+    skips["off"] = block_byte_start - run_byte_start[run_of_block]
+    skips["n"] = ns
+    skips["maxtf"] = np.maximum.reduceat(tfs.astype(np.uint32), estarts)
+    skips["mindl"] = np.minimum.reduceat(dls.astype(np.uint32), estarts)
+    enc_b = enc.tobytes()
+    skips_b = skips.tobytes()
+    ss = SKIP_DTYPE.itemsize
+    out_post = [
+        enc_b[run_byte_start[t] : run_byte_end[t]] for t in range(T)
+    ]
+    out_skips = [
+        skips_b[bstart_of_run[t] * ss : (bstart_of_run[t] + nbt[t]) * ss]
+        for t in range(T)
+    ]
+    return out_post, out_skips
+
+
 def _varint_encode_with_lengths(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128 encode + per-value byte counts (both vectorized)."""
     a = np.ascontiguousarray(a, dtype=np.uint64)

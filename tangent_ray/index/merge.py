@@ -85,15 +85,6 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
         lambda g: _merge_term_group(g, bs), batch_format="pyarrow"
     ).write_parquet(os.path.join(tmp, "terms"))
 
-    docmap_files = sorted(
-        f for d in dirs for f in glob.glob(os.path.join(d, "docmap", "*.parquet"))
-    )
-    if docmap_files:
-        os.makedirs(os.path.join(tmp, "docmap"))
-        ray.data.read_parquet(docmap_files).write_parquet(
-            os.path.join(tmp, "docmap")
-        )
-
     merged = dict(manifests[0])
     merged["input_files"] = sorted(
         f for m in manifests for f in m["input_files"]

@@ -84,7 +84,12 @@ class Segment:
         t = pq.read_table(terms_dir)
         self.table = t
         self.terms = t["term"].to_pylist()
-        self.lookup: dict[str, int] = {s: i for i, s in enumerate(self.terms)}
+        # term -> rows: a salted term has one row per docid-range bucket
+        # (disjoint ordered runs); scoring sums over a term's rows exactly
+        # like it sums over segments
+        self.lookup: dict[str, list[int]] = {}
+        for i, s in enumerate(self.terms):
+            self.lookup.setdefault(s, []).append(i)
         self.df = t["df"].to_numpy(zero_copy_only=False)
         self.kind = t["kind"].to_numpy(zero_copy_only=False)
         self._post = t["postings"]
@@ -139,22 +144,31 @@ class IndexReader:
 
     def global_df(self, term: str) -> int:
         return sum(
-            int(s.df[s.lookup[term]]) for s in self.segments if term in s.lookup
+            int(s.df[r])
+            for s in self.segments
+            for r in s.lookup.get(term, ())
         )
 
     def dockey_of(self, docids: np.ndarray) -> list[str]:
         if self.manifest["corpus"] != "transcripts":
             return [str(int(d)) for d in docids]
         if self._docmap is None:
-            dm: dict[int, str] = {}
+            # docid = blake2b(dockey) is a pure function of the corpus key
+            # columns, so the decoration map is derived lazily from the
+            # partial manifests' input_files — the build writes no sidecar
+            from tangent_ray.docids import dockeys_to_docids, transcript_dockeys
+
+            files: set[str] = set()
             pdir = os.path.join(self._index_dir, "partials")
             for p in self.manifest["partials"]:
-                d = os.path.join(pdir, p, "docmap")
-                if os.path.exists(d):
-                    t = pq.read_table(d)
-                    ids = t["docid"].to_numpy(zero_copy_only=False)
-                    keys = t["dockey"].to_pylist()
-                    dm.update(zip(ids.tolist(), keys))
+                with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
+                    files.update(json.load(f)["input_files"])
+            dm: dict[int, str] = {}
+            for fp in sorted(files):
+                t = pq.read_table(fp, columns=["conv_id", "turn_idx"])
+                keys = transcript_dockeys(t).to_pylist()
+                ids = dockeys_to_docids(keys)
+                dm.update(zip(ids.tolist(), keys))
             self._docmap = dm
         return [self._docmap.get(int(d), str(int(d))) for d in docids]
 
@@ -267,14 +281,12 @@ class QueryScorer:
                 continue
             idf = _bm25_idf(r.N, df)
             for seg in r.segments:
-                row = seg.lookup.get(term)
-                if row is None:
-                    continue
-                docs, tfs, dls, _ = seg.postings(row)
-                tff = tfs.astype(np.float64)
-                tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
-                cand.append(docs.astype(np.int64))
-                contrib.append(idf * tfn)
+                for row in seg.lookup.get(term, ()):
+                    docs, tfs, dls, _ = seg.postings(row)
+                    tff = tfs.astype(np.float64)
+                    tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
+                    cand.append(docs.astype(np.int64))
+                    contrib.append(idf * tfn)
         return _accumulate(cand, contrib)
 
     # -- tuple F-measure -------------------------------------------------
@@ -294,16 +306,14 @@ class QueryScorer:
         )
         for term, qtf in concrete:
             for si, seg in enumerate(r.segments):
-                row = seg.lookup.get(term)
-                if row is None:
-                    continue
-                docs, tfs, dls, _ = seg.postings(row)
-                m = np.minimum(qtf, tfs).astype(np.float64)
-                used[(si, row)] = m
-                cand.append(docs.astype(np.int64))
-                cc.append(m)
-                dtc_d.append(docs.astype(np.int64))
-                dtc_v.append(dls.astype(np.float64))
+                for row in seg.lookup.get(term, ()):
+                    docs, tfs, dls, _ = seg.postings(row)
+                    m = np.minimum(qtf, tfs).astype(np.float64)
+                    used[(si, row)] = m
+                    cand.append(docs.astype(np.int64))
+                    cc.append(m)
+                    dtc_d.append(docs.astype(np.int64))
+                    dtc_v.append(dls.astype(np.float64))
         for pat, times in varpats:
             _, fr, to, rel = pat
             for si, seg in enumerate(r.segments):

@@ -66,12 +66,15 @@ TOKEN_SCHEMA = pa.schema(
 
 
 class TokenizeBatch:
-    def __init__(self, cfg: EngineConfig, corpus: Corpus | str):
+    def __init__(self, cfg: EngineConfig, corpus: Corpus | str, num_shards: int = 0):
         self.cfg = cfg
         self.corpus = corpus_from_json(corpus) if isinstance(corpus, str) else corpus
         self._tuple_cache: dict[str, Counter | None] = {}
         bits = cfg.salt_bits
         self._bucket_shift = np.uint64(63 - bits) if bits > 0 else None
+        #: when > 0, a build-shard column (crc32(term) % num_shards) is
+        #: appended so the build needs no separate shard-assignment pass
+        self.num_shards = num_shards
 
     # -- math ------------------------------------------------------------
     def _tuples_of(self, slt: str) -> Counter | None:
@@ -182,7 +185,7 @@ class TokenizeBatch:
             bucket = (docid_arr.astype(np.uint64) >> self._bucket_shift).astype(np.int32)
         else:
             bucket = np.zeros(len(docid_arr), dtype=np.int32)
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [
                 term_arr,
                 pa.array(np.concatenate(out_kind), type=pa.int8()),
@@ -194,3 +197,13 @@ class TokenizeBatch:
             ],
             schema=TOKEN_SCHEMA,
         )
+        if self.num_shards:
+            from tangent_ray.index.build import term_shards
+
+            # single fused int32 shuffle key (shard * n_buckets + bucket):
+            # a one-column int sort halves the shuffle cost vs a two-column key
+            shard = term_shards(term_arr, self.num_shards)
+            n_buckets = max(1, self.cfg.salt_buckets)
+            skey = shard * np.int32(n_buckets) + bucket
+            out = out.append_column("skey", pa.array(skey, type=pa.int32()))
+        return out

@@ -93,3 +93,30 @@ def test_merge_postings_duplicate_raises():
     run = encode_postings(docids, tfs, dls, pos, block_size=4)
     with pytest.raises(ValueError):
         merge_postings([run, run], block_size=4)
+
+
+def test_encode_postings_multi_matches_single():
+    from tangent_ray.index.codec import encode_postings_multi
+
+    rng = np.random.default_rng(7)
+    # runs of varied lengths incl. 1-entry and non-multiple-of-block
+    lens = [1, 5, 16, 17, 100, 3, 128, 129]
+    docs_all, tfs_all, dls_all, pos_all = [], [], [], []
+    for L in lens:
+        d = np.cumsum(rng.integers(1, 50, size=L)).astype(np.uint64)
+        docs_all.append(d)
+        tfs_all.append(rng.integers(1, 9, size=L).astype(np.uint32))
+        dls_all.append(rng.integers(1, 500, size=L).astype(np.uint32))
+        pos_all.append(rng.integers(1, 30, size=L).astype(np.uint32))
+    docids = np.concatenate(docs_all)
+    tfs = np.concatenate(tfs_all)
+    dls = np.concatenate(dls_all)
+    pos = np.concatenate(pos_all)
+    ends = np.cumsum(lens)
+    starts = ends - np.array(lens)
+    posts, skips = encode_postings_multi(docids, tfs, dls, pos, starts, ends, block_size=16)
+    for i, L in enumerate(lens):
+        s, e = starts[i], ends[i]
+        ref_p, ref_s = encode_postings(docids[s:e], tfs[s:e], dls[s:e], pos[s:e], block_size=16)
+        assert posts[i] == ref_p, f"run {i} postings differ"
+        assert skips[i] == ref_s, f"run {i} skips differ"
