@@ -192,4 +192,11 @@ def query_set() -> pa.Table:
     q("q023", "mixed", "$[V!z]$ " + words[8], 30)
     q("q024", "math", "$[V!x[+[V!p,a[N!2]]]]$ $[R!,w[V!t]]$")   # two formulas
     q("q025", "text", f"{words[100]} {words[101]} {words[102]} {words[103]}")
+    # Presentation-MathML formula query (the reference topic format) —
+    # must rank identically to its $SLT$ twin q007
+    q(
+        "q026",
+        "math",
+        "<math><mi>x</mi><mo>=</mo><mfrac><mn>1</mn><mi>p</mi></mfrac></math>",
+    )
     return pa.Table.from_pylist(rows)

@@ -233,9 +233,27 @@ class QueryScorer:
 
     # ------------------------------------------------------------------
     def parse_query(self, text: str) -> tuple[list[str], Counter, int, int]:
-        """Split a query into (text terms, tuple bag, qtc, n_formulae)."""
+        """Split a query into (text terms, tuple bag, qtc, n_formulae).
+
+        Formula fragments are ``$...$`` SLT spans or ``<math>...</math>``
+        Presentation MathML (the reference topic format, ``query.py:96-114``
+        — converted through the MathML front end).
+        """
         spans = _MATH_RE.findall(text)
         stripped = _MATH_RE.sub(" ", text)
+        if "<math" in stripped or ":math" in stripped:
+            from tangent_ray.tokenize.mathml import (
+                MATHML_SPAN_RE,
+                MathMLError,
+                mathml_to_slt,
+            )
+
+            for m in MATHML_SPAN_RE.findall(stripped):
+                try:
+                    spans.append(mathml_to_slt(m).serialize())
+                except MathMLError:
+                    pass
+            stripped = MATHML_SPAN_RE.sub(" ", stripped)
         _, terms, _, _, _ = tokenize_text(pa.array([stripped]), stem=self.cfg.stem)
         bag: Counter = Counter()
         qtc = 0

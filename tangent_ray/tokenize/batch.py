@@ -77,6 +77,44 @@ class TokenizeBatch:
         self.num_shards = num_shards
 
     # -- math ------------------------------------------------------------
+    _mathml_cache: dict[str, str | None]
+
+    def _slt_of_mathml(self, xml: str) -> str | None:
+        """Canonical SLT string of one ``<math>`` span (cached), or None."""
+        cache = getattr(self, "_mathml_cache", None)
+        if cache is None:
+            cache = self._mathml_cache = {}
+        if xml in cache:
+            return cache[xml]
+        from tangent_ray.tokenize.mathml import MathMLError, mathml_to_slt
+
+        try:
+            got: str | None = mathml_to_slt(xml).serialize()
+        except MathMLError:
+            got = None
+        cache[xml] = got
+        return got
+
+    def _spans_of(self, text: str) -> list[str | None]:
+        """All math fragments of a doc as SLT strings, in document order.
+
+        ``$...$`` spans carry SLT syntax directly; ``<math>...</math>`` spans
+        are converted through the MathML front end. ``None`` marks an
+        unconvertible fragment (counted as a problem row by the caller).
+        """
+        spans: list[tuple[int, str | None]] = [
+            (m.start(), m.group(1)) for m in _MATH_RE.finditer(text)
+        ]
+        if "<" in text and ("<math" in text or ":math" in text):
+            from tangent_ray.tokenize.mathml import MATHML_SPAN_RE
+
+            spans.extend(
+                (m.start(), self._slt_of_mathml(m.group(0)))
+                for m in MATHML_SPAN_RE.finditer(text)
+            )
+            spans.sort(key=lambda p: p[0])
+        return [s for _, s in spans]
+
     def _tuples_of(self, slt: str) -> Counter | None:
         """Tuple-term bag of one SLT string (cached across docs/batches)."""
         got = self._tuple_cache.get(slt)
@@ -104,10 +142,12 @@ class TokenizeBatch:
         tfs: list[int] = []
         dls: list[int] = []
         pos1s: list[int] = []
-        has = pc.match_substring(texts, "$").to_numpy(zero_copy_only=False)
+        has = pc.or_(
+            pc.match_substring(texts, "$"), pc.match_substring(texts, "<math")
+        ).to_numpy(zero_copy_only=False)
         for i in np.flatnonzero(has):
             text = texts[i].as_py()
-            spans = _MATH_RE.findall(text)
+            spans = self._spans_of(text)
             if not spans:
                 continue
             seen: dict[str, int] = {}
@@ -115,6 +155,9 @@ class TokenizeBatch:
             first_pos: dict[str, int] = {}
             problems = 0
             for ordinal, slt in enumerate(spans):
+                if slt is None:
+                    problems += 1
+                    continue
                 if slt in seen:
                     continue
                 seen[slt] = ordinal
@@ -152,9 +195,13 @@ class TokenizeBatch:
         math_cols = None
         if self.cfg.math:
             math_cols = self._math_rows(texts, docids)
-            # strip math spans before text tokenization so SLT syntax does
-            # not leak into text terms
+            # strip math spans before text tokenization so SLT/MathML syntax
+            # does not leak into text terms
             texts = pc.replace_substring_regex(texts, r"\$[^$]*\$", " ")
+            if pc.any(pc.match_substring(texts, "<math")).as_py():
+                texts = pc.replace_substring_regex(
+                    texts, r"(?si)<(?:\w+:)?math(?:\s[^>]*)?>.*?</(?:\w+:)?math>", " "
+                )
 
         rows, terms, tf, pos1, dl = tokenize_text(texts, stem=self.cfg.stem)
         if self.cfg.max_token_len < 32767:

@@ -377,6 +377,12 @@ def isolate_presentation(math_elem: ET.Element) -> ET.Element:
     return math_elem
 
 
+#: ``<math>...</math>`` span finder — DOTALL + namespace-prefix tolerant,
+#: the reference's extraction regex family (``math_extractor.py:26-31``)
+MATHML_SPAN_RE = re.compile(
+    r"<(?:\w+:)?math(?:\s[^>]*)?>.*?</(?:\w+:)?math>", re.DOTALL | re.IGNORECASE
+)
+
 _NS_DECL_RE = re.compile(r"xmlns(:\w+)?=\"[^\"]*\"")
 _NS_PREFIX_RE = re.compile(r"<(/?)(\w+):")
 

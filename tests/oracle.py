@@ -29,6 +29,26 @@ from tangent_ray.tokenize.text import tokenize_text
 MATH_RE = re.compile(r"\$([^$]+)\$")
 
 
+def _extract_spans(text: str) -> tuple[list[str], str]:
+    """All math fragments as SLT strings ($...$ + MathML), stripped text."""
+    spans = MATH_RE.findall(text)
+    stripped = MATH_RE.sub(" ", text)
+    if "<math" in stripped:
+        from tangent_ray.tokenize.mathml import (
+            MATHML_SPAN_RE,
+            MathMLError,
+            mathml_to_slt,
+        )
+
+        for m in MATHML_SPAN_RE.findall(stripped):
+            try:
+                spans.append(mathml_to_slt(m).serialize())
+            except MathMLError:
+                pass
+        stripped = MATHML_SPAN_RE.sub(" ", stripped)
+    return spans, stripped
+
+
 class OracleIndex:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
@@ -42,8 +62,7 @@ class OracleIndex:
         self.N += 1
         cfg = self.cfg
         if cfg.math:
-            spans = MATH_RE.findall(text)
-            text = MATH_RE.sub(" ", text)
+            spans, text = _extract_spans(text)
             seen = set()
             bag: Counter = Counter()
             for slt in spans:
@@ -124,8 +143,7 @@ class OracleIndex:
 
     def parse_query(self, text: str):
         cfg = self.cfg
-        spans = MATH_RE.findall(text)
-        stripped = MATH_RE.sub(" ", text)
+        spans, stripped = _extract_spans(text)
         _, terms, _, _, _ = tokenize_text(pa.array([stripped]), stem=cfg.stem)
         bag: Counter = Counter()
         qtc = 0

@@ -143,3 +143,61 @@ def test_roundtrip_through_tuple_generator():
     tups = slt_tuples(root, window=1, eol="none")
     assert ("V!x", "=", "n", "-") in tups
     assert ("F!", "N!1", "o", "nn") in tups
+
+
+def test_tokenizer_mathml_equals_slt_spans():
+    """A <math> span must index byte-identically to its $SLT$ twin
+    (same tuple terms, tfs, dl)."""
+    import pyarrow as pa
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+    from tangent_ray.tokenize.batch import TokenizeBatch
+
+    mathml = (
+        "<math><mi>x</mi><mo>=</mo><mfrac><mn>1</mn><mi>p</mi></mfrac></math>"
+    )
+    slt = "$[V!x[=[F!,o[N!1],u[V!p]]]]$"
+
+    def corpus_of(fragment):
+        return pa.table(
+            {
+                "conv_id": ["c1"],
+                "turn_idx": pa.array([0], type=pa.int32()),
+                "role": ["assistant"],
+                "text": [f"hello world {fragment} bye"],
+                "tool": [""],
+                "ts": pa.array([0], type=pa.timestamp("us")),
+            }
+        )
+
+    cfg = EngineConfig(window=2, eol="small", stem=True, math=True)
+    tok = TokenizeBatch(cfg, TranscriptsCorpus())
+    a = tok(corpus_of(mathml)).sort_by("term").to_pydict()
+    b = tok(corpus_of(slt)).sort_by("term").to_pydict()
+    assert a == b
+    assert any(k == 1 for k in a["kind"])  # math tuples present
+
+
+def test_query_parser_mathml():
+    from collections import Counter
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.tokenize.slt import parse_slt, slt_tuples, tuple_term
+
+    class FakeScorer:
+        cfg = EngineConfig(window=2, eol="small", stem=True, math=True)
+
+    from tangent_ray.query.scorer import QueryScorer
+
+    parse_query = QueryScorer.parse_query
+    terms, bag, qtc, nf = parse_query(
+        FakeScorer(), "solve <math><msqrt><mi>z</mi></msqrt></math> now"
+    )
+    root = parse_slt("[R!,w[V!z]]")
+    want = Counter(
+        tuple_term(fr, to, rel) for fr, to, rel, _ in slt_tuples(root, 2, "small")
+    )
+    assert bag == want
+    assert nf == 1 and qtc == sum(want.values())
+    assert "solv" in terms or "solve" in terms
