@@ -362,6 +362,21 @@ def q_transcript_bm25(sf_dir: str):
     return _collect(search(query_set(), idx, concurrency=2))
 
 
+def q_transcript_rerank(sf_dir: str):
+    """Two-stage retrieval: core tuple-f-measure top-k, then MSS rerank of
+    the candidates' formulas (reference rerank flow, rerank_results.py +
+    paper §7 Maximum Subtree Similarity)."""
+    from tangent_ray.fixtures import query_set
+    from tangent_ray.index.build import list_input_files
+    from tangent_ray.rerank.pipeline import rerank_search
+
+    idx = _transcripts_index(sf_dir)
+    sf = _sf_of(sf_dir)
+    data_dir = os.path.join(_TMP_ROOT, f"transcripts-{sf}")
+    qs = query_set().filter(pc.field("kind") == "math")
+    return rerank_search(qs, idx, list_input_files(data_dir), topk=20)
+
+
 def q_math_tuple_stats(sf_dir: str):
     """Symbol-pair tuple vocabulary of the transcripts index (df/cf per
     tuple term) — the Lexicon analogue (mathindexbase.h:200-240)."""
@@ -578,6 +593,7 @@ QUERIES = {
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
+    "transcript_rerank": q_transcript_rerank,
     "math_tuple_stats": q_math_tuple_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,

@@ -1,0 +1,153 @@
+"""Search + MSS rerank pipeline (the reference's two-stage retrieval).
+
+Stage 1 is the core engine (tuple f-measure top-k from the inverted index,
+``query/scorer.py``); stage 2 re-scores the top-k candidates' formulas with
+MSS and re-sorts documents by their best expression's score vector — the
+reference flow ``rerank_results.py`` + per-doc best-candidate fusion
+(``comp_query.py:207-235``; doc sort ``ranking/query.py:307-332``).
+
+Scale shape: stage 1 is the index lookup (actor pool); stage 2 touches only
+``topk`` docs per query, so candidate texts are fetched with one filtered
+column-pruned scan (candidate docid set broadcast into the filter) and the
+MSS scoring itself is a small driver/actor computation — no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.rerank.mss import mss_score
+
+RERANK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("rank", pa.int32()),
+        ("docid", pa.int64()),
+        ("dockey", pa.string()),
+        ("mss_h", pa.float64()),
+        ("mss_unmatched", pa.int64()),
+        ("mss_exact", pa.int64()),
+        ("core_score", pa.float64()),
+    ]
+)
+
+
+def candidate_slts(corpus_files: list[str], docids: set[int]) -> dict[int, list[str]]:
+    """SLT spans of the candidate docs: one pruned scan, filter broadcast."""
+    import ray.data
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+    from tangent_ray.tokenize.batch import TokenizeBatch
+
+    corpus = TranscriptsCorpus()
+    wanted = np.fromiter(docids, dtype=np.int64)
+    tok = TokenizeBatch(EngineConfig(), corpus)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        ids = corpus.docids(batch)
+        mask = np.isin(ids, wanted)
+        if not mask.any():
+            return pa.table({"docid": pa.array([], pa.int64()), "slt": pa.array([], pa.string())})
+        out_ids: list[int] = []
+        out_slt: list[str] = []
+        texts = corpus.texts(batch)
+        for i in np.flatnonzero(mask):
+            for slt in tok._spans_of(texts[i].as_py()):
+                if slt is not None:
+                    out_ids.append(int(ids[i]))
+                    out_slt.append(slt)
+        return pa.table(
+            {"docid": pa.array(out_ids, pa.int64()), "slt": pa.array(out_slt, pa.string())}
+        )
+
+    got = (
+        ray.data.read_parquet(corpus_files, columns=list(corpus.columns))
+        .map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    by_doc: dict[int, list[str]] = {}
+    for row in got:
+        by_doc.setdefault(row["docid"], []).append(row["slt"])
+    return by_doc
+
+
+def rerank_search(
+    queries,
+    index_dir: str,
+    corpus_files: list[str],
+    *,
+    topk: int = 100,
+    concurrency: int | tuple[int, int] = 2,
+) -> pa.Table:
+    """Two-stage retrieval: core top-k then MSS rerank of formula queries.
+
+    ``queries``: pyarrow Table / list of dicts with (query_id, kind, text).
+    Only formula fragments take part in MSS; text-only queries pass through
+    with their core ranking (the reference reranks math results only).
+    """
+    from tangent_ray.query.scorer import search
+    from tangent_ray.tokenize.batch import _MATH_RE
+
+    if isinstance(queries, list):
+        queries = pa.Table.from_pylist(queries)
+    core = search(queries, index_dir, concurrency=concurrency, topk=topk)
+    res = pa.Table.from_pylist(core.take_all())
+    if res.num_rows == 0:
+        return RERANK_SCHEMA.empty_table()
+
+    # query_id -> first formula span (reference reranks per query expression)
+    q_slt: dict[str, str] = {}
+    for row in queries.to_pylist():
+        spans = _MATH_RE.findall(row["text"])
+        if not spans and "<math" in row["text"]:
+            from tangent_ray.tokenize.mathml import (
+                MATHML_SPAN_RE,
+                MathMLError,
+                mathml_to_slt,
+            )
+
+            for m in MATHML_SPAN_RE.findall(row["text"]):
+                try:
+                    spans.append(mathml_to_slt(m).serialize())
+                    break
+                except MathMLError:
+                    pass
+        if spans:
+            q_slt[row["query_id"]] = spans[0]
+
+    cand_ids = {
+        r["docid"] for r in res.to_pylist() if r["query_id"] in q_slt
+    }
+    by_doc = candidate_slts(corpus_files, cand_ids) if cand_ids else {}
+
+    out: list[dict] = []
+    for qid in pc.unique(res["query_id"]).to_pylist():
+        rows = res.filter(pc.equal(res["query_id"], qid)).to_pylist()
+        slt = q_slt.get(qid)
+        if slt is None:
+            for r in rows:  # text query: core order passes through
+                out.append(
+                    dict(query_id=qid, rank=r["rank"], docid=r["docid"],
+                         dockey=r["dockey"], mss_h=0.0, mss_unmatched=0,
+                         mss_exact=0, core_score=r["score"])
+                )
+            continue
+        scored = []
+        for r in rows:
+            best = (0.0, 0, 0)
+            for cand in by_doc.get(r["docid"], ()):  # best expression per doc
+                s = mss_score(slt, cand)
+                if s > best:
+                    best = s
+            scored.append((best, r))
+        scored.sort(key=lambda t: (-t[0][0], -t[0][1], -t[0][2], t[1]["docid"]))
+        for i, (s, r) in enumerate(scored):
+            out.append(
+                dict(query_id=qid, rank=i + 1, docid=r["docid"],
+                     dockey=r["dockey"], mss_h=s[0], mss_unmatched=int(s[1]),
+                     mss_exact=int(s[2]), core_score=r["score"])
+            )
+    return pa.Table.from_pylist(out, schema=RERANK_SCHEMA)
