@@ -114,3 +114,106 @@ class HyperplaneLSH:
                 "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
             }
         )
+
+
+class PairFinder:
+    """map_batches stage for exact near-dup: each batch's rows are compared
+    against the full broadcast matrix; a pair (a, b) is emitted once under
+    the a < b convention."""
+
+    def __init__(self, full_ref, threshold: float, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import ray
+
+        ids, mat = ray.get(full_ref) if not isinstance(full_ref, tuple) else full_ref
+        self.full_ids = np.asarray(ids, dtype=np.int64)
+        self.full = _normalize(np.asarray(mat, dtype=np.float64))
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ self.full.T  # (n_batch, N)
+        hit_r, hit_c = np.nonzero(
+            (sims >= self.threshold) & (ids[:, None] < self.full_ids[None, :])
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[hit_r], type=pa.int64()),
+                "doc_b": pa.array(self.full_ids[hit_c], type=pa.int64()),
+                "score": pa.array(sims[hit_r, hit_c], type=pa.float64()),
+            }
+        )
+
+
+def near_dup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Exact embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    The full normalized matrix is broadcast once (``ray.put``) and every
+    batch does one matmul against it — O(N^2 / P) work, the exact baseline.
+    At corpus scale the broadcast side must fit worker memory; beyond that
+    the LSH-bucketed (``HyperplaneLSH``) or IVF (``ivf_knn``) variants are
+    the approximate scale path (bucket-local exact rescoring only).
+    """
+    import ray
+
+    rows = ds.take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        PairFinder,
+        fn_constructor_args=(ref, threshold, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+class IVFAssign:
+    """Assign each vector to its nearest coarse centroid (one matmul per batch)."""
+
+    def __init__(self, centroids_ref, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.centroids = _normalize(np.asarray(c, dtype=np.float64))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        cluster = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cluster, type=pa.int32()))
+
+
+def ivf_centroids(ds, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse centroids: evenly-spaced vectors by sorted id
+    (a seeded quantizer; full k-means is a drop-in upgrade)."""
+    rows = sorted(ds.take_all(), key=lambda r: r[id_col])
+    step = max(1, len(rows) // nlist)
+    picks = rows[::step][:nlist]
+    return np.array([r[vec_col] for r in picks], dtype=np.float64)
+
+
+def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-style ANN: coarse-quantize into ``nlist`` clusters, probe the
+    ``nprobe`` clusters nearest to each query, exact cosine rescoring only
+    inside the probed clusters. The scale path for ``knn_cosine``: work
+    drops from O(N) to O(N * nprobe / nlist) per query at some recall cost.
+    """
+    import ray
+
+    cents = _normalize(ivf_centroids(ds, nlist, id_col, vec_col))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = np.unique(probes)
+    ref = ray.put(cents)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(ref, id_col, vec_col),
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).filter(lambda r: r["cluster"] in set(wanted.tolist()))
+    return knn_cosine(assigned, query_vecs, k=k, id_col=id_col, vec_col=vec_col)

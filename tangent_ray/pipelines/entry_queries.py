@@ -232,6 +232,48 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+NEAR_DUP_TAU = 0.4
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Exact embedding-cosine near-duplicate pairs (cosine >= tau, a < b) —
+    the brute-force baseline; LSH/IVF are the approximate scale path."""
+    import ray.data
+
+    from tangent_ray.ops.ann import near_dup_pairs
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = _collect(near_dup_pairs(ds, threshold=NEAR_DUP_TAU))
+    return pa.table(
+        {
+            "doc_a": pc.cast(out["doc_a"], pa.int64()),
+            "doc_b": pc.cast(out["doc_b"], pa.int64()),
+            "score": pa.array(
+                round_half_away(out["score"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN: probe the nearest coarse clusters only (the scale
+    path for knn_cosine; approximate, so rows-only checked)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from tangent_ray.ops.ann import ivf_knn
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qrow = qt.filter(pc.equal(qt["vec_id"], KNN_QUERY_VEC_ID))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = _collect(ivf_knn(ds, qvec, k=KNN_K, nlist=16, nprobe=4))
+    return out.select(["vec_id", "score"])
+
+
 def q_shingle_candidates(sf_dir: str):
     import ray.data
 
@@ -542,6 +584,15 @@ ORACLE_SQL: dict[str, str] = {
                                         (SELECT qv FROM q)) DESC, vec_id
         LIMIT {KNN_K}
     """,
+    "embed_near_dup": f"""
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= {NEAR_DUP_TAU}
+        ORDER BY doc_a, doc_b
+    """,
     "shingle_candidates": f"""
         WITH toks AS (
           SELECT doc_id,
@@ -588,6 +639,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_count_by_source": q_token_count_by_source,
     "knn_cosine": q_knn_cosine,
+    "embed_near_dup": q_embed_near_dup,
     "shingle_candidates": q_shingle_candidates,
     "events_window": q_events_window,
     "top_revenue_nations": q_top_revenue_nations,
@@ -597,6 +649,7 @@ QUERIES = {
     "math_tuple_stats": q_math_tuple_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
+    "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,

@@ -1,0 +1,64 @@
+"""ANN / near-dup operator tests over synthetic clustered vectors."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _clustered(n=120, d=16, k=4, seed=3):
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((k, d)) * 4
+    vecs = cents[np.arange(n) % k] + rng.standard_normal((n, d)) * 0.2
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+
+
+def _cosine(m):
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return m @ m.T
+
+
+def test_near_dup_pairs_exact(ray_session):
+    import ray.data
+
+    from tangent_ray.ops.ann import near_dup_pairs
+
+    t = _clustered()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sims = _cosine(m)
+    iu = np.triu_indices(len(m), k=1)
+    tau = 0.95
+    want = {(int(a), int(b)) for a, b in zip(*iu) if sims[a, b] >= tau}
+    assert want, "fixture must produce near-dup pairs"
+
+    got_rows = near_dup_pairs(ray.data.from_arrow(t), threshold=tau).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert abs(r["score"] - sims[r["doc_a"], r["doc_b"]]) < 1e-9
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_ivf_knn_recall(ray_session):
+    import ray.data
+
+    from tangent_ray.ops.ann import ivf_knn, knn_cosine
+
+    t = _clustered(n=200)
+    q = np.array(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    exact = knn_cosine(ray.data.from_arrow(t), q, k=10).take_all()
+    approx = ivf_knn(ray.data.from_arrow(t), q, k=10, nlist=8, nprobe=4).take_all()
+    exact_ids = {r["vec_id"] for r in exact}
+    approx_ids = {r["vec_id"] for r in approx}
+    # clustered data + 4/8 probes: the query's own cluster is probed,
+    # so recall of the true top-10 must be high
+    assert len(approx_ids & exact_ids) >= 8
+    # scores of returned ids are the exact cosines
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = (q / np.linalg.norm(q))[0]
+    for r in approx:
+        assert abs(r["score"] - float(m[r["vec_id"]] @ qn)) < 1e-9
