@@ -189,6 +189,9 @@ class QueryScorer:
         self.reader = IndexReader(index_dir)
         self.cfg = self.reader.cfg
         self.topk = topk or self.cfg.topk
+        #: per-query instrumentation (reference `I` rows): qt_ms, postings
+        #: touched, query terms with matches, candidate docs, returned rows
+        self.last_stats: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids: list[str] = []
@@ -278,6 +281,12 @@ class QueryScorer:
         return sorted(set(terms.to_pylist())), bag, qtc, n_formulae
 
     def score_query(self, text: str, kind: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        import time
+
+        t0 = time.perf_counter()
+        # instrumentation counters — the reference's per-query `I` rows
+        # (qt/post/expr/doc, mathindex.cpp:161-168,295-317)
+        self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
         terms, bag, qtc, n_formulae = self.parse_query(text)
         if kind == "text":
             d, s = self._score_bm25(terms)
@@ -285,7 +294,11 @@ class QueryScorer:
             d, s = self._score_fmeasure(bag, qtc)
         else:
             d, s = self._score_mixed(terms, bag, qtc, n_formulae)
-        return _topk(d, s, k)
+        self.last_stats["candidates"] = int(len(d))
+        out = _topk(d, s, k)
+        self.last_stats["returned"] = int(len(out[0]))
+        self.last_stats["qt_ms"] = (time.perf_counter() - t0) * 1000.0
+        return out
 
     # -- BM25 ------------------------------------------------------------
     def _score_bm25(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -298,9 +311,11 @@ class QueryScorer:
             if df == 0:
                 continue
             idf = _bm25_idf(r.N, df)
+            self.last_stats["terms"] += 1
             for seg in r.segments:
                 for row in seg.lookup.get(term, ()):
                     docs, tfs, dls, _ = seg.postings(row)
+                    self.last_stats["postings"] += len(docs)
                     tff = tfs.astype(np.float64)
                     tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
                     cand.append(docs.astype(np.int64))
@@ -323,9 +338,11 @@ class QueryScorer:
             key=lambda kv: str(kv[0]),
         )
         for term, qtf in concrete:
+            self.last_stats["terms"] += 1
             for si, seg in enumerate(r.segments):
                 for row in seg.lookup.get(term, ()):
                     docs, tfs, dls, _ = seg.postings(row)
+                    self.last_stats["postings"] += len(docs)
                     m = np.minimum(qtf, tfs).astype(np.float64)
                     used[(si, row)] = m
                     cand.append(docs.astype(np.int64))

@@ -109,3 +109,16 @@ def test_resume_skips_complete_partitions(built_index, tmp_path_factory):
     assert m2 == manifest
     for p, mt in mtimes.items():
         assert os.path.getmtime(os.path.join(pdir, p, "_MANIFEST.json")) == mt
+
+
+def test_scorer_instrumentation(built_index):
+    """Per-query counters (reference `I` rows analogue) are populated."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    s = QueryScorer(built_index[0])
+    d, _ = s.score_query("query index merge", "text", 10)
+    st = s.last_stats
+    assert st["qt_ms"] > 0
+    assert st["postings"] > 0
+    assert st["terms"] >= 1
+    assert st["candidates"] >= st["returned"] == len(d)

@@ -1,0 +1,48 @@
+"""Hand-computed MRR / recall / nDCG values."""
+
+import math
+
+from tangent_ray.eval.metrics import mean_reciprocal_rank, ndcg_at_k, recall_at_k
+
+RESULTS = [
+    {"query_id": "q1", "rank": 1, "docid": 11},
+    {"query_id": "q1", "rank": 2, "docid": 12},
+    {"query_id": "q1", "rank": 3, "docid": 13},
+    {"query_id": "q2", "rank": 1, "docid": 21},
+    {"query_id": "q2", "rank": 2, "docid": 22},
+    {"query_id": "q3", "rank": 1, "docid": 31},
+]
+
+
+def test_mrr():
+    mean, per = mean_reciprocal_rank(
+        RESULTS, {"q1": {12}, "q2": {22}, "q3": {99}}
+    )
+    assert per == {"q1": 0.5, "q2": 0.5, "q3": 0.0}
+    assert abs(mean - 1 / 3) < 1e-12
+
+
+def test_mrr_k_truncation():
+    _, per = mean_reciprocal_rank(RESULTS, {"q1": {13}}, k=2)
+    assert per == {"q1": 0.0}
+
+
+def test_recall():
+    mean, per = recall_at_k(RESULTS, {"q1": {11, 13, 99}, "q2": {21}})
+    assert abs(per["q1"] - 2 / 3) < 1e-12
+    assert per["q2"] == 1.0
+    assert abs(mean - (2 / 3 + 1.0) / 2) < 1e-12
+
+
+def test_ndcg():
+    gains = {"q1": {11: 3.0, 12: 0.0, 13: 2.0, 99: 1.0}}
+    _, per = ndcg_at_k(RESULTS, gains, k=3)
+    dcg = 3.0 / math.log2(2) + 0.0 + 2.0 / math.log2(4)
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert abs(per["q1"] - dcg / idcg) < 1e-12
+
+
+def test_ndcg_perfect_is_one():
+    gains = {"q2": {21: 2.0, 22: 1.0}}
+    _, per = ndcg_at_k(RESULTS, gains, k=2)
+    assert abs(per["q2"] - 1.0) < 1e-12
