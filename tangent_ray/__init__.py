@@ -22,6 +22,12 @@ Architecture (Ray-Data-first, not a port):
 """
 
 from tangent_ray.config import EngineConfig
+from tangent_ray.util import tune_allocator as _tune_allocator
+
+#: applied in every process that imports the package (driver and each Ray
+#: worker): large numpy temporaries reuse heap pages instead of paying
+#: first-touch mmap faults — see util.tune_allocator
+_ALLOCATOR_TUNED = _tune_allocator()
 
 __version__ = "0.1.0"
 

@@ -121,6 +121,25 @@ def encode_postings(
     return enc.tobytes(), skips.tobytes()
 
 
+def _scatter_segments(
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lengths: np.ndarray,
+) -> None:
+    """Copy variable-length segments ``src[src_starts[i]:+len]`` to
+    ``dst[dst_starts[i]:+len]`` in one vectorized scatter (int32 math)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return
+    seg = np.repeat(np.arange(len(lengths), dtype=np.int32), lengths)
+    base = (np.cumsum(lengths, dtype=np.int64) - lengths).astype(np.int64)
+    within = np.arange(total, dtype=np.int64)
+    within -= base[seg]
+    dst[dst_starts[seg] + within] = src[src_starts[seg] + within]
+
+
 def encode_postings_multi(
     docids: np.ndarray,
     tfs: np.ndarray,
@@ -137,6 +156,13 @@ def encode_postings_multi(
     :func:`encode_postings` on each slice — but with one shared numpy pass
     over all runs, which is what keeps the reduce side of the index-build
     shuffle off the Python-per-term floor.
+
+    The four value streams are varint-encoded SEPARATELY (hash-docid deltas
+    are 5-7 bytes; tf/dl/pos1 are near-always 1 byte and take a cast-only
+    fast path) and then assembled into the per-block
+    ``[deltas|tfs|dls|pos1s]`` wire layout with one segmented scatter per
+    stream — ~3x less memory traffic than interleaving everything into one
+    4n uint64 array, which is what the reduce CPU is bound by.
     """
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
@@ -159,30 +185,40 @@ def encode_postings_multi(
     blk_local = np.arange(total_blocks, dtype=np.int64) - bstart_of_run[run_of_block]
     estarts = starts[run_of_block] + blk_local * block_size
     ns = np.minimum(block_size, ends[run_of_block] - estarts)
-    vstarts = 4 * estarts
-    block_of = np.repeat(np.arange(total_blocks, dtype=np.int64), ns)
-    within = np.arange(n, dtype=np.int64) - estarts[block_of]
-    vals = np.empty(4 * n, dtype=np.uint64)
-    idx = vstarts[block_of] + within
-    nsb = ns[block_of]
-    vals[idx] = deltas
-    vals[idx + nsb] = tfs.astype(np.uint64)
-    vals[idx + 2 * nsb] = dls.astype(np.uint64)
-    vals[idx + 3 * nsb] = pos1s.astype(np.uint64)
-    enc, nbytes = _varint_encode_with_lengths(vals)
-    byte_ends = np.cumsum(nbytes)
-    block_byte_start = np.where(
-        vstarts > 0, byte_ends[np.maximum(vstarts - 1, 0)], 0
-    ).astype(np.int64)
+
+    streams = []
+    for arr in (deltas, tfs, dls, pos1s):
+        enc_s, nb_s = _varint_encode_with_lengths(arr, allow_fast=True)
+        if nb_s is None:  # 1-byte fast path: lengths are implicitly 1
+            blk_bytes = ns.astype(np.int64)
+            src_starts = estarts
+        else:
+            b_ends = np.cumsum(nb_s, dtype=np.int64)
+            src_starts = b_ends[estarts] - nb_s[estarts]
+            blk_bytes = np.add.reduceat(nb_s, estarts)
+        streams.append((enc_s, src_starts, blk_bytes))
+
+    # destination layout: per block [deltas|tfs|dls|pos1s]
+    counts = np.empty((total_blocks, 4), dtype=np.int64)
+    for k in range(4):
+        counts[:, k] = streams[k][2]
+    flat_ends = np.cumsum(counts.ravel())
+    flat_starts = flat_ends - counts.ravel()
+    dst_starts = flat_starts.reshape(total_blocks, 4)
+    out = np.empty(int(flat_ends[-1]), dtype=np.uint8)
+    for k, (enc_s, src_starts, blk_bytes) in enumerate(streams):
+        _scatter_segments(out, dst_starts[:, k], enc_s, src_starts, blk_bytes)
+
+    block_byte_start = dst_starts[:, 0]
     run_byte_start = block_byte_start[bstart_of_run]
-    run_byte_end = np.concatenate([run_byte_start[1:], [int(byte_ends[-1])]])
+    run_byte_end = np.concatenate([run_byte_start[1:], [int(flat_ends[-1])]])
     skips = np.zeros(total_blocks, dtype=SKIP_DTYPE)
     skips["last"] = docids[estarts + ns - 1]
     skips["off"] = block_byte_start - run_byte_start[run_of_block]
     skips["n"] = ns
     skips["maxtf"] = np.maximum.reduceat(tfs.astype(np.uint32), estarts)
     skips["mindl"] = np.minimum.reduceat(dls.astype(np.uint32), estarts)
-    enc_b = enc.tobytes()
+    enc_b = out.tobytes()
     skips_b = skips.tobytes()
     ss = SKIP_DTYPE.itemsize
     out_post = [
@@ -195,13 +231,23 @@ def encode_postings_multi(
     return out_post, out_skips
 
 
-def _varint_encode_with_lengths(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """LEB128 encode + per-value byte counts (both vectorized)."""
-    a = np.ascontiguousarray(a, dtype=np.uint64)
+def _varint_encode_with_lengths(
+    a: np.ndarray, allow_fast: bool = False
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """LEB128 encode + per-value byte counts (both vectorized).
+
+    With ``allow_fast`` and all values < 128 the encoding is a bare uint8
+    cast and the lengths are implicitly 1 — ``None`` is returned for them
+    (tf/dl/pos1 streams hit this nearly always).
+    """
     if a.size == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    if allow_fast and int(a.max()) < 128:
+        return a.astype(np.uint8), None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
     nb = np.ones(a.size, dtype=np.int64)
-    for k in range(1, 10):
+    kmax = max(1, (int(a.max()).bit_length() + 6) // 7)
+    for k in range(1, kmax):
         nb += (a >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
     total = int(nb.sum())
     out = np.zeros(total, dtype=np.uint8)
