@@ -108,6 +108,9 @@ def run_bench(num_cpus: int) -> dict:
             TranscriptsCorpus(),
             batch_size=16384,
             build_shards=max(32, num_cpus * 4),
+            # job shape fixed to the target-cluster (32-CPU) value so the
+            # scaling comparison varies resources only, not the plan
+            read_num_blocks=128,
         )
         build_sec = min(build_sec, time.time() - t0)
     log(f"[bench] build: {n_turns} turns in {build_sec:.2f}s "
@@ -190,21 +193,31 @@ def run_bench(num_cpus: int) -> dict:
 
 
 def run_scaling() -> None:
+    """Same job (fixed plan: 128 read blocks, same corpus) at two
+    parallelism levels per pair, fresh ray.init sessions, best-of-N reps.
+
+    Two N->4N pairs are measured: 8->32 stresses the full node (its
+    efficiency is bounded by the single memory controller all 32 cores
+    share — on a real multi-node cluster memory scales with nodes), and
+    4->16 shows the same job when the high level is not bandwidth-saturated.
+    """
     import subprocess
 
-    lo_cpus, hi_cpus = 8, 32
-    out = {}
-    # scaling runs use a large fixed corpus (~1.3M turns, so the 8-CPU build
-    # runs ≳1 min) and the build phase only: the measured section is the
-    # distributed work, not session fixed costs; the first (untimed)
-    # generation also warms the page cache.
+    pairs = [
+        tuple(int(x) for x in p.split(":"))
+        for p in os.environ.get("BENCH_SCALE_PAIRS", "8:32,4:16").split(",")
+    ]
+    out: dict[int, dict] = {}
+    # scaling runs use a large fixed corpus (~1.3M turns) and the build
+    # phase only; the first (untimed) generation also warms the page cache.
     scale_convs = os.environ.get("BENCH_SCALE_CONVS", "150000")
     # best-of-N per level, interleaved: the sandbox VM has noisy neighbours
     # (observed ±40% on identical runs), and min-of-N is the standard
     # de-noising estimator for a deterministic workload
     reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+    levels = sorted({n for p in pairs for n in p})
     for rep in range(reps):
-        for n in (lo_cpus, hi_cpus):
+        for n in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_PHASES="build",
                        BENCH_CONVS=scale_convs)
             r = subprocess.run(
@@ -219,23 +232,20 @@ def run_scaling() -> None:
                 f"({got['queries']['build_turns_per_sec']} turns/s build)")
             if n not in out or got["value"] < out[n]["value"]:
                 out[n] = got
-    # throughput scaling efficiency on the build phase (the distributed part)
-    thr_lo = out[lo_cpus]["queries"]["build_turns_per_sec"]
-    thr_hi = out[hi_cpus]["queries"]["build_turns_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
-    total_eff = (out[lo_cpus]["value"] / out[hi_cpus]["value"]) / (hi_cpus / lo_cpus)
-    print(
-        json.dumps(
-            {
-                "sec_8": out[lo_cpus]["value"],
-                "sec_32": out[hi_cpus]["value"],
-                "build_turns_per_sec_8": thr_lo,
-                "build_turns_per_sec_32": thr_hi,
-                "build_scaling_efficiency": round(eff, 3),
-                "total_scaling_efficiency": round(total_eff, 3),
-            }
-        )
-    )
+    result: dict = {}
+    for lo, hi in pairs:
+        thr_lo = out[lo]["queries"]["build_turns_per_sec"]
+        thr_hi = out[hi]["queries"]["build_turns_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        result[f"sec_{lo}"] = out[lo]["value"]
+        result[f"sec_{hi}"] = out[hi]["value"]
+        result[f"build_turns_per_sec_{lo}"] = thr_lo
+        result[f"build_turns_per_sec_{hi}"] = thr_hi
+        result[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+    # headline: the primary (first) pair
+    lo, hi = pairs[0]
+    result["build_scaling_efficiency"] = result[f"scaling_efficiency_{lo}_to_{hi}"]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

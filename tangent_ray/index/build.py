@@ -198,8 +198,14 @@ def build_partition(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     build_shards: int = 64,
+    read_num_blocks: int | None = None,
 ) -> dict:
-    """Build one partial index; returns its manifest dict."""
+    """Build one partial index; returns its manifest dict.
+
+    ``read_num_blocks`` pins the read/block parallelism of the partition
+    (strong-scaling benchmarks fix it to the target-cluster value so the
+    same job shape runs at every resource level; default lets Ray choose).
+    """
     tmp = partial_dir + "__tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -207,7 +213,9 @@ def build_partition(
 
     # row count from parquet footers on the driver — no cluster job
     n_docs = sum(pq.read_metadata(f).num_rows for f in files)
-    ds = ray.data.read_parquet(files, columns=list(corpus.columns))
+    ds = ray.data.read_parquet(
+        files, columns=list(corpus.columns), override_num_blocks=read_num_blocks
+    )
     tok = ds.map_batches(
         tokenize_task,
         fn_kwargs=dict(
@@ -287,6 +295,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     build_shards: int = 64,
+    read_num_blocks: int | None = None,
     resume: bool = True,
 ) -> dict:
     """Build (or resume building) the full index; returns global manifest."""
@@ -305,6 +314,7 @@ def build_index(
             tokenize_concurrency=tokenize_concurrency,
             batch_size=batch_size,
             build_shards=build_shards,
+            read_num_blocks=read_num_blocks,
         )
     return finalize_index(out_dir, cfg, corpus)
 
