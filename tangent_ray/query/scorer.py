@@ -177,6 +177,94 @@ def _bm25_idf(N: int, df: np.ndarray | int) -> np.ndarray | float:
     return np.log(1.0 + (N - df + 0.5) / (df + 0.5))
 
 
+_BMW_END = 1 << 63  # past any 63-bit docid
+
+
+class _BMWIter:
+    """One posting list's cursor for block-max WAND: per-block score caps
+    from the skip table ``(max_tf, min_dl)``, galloping block seek via
+    ``searchsorted`` over block-last docids (the skip-block analogue of
+    ``IDIterPL::skip``, ``mathindexmid.h:100-132``), blocks decoded lazily
+    only when the cursor actually enters them."""
+
+    __slots__ = (
+        "idf", "k1", "b", "avgdl", "plan_pos", "post", "skips", "lasts",
+        "block_ubs", "gub", "bi", "docs", "tfs", "dls", "pi", "cur",
+    )
+
+    def __init__(self, idf, seg, row, k1, b, avgdl, plan_pos):
+        from tangent_ray.index.codec import decode_skips
+
+        self.idf = float(idf)
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.plan_pos = plan_pos
+        self.post = seg._post[row].as_py()
+        self.skips = decode_skips(seg._skips[row].as_py())
+        self.lasts = self.skips["last"]
+        mtf = self.skips["maxtf"].astype(np.float64)
+        mdl = self.skips["mindl"].astype(np.float64)
+        tfn = mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+        self.block_ubs = self.idf * tfn
+        self.gub = float(self.block_ubs.max()) if len(self.block_ubs) else 0.0
+        self.cur = _BMW_END
+        if len(self.lasts):
+            self._load(0)
+
+    def _load(self, bi: int) -> None:
+        from tangent_ray.index.codec import decode_block
+
+        if bi >= len(self.lasts):
+            self.cur = _BMW_END
+            return
+        self.bi = bi
+        d, t, l, _ = decode_block(self.post, self.skips, bi)
+        self.docs, self.tfs, self.dls = d, t, l
+        self.pi = 0
+        self.cur = int(d[0])
+
+    def advance_to(self, target: int) -> None:
+        """Move cursor to the first docid >= target."""
+        if self.cur >= target:
+            return
+        if int(self.lasts[self.bi]) < target:
+            nbi = int(np.searchsorted(self.lasts, np.uint64(target)))
+            self._load(nbi)
+            if self.cur >= target:
+                return
+            if self.cur == _BMW_END:
+                return
+        pi = int(np.searchsorted(self.docs, np.uint64(target)))
+        self.pi = pi
+        self.cur = int(self.docs[pi])
+
+    def advance_past(self, doc: int) -> None:
+        if self.cur > doc:
+            return
+        if self.pi + 1 < len(self.docs):
+            self.pi += 1
+            self.cur = int(self.docs[self.pi])
+        else:
+            self._load(self.bi + 1)
+
+    def block_ub(self, pivot: int) -> float:
+        """Score cap of the block that would contain ``pivot``."""
+        bi = self.bi
+        if int(self.lasts[bi]) < pivot:
+            bi = int(np.searchsorted(self.lasts, np.uint64(pivot)))
+            if bi >= len(self.lasts):
+                return 0.0
+        return float(self.block_ubs[bi])
+
+    def score_at(self) -> float:
+        """BM25 contribution at the current cursor (same op order as TAAT)."""
+        tf = float(self.tfs[self.pi])
+        dl = float(self.dls[self.pi])
+        tfn = tf * (self.k1 + 1.0) / (
+            tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        )
+        return self.idf * tfn
+
+
 class QueryScorer:
     """map_batches actor: a batch of queries in, top-k result rows out.
 
@@ -289,7 +377,7 @@ class QueryScorer:
         self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
         terms, bag, qtc, n_formulae = self.parse_query(text)
         if kind == "text":
-            d, s = self._score_bm25(terms)
+            d, s = self._score_bm25(terms, k)
         elif kind == "math":
             d, s = self._score_fmeasure(bag, qtc)
         else:
@@ -300,27 +388,121 @@ class QueryScorer:
         self.last_stats["qt_ms"] = (time.perf_counter() - t0) * 1000.0
         return out
 
+    #: posting-count threshold above which multi-term text queries take the
+    #: block-max WAND path instead of full TAAT accumulation
+    wand_min_postings = 500_000
+
     # -- BM25 ------------------------------------------------------------
-    def _score_bm25(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    def _score_bm25(
+        self, terms: list[str], k: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         r = self.reader
         k1, b = self.cfg.k1, self.cfg.b
-        cand: list[np.ndarray] = []
-        contrib: list[np.ndarray] = []
+        plan: list[tuple[float, "Segment", int]] = []  # (idf, seg, row)
+        total_postings = 0
         for term in terms:  # sorted order fixes fp summation order
             df = r.global_df(term)
             if df == 0:
                 continue
             idf = _bm25_idf(r.N, df)
             self.last_stats["terms"] += 1
+            total_postings += df
             for seg in r.segments:
                 for row in seg.lookup.get(term, ()):
-                    docs, tfs, dls, _ = seg.postings(row)
-                    self.last_stats["postings"] += len(docs)
-                    tff = tfs.astype(np.float64)
-                    tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
-                    cand.append(docs.astype(np.int64))
-                    contrib.append(idf * tfn)
+                    plan.append((idf, seg, row))
+        if (
+            k is not None
+            and len(terms) >= 2
+            and len(plan) >= 2
+            and total_postings >= self.wand_min_postings
+        ):
+            return self._score_bm25_wand(plan, k)
+        cand: list[np.ndarray] = []
+        contrib: list[np.ndarray] = []
+        for idf, seg, row in plan:
+            docs, tfs, dls, _ = seg.postings(row)
+            self.last_stats["postings"] += len(docs)
+            tff = tfs.astype(np.float64)
+            tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
+            cand.append(docs.astype(np.int64))
+            contrib.append(idf * tfn)
         return _accumulate(cand, contrib)
+
+    def _score_bm25_wand(
+        self, plan: list[tuple[float, "Segment", int]], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max WAND over the compressed lists (the analogue of the
+        reference's threshold-driven candidate skipping + galloping seek,
+        ``mathindex.cpp:225-255`` / ``mathindexmid.h:100-132``).
+
+        Exact: returns the identical result set as full TAAT (same floats —
+        per-doc contributions are summed in the same ``plan`` order; the
+        pruning bound uses per-block ``(max_tf, min_dl)`` score caps from
+        the skip table, and ties with the k-th score are never pruned, so
+        the (score desc, docid asc) tie-exact top-k is preserved).
+        """
+        import heapq
+
+        k1, b = self.cfg.k1, self.cfg.b
+        avgdl = self.reader.avgdl
+        its = [
+            _BMWIter(idf, seg, row, k1, b, avgdl, pos)
+            for pos, (idf, seg, row) in enumerate(plan)
+        ]
+        its = [it for it in its if it.cur != _BMW_END]
+        # candidates tied with the k-th score must survive pruning for the
+        # docid-asc tie-break, so the heap stores (score, -docid) and the
+        # prune condition is strictly-less-than the k-th *score*
+        heap: list[tuple[float, int]] = []
+        while True:
+            its.sort(key=lambda t: t.cur)
+            threshold = heap[0][0] if len(heap) >= k else -np.inf
+            acc = 0.0
+            pivot_i = -1
+            for i, it in enumerate(its):
+                acc += it.gub
+                if acc >= threshold:
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break
+            pivot = its[pivot_i].cur
+            if pivot == _BMW_END:
+                break
+            if its[0].cur == pivot:
+                at_pivot = [t for t in its if t.cur == pivot]
+                # block-max refinement: tighter bound from the blocks that
+                # actually contain the pivot (all pivot-doc contributors)
+                bub = sum(t.block_ub(pivot) for t in at_pivot)
+                if bub < threshold:
+                    for it in at_pivot:
+                        it.advance_past(pivot)
+                else:
+                    # sum contributions in plan order -> float-identical
+                    # to the TAAT accumulation
+                    at_pivot.sort(key=lambda t: t.plan_pos)
+                    score = 0.0
+                    for it in at_pivot:
+                        score += it.score_at()
+                    entry = (score, -pivot)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+                    for it in at_pivot:
+                        it.advance_past(pivot)
+            else:
+                for it in its:
+                    if it.cur >= pivot:
+                        break
+                    it.advance_to(pivot)
+            its = [it for it in its if it.cur != _BMW_END]
+            if not its:
+                break
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        docids = np.array([-d for _, d in out], dtype=np.int64)
+        scores = np.array([s for s, _ in out], dtype=np.float64)
+        return docids, scores
 
     # -- tuple F-measure -------------------------------------------------
     def _score_fmeasure(self, bag: Counter, qtc: int) -> tuple[np.ndarray, np.ndarray]:

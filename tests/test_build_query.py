@@ -122,3 +122,23 @@ def test_scorer_instrumentation(built_index):
     assert st["postings"] > 0
     assert st["terms"] >= 1
     assert st["candidates"] >= st["returned"] == len(d)
+
+
+def test_wand_matches_taat(built_index):
+    """Block-max WAND must return the identical (docid, score) top-k as
+    full TAAT accumulation — same floats, same tie-breaks."""
+    import numpy as np
+
+    from tangent_ray.query.scorer import QueryScorer
+
+    taat = QueryScorer(built_index[0])
+    wand = QueryScorer(built_index[0])
+    wand.wand_min_postings = 1  # force the WAND path
+    for row in query_set().to_pylist():
+        if row["kind"] != "text":
+            continue
+        k = int(row["topk"])
+        d1, s1 = taat.score_query(row["text"], "text", k)
+        d2, s2 = wand.score_query(row["text"], "text", k)
+        assert (d1 == d2).all(), (row["query_id"], d1[:5], d2[:5])
+        assert (s1 == s2).all(), (row["query_id"], np.abs(s1 - s2).max())
