@@ -108,9 +108,10 @@ def run_bench(num_cpus: int) -> dict:
             TranscriptsCorpus(),
             batch_size=16384,
             build_shards=max(32, num_cpus * 4),
-            # job shape fixed to the target-cluster (32-CPU) value so the
-            # scaling comparison varies resources only, not the plan
-            read_num_blocks=128,
+            # scaling mode fixes the job shape to the target-cluster
+            # (32-CPU) value so the comparison varies resources only, not
+            # the plan; the headline bench lets Ray pick
+            read_num_blocks=128 if phases == "build" else None,
         )
         build_sec = min(build_sec, time.time() - t0)
     log(f"[bench] build: {n_turns} turns in {build_sec:.2f}s "
