@@ -237,3 +237,85 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
             "simhash": pa.array(sim.astype(np.int64), type=pa.int64()),
         }
     )
+
+
+def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shards: int = 64):
+    """Exact token n-gram Jaccard similarity for every doc pair sharing at
+    least one shingle: |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingle sets.
+
+    Shape (one wide shuffle + one tiny pair aggregate, everything
+    vectorized): per-batch distinct (doc, shingle) rows carry a
+    deterministic shingle-hash shard key; each shard group explodes its
+    shingle runs into candidate pairs with numpy (no per-shingle Python);
+    pair intersection counts come from a Sum aggregate; per-doc set sizes
+    are a tiny count aggregate broadcast into the final map. The exact
+    counterpart of the MinHash estimate (reference has no near-dup ops,
+    SURVEY §2.7).
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def shard_shingles(batch: pa.Table) -> pa.Table:
+        t = shingle_batch(batch, n, text_col, id_col)
+        df = t.to_pandas().drop_duplicates()  # docs never span input batches
+        h = pd.util.hash_array(df["shingle"].to_numpy(dtype=object))
+        df["shard"] = (h % shards).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sh = ds.map_batches(shard_shingles, batch_format="pyarrow")
+
+    sizes = {
+        r[id_col]: r["count()"]
+        for r in sh.groupby(id_col).count().take_all()
+    }
+    sizes_ref = ray.put(sizes)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("shingle", kind="stable")
+        codes, _ = pd.factorize(g["shingle"].to_numpy(dtype=object), sort=False)
+        docs = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1)) if len(g) else np.empty(0, np.int64)
+        ends = np.append(starts[1:], len(g))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = np.sort(docs[s:e])
+            a, b = np.triu_indices(e - s, k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "i": []}).astype(np.int64)
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+        # partial per-shard intersection counts (a pair reappears in other
+        # shards through different shingles; the Sum aggregate folds them)
+        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "i"})
+
+    inter = (
+        sh.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).aggregate(Sum("i", alias_name="i"))
+    )
+
+    def to_jaccard(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([sz[x] for x in a], dtype=np.float64)
+        sb = np.array([sz[x] for x in b], dtype=np.float64)
+        j = i / (sa + sb - i)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return inter.map_batches(to_jaccard, batch_format="pyarrow")

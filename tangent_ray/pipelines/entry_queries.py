@@ -232,6 +232,29 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+JACCARD_N = 4
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact token n-gram Jaccard per candidate pair (candidates = pairs
+    sharing >= 1 shingle) — the exact counterpart of minhash_candidates."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import jaccard_pairs
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    out = _collect(jaccard_pairs(ds, n=JACCARD_N))
+    return pa.table(
+        {
+            "doc_a": pc.cast(out["doc_a"], pa.int64()),
+            "doc_b": pc.cast(out["doc_b"], pa.int64()),
+            "jaccard": pa.array(
+                round_half_away(out["jaccard"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
 NEAR_DUP_TAU = 0.4
 
 
@@ -584,6 +607,33 @@ ORACLE_SQL: dict[str, str] = {
                                         (SELECT qv FROM q)) DESC, vec_id
         LIMIT {KNN_K}
     """,
+    "jaccard_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                       AS shingle
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ts) - {JACCARD_N - 1}))
+                        AS i) g
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY doc_a, doc_b
+    """,
     "embed_near_dup": f"""
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -640,6 +690,7 @@ QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
+    "jaccard_pairs": q_jaccard_pairs,
     "shingle_candidates": q_shingle_candidates,
     "events_window": q_events_window,
     "top_revenue_nations": q_top_revenue_nations,
