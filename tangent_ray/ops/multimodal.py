@@ -90,3 +90,72 @@ def decode_features(ds, concurrency: int | tuple[int, int] = (1, 2), batch_size:
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+class MediaResize:
+    """Actor-pool resize stage (images): metadata-real, pixel-op stubbed.
+
+    Real implementation would decode -> resample -> re-encode per batch;
+    the fake keeps output schema + aspect-ratio math exact so downstream
+    stages are testable.
+    """
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, mode: str = "fake"):
+        self.tw, self.th, self.mode = target_w, target_h, mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("no image codecs in this container")
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        scale = np.minimum(
+            self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1)
+        )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "width": pa.array(np.maximum(1, (w * scale)).astype(np.int32)),
+                "height": pa.array(np.maximum(1, (h * scale)).astype(np.int32)),
+                "scale": pa.array(scale.astype(np.float64)),
+            }
+        )
+
+
+def frame_sample(ds, every_ms: int = 1000):
+    """One output row per sampled frame of each video (flat expansion).
+
+    The frame payload itself is stubbed (a deterministic digest of
+    (media_id, frame_idx)); the row explosion, schema, and batch shape are
+    the real thing a frame-sampling stage produces.
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_fi: list[int] = []
+        out_ts: list[int] = []
+        out_d: list[bytes] = []
+        for i, kind in enumerate(kinds):
+            if kind != "video":
+                continue
+            n_frames = max(1, int(durs[i]) // every_ms)
+            for fi in range(n_frames):
+                out_id.append(int(ids[i]))
+                out_fi.append(fi)
+                out_ts.append(fi * every_ms)
+                out_d.append(
+                    hashlib.blake2b(f"{ids[i]}:{fi}".encode(), digest_size=16).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_fi, type=pa.int32()),
+                "ts_ms": pa.array(out_ts, type=pa.int32()),
+                "frame_digest": pa.array(out_d, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=16)
