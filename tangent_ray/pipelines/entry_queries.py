@@ -442,6 +442,34 @@ def q_transcript_rerank(sf_dir: str):
     return rerank_search(qs, idx, list_input_files(data_dir), topk=20)
 
 
+def q_index_verify(sf_dir: str):
+    """Build -> tiered-compact -> verifyIndex: recomputed postings/token
+    totals per kind (must equal the manifest counts; mathindex.cpp:62-66).
+    Exercises the full resume/merge surface in the driver gate."""
+    import shutil
+
+    from tangent_ray.index.merge import compact_index, verify_index
+
+    idx = _transcripts_index(sf_dir)
+    compacted = os.path.join(_TMP_ROOT, f"tidx-verify-{_sf_of(sf_dir)}")
+    if not os.path.exists(os.path.join(compacted, "manifest.json")):
+        shutil.copytree(idx, compacted, dirs_exist_ok=True)
+        compact_index(compacted, max_partials=1)
+        # re-finalize after compaction so the manifest lists merged partials
+        from tangent_ray.config import EngineConfig as _EC
+        from tangent_ray.index.build import finalize_index
+        from tangent_ray.sources.corpus import TranscriptsCorpus as _TC
+
+        import json as _json
+
+        with open(os.path.join(compacted, "manifest.json")) as f:
+            cfg = _EC.from_json(_json.load(f)["config"])
+        finalize_index(compacted, cfg, _TC())
+    totals = verify_index(compacted)
+    rows = [{"stat": k, "value": int(v)} for k, v in sorted(totals.items())]
+    return pa.Table.from_pylist(rows)
+
+
 def q_math_tuple_stats(sf_dir: str):
     """Symbol-pair tuple vocabulary of the transcripts index (df/cf per
     tuple term) — the Lexicon analogue (mathindexbase.h:200-240)."""
@@ -697,6 +725,7 @@ QUERIES = {
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
     "transcript_rerank": q_transcript_rerank,
+    "index_verify": q_index_verify,
     "math_tuple_stats": q_math_tuple_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
