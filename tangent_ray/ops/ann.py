@@ -217,3 +217,42 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
         batch_format="pyarrow", concurrency=(1, 4),
     ).filter(lambda r: r["cluster"] in set(wanted.tolist()))
     return knn_cosine(assigned, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def lsh_knn(ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
+            probe_hamming: int = 1, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Hyperplane-LSH bucketed ANN: rows are hashed to sign-pattern buckets
+    (one matmul per batch), and only buckets within ``probe_hamming`` bit
+    flips of a query's bucket are exactly rescored (multi-probe LSH).
+
+    Work per query drops from O(N) to the probed buckets' share
+    (~ sum_{i<=h} C(p,i) / 2^p of the corpus, uniform case) at some recall
+    cost; ``knn_cosine`` is the exact baseline, ``ivf_knn`` the coarse-
+    quantizer alternative.
+    """
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    dim = q.shape[1]
+    hasher = HyperplaneLSH(n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
+    qbits = (q @ hasher.planes) > 0
+    qbuckets = qbits @ (1 << np.arange(n_planes, dtype=np.int64))
+    probes: set[int] = set(int(b) for b in qbuckets)
+    if probe_hamming >= 1:
+        for b in list(probes):
+            for i in range(n_planes):
+                probes.add(b ^ (1 << i))
+    if probe_hamming >= 2:
+        for b in list(probes):
+            for i in range(n_planes):
+                probes.add(b ^ (1 << i))
+
+    planes = hasher.planes
+
+    def in_probed(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[vec_col]))
+        bits = (m @ planes) > 0
+        bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        keep = np.isin(bucket, np.fromiter(probes, dtype=np.int64))
+        return batch.filter(pa.array(keep))
+
+    cand = ds.map_batches(in_probed, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_cosine(cand, query_vecs, k=k, id_col=id_col, vec_col=vec_col)

@@ -62,3 +62,17 @@ def test_ivf_knn_recall(ray_session):
     qn = (q / np.linalg.norm(q))[0]
     for r in approx:
         assert abs(r["score"] - float(m[r["vec_id"]] @ qn)) < 1e-9
+
+
+def test_lsh_knn_recall(ray_session):
+    import ray.data
+
+    from tangent_ray.ops.ann import knn_cosine, lsh_knn
+
+    t = _clustered(n=200)
+    q = np.array(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    exact = {r["vec_id"] for r in knn_cosine(ray.data.from_arrow(t), q, k=10).take_all()}
+    approx = lsh_knn(ray.data.from_arrow(t), q, k=10, n_planes=10, probe_hamming=2).take_all()
+    got = {r["vec_id"] for r in approx}
+    # clustered data + 2-bit multiprobe: near-neighbours share sign patterns
+    assert len(got & exact) >= 7, (sorted(got), sorted(exact))

@@ -142,3 +142,46 @@ def test_wand_matches_taat(built_index):
         d2, s2 = wand.score_query(row["text"], "text", k)
         assert (d1 == d2).all(), (row["query_id"], d1[:5], d2[:5])
         assert (s1 == s2).all(), (row["query_id"], np.abs(s1 - s2).max())
+
+
+def test_hot_term_salting_identity(ray_session, tmp_path):
+    """A term present in EVERY doc must score identically whether its
+    postings were salted across docid-range buckets or built unsalted
+    (multi-run segment rows sum exactly like one run)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.index.build import build_index
+    from tangent_ray.query.scorer import QueryScorer
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    n = 300
+    t = pa.table(
+        {
+            "conv_id": [f"c{i:05d}" for i in range(n)],
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "role": ["user"] * n,
+            "text": [f"hotword filler{i % 17} tail{i % 5}" for i in range(n)],
+            "tool": [""] * n,
+            "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        }
+    )
+    data = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(data)
+    pq.write_table(t, os.path.join(data, "part-0000.parquet"))
+
+    outs = {}
+    for salt in (1, 8):
+        idx = str(tmp_path / f"idx{salt}")
+        cfg = EngineConfig(window=1, eol="none", stem=True, math=False,
+                           salt_buckets=salt)
+        build_index(data, idx, cfg, TranscriptsCorpus())
+        s = QueryScorer(idx)
+        outs[salt] = s.score_query("hotword tail1", "text", 50)
+    d1, s1 = outs[1]
+    d8, s8 = outs[8]
+    assert (d1 == d8).all()
+    assert (s1 == s8).all()
