@@ -348,3 +348,48 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(g, f, indent=1, sort_keys=True)
     return g
+
+
+def add_increment(
+    input_path: str | list[str],
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    corpus: Corpus | None = None,
+    **build_kwargs,
+) -> dict:
+    """Append a NEW partial index for additional input files and re-finalize.
+
+    The streaming analogue of the reference's interleaved ``D``/``Q`` command
+    stream (queries run against "the index state so far" —
+    ``mathindex.cpp:377-403``; SURVEY §2.9): the index stays queryable
+    between increments, each increment is one more LSM partial, and
+    ``compact_index`` folds old partials in the background. ``cfg`` /
+    ``corpus`` default to the existing manifest's values — an increment
+    cannot silently change tokenization parameters. A document must belong
+    to exactly one increment (``verify_index`` / ``merge_postings`` raise on
+    cross-increment docid duplicates).
+    """
+    from tangent_ray.sources.corpus import corpus_from_json
+
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            g = json.load(f)
+        if cfg is None:
+            cfg = EngineConfig.from_json(g["config"])
+        elif cfg.to_json() != g["config"]:
+            raise ValueError("increment config differs from the existing index")
+        if corpus is None:
+            corpus = corpus_from_json(g["corpus"])
+    if cfg is None or corpus is None:
+        raise ValueError("cfg and corpus are required for a fresh index")
+
+    pdir = os.path.join(out_dir, "partials")
+    os.makedirs(pdir, exist_ok=True)
+    used = {d for d in os.listdir(pdir)}
+    i = 0
+    while f"p{i:05d}" in used or f"p{i:05d}__tmp" in used:
+        i += 1
+    files = list_input_files(input_path)
+    build_partition(files, os.path.join(pdir, f"p{i:05d}"), cfg, corpus, **build_kwargs)
+    return finalize_index(out_dir, cfg, corpus)

@@ -81,3 +81,70 @@ def test_resume_after_partial_failure(env):
     with open(os.path.join(broken, "manifest.json")) as f:
         assert json.load(f)["partials"] == manifest["partials"]
     verify_index(broken)
+
+
+def test_incremental_build_query_interleave(env):
+    """SURVEY §2.9: the index is queryable after each increment, and after
+    all increments it scores bit-identically to a one-shot full build."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tangent_ray.fixtures import generate_conv_range
+    from tangent_ray.index.build import add_increment, build_index
+    from tangent_ray.query.scorer import QueryScorer
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    data_dir, out_dir, _, _ = env
+    root = os.path.dirname(out_dir)
+    inc_idx = os.path.join(root, "inc_idx")
+    full_idx = os.path.join(root, "full_idx")
+
+    d1 = os.path.join(root, "inc1")
+    d2 = os.path.join(root, "inc2")
+    dall = os.path.join(root, "all")
+    for d in (d1, d2, dall):
+        os.makedirs(d, exist_ok=True)
+    pq.write_table(generate_conv_range(0, 20), os.path.join(d1, "a.parquet"))
+    pq.write_table(generate_conv_range(20, 40), os.path.join(d2, "b.parquet"))
+    pq.write_table(generate_conv_range(0, 40), os.path.join(dall, "all.parquet"))
+
+    m1 = add_increment(d1, inc_idx, CFG, TranscriptsCorpus())
+    s = QueryScorer(inc_idx)
+    d_first, _ = s.score_query("query index", "text", 10)
+    assert len(d_first) > 0 and m1["n_docs"] > 0
+
+    m2 = add_increment(d2, inc_idx)  # cfg/corpus from the manifest
+    assert m2["n_docs"] > m1["n_docs"]
+
+    build_index(dall, full_idx, CFG, TranscriptsCorpus())
+    si = QueryScorer(inc_idx)
+    sf = QueryScorer(full_idx)
+    for q in ("query index", "token merge shard", "cache"):
+        di, vi = si.score_query(q, "text", 25)
+        df_, vf = sf.score_query(q, "text", 25)
+        assert (di == df_).all()
+        assert (vi == vf).all()
+
+
+def test_increment_config_mismatch_raises(env):
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.fixtures import generate_conv_range
+    from tangent_ray.index.build import add_increment
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    data_dir, out_dir, _, _ = env
+    root = os.path.dirname(out_dir)
+    d = os.path.join(root, "inc_cfg")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(generate_conv_range(0, 5), os.path.join(d, "a.parquet"))
+    idx = os.path.join(root, "inc_cfg_idx")
+    add_increment(d, idx, CFG, TranscriptsCorpus())
+    other = EngineConfig(window=3, eol="all", stem=False, math=False)
+    with _pytest.raises(ValueError):
+        add_increment(d, idx, other)
