@@ -24,6 +24,31 @@ Architecture (Ray-Data-first, not a port):
 from tangent_ray.config import EngineConfig
 from tangent_ray.util import tune_allocator as _tune_allocator
 
+
+def __getattr__(name):
+    # public API surface, imported lazily to keep `import tangent_ray` light
+    if name in ("build_index", "add_increment"):
+        from tangent_ray.index import build as _b
+
+        return getattr(_b, name)
+    if name in ("compact_index", "verify_index", "merge_partials"):
+        from tangent_ray.index import merge as _m
+
+        return getattr(_m, name)
+    if name in ("QueryScorer", "search", "IndexReader"):
+        from tangent_ray.query import scorer as _s
+
+        return getattr(_s, name)
+    if name in ("mss_score", "rerank_candidates"):
+        from tangent_ray.rerank import mss as _r
+
+        return getattr(_r, name)
+    if name == "rerank_search":
+        from tangent_ray.rerank.pipeline import rerank_search
+
+        return rerank_search
+    raise AttributeError(name)
+
 #: applied in every process that imports the package (driver and each Ray
 #: worker): large numpy temporaries reuse heap pages instead of paying
 #: first-touch mmap faults — see util.tune_allocator
@@ -31,4 +56,8 @@ _ALLOCATOR_TUNED = _tune_allocator()
 
 __version__ = "0.1.0"
 
-__all__ = ["EngineConfig", "__version__"]
+__all__ = [
+    "EngineConfig", "build_index", "add_increment", "compact_index",
+    "verify_index", "merge_partials", "QueryScorer", "search", "IndexReader",
+    "mss_score", "rerank_candidates", "rerank_search", "__version__",
+]
