@@ -345,6 +345,39 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
         "config": cfg.to_json(),
         "corpus": corpus_kind(corpus),
     }
+    # global term-stats sidecar (A4 corpus stats, ``mathindex.cpp:62-79``):
+    # term -> (kind, global df, cf). Sharded serving needs GLOBAL df for
+    # exact BM25 idf while each actor holds only its segment subset. The
+    # aggregation input is segment *metadata* rows (one per term-run, no
+    # postings bytes), so driver-side summing is cheap; at extreme vocab
+    # sizes this becomes one more small Ray groupby over the same columns.
+    stats: dict[str, tuple[int, int, int]] = {}
+    for d in partials:
+        t = pq.read_table(
+            os.path.join(pdir, d, "terms"), columns=["term", "kind", "df", "cf"]
+        )
+        terms = t["term"].to_pylist()
+        kinds = t["kind"].to_numpy(zero_copy_only=False)
+        dfs = t["df"].to_numpy(zero_copy_only=False)
+        cfs = t["cf"].to_numpy(zero_copy_only=False)
+        for i, term in enumerate(terms):
+            got = stats.get(term)
+            if got is None:
+                stats[term] = (int(kinds[i]), int(dfs[i]), int(cfs[i]))
+            else:
+                stats[term] = (got[0], got[1] + int(dfs[i]), got[2] + int(cfs[i]))
+    items = sorted(stats.items())
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array([k for k, _ in items], type=pa.string()),
+                "kind": pa.array([v[0] for _, v in items], type=pa.int8()),
+                "df": pa.array([v[1] for _, v in items], type=pa.int64()),
+                "cf": pa.array([v[2] for _, v in items], type=pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "term_stats.parquet"),
+    )
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(g, f, indent=1, sort_keys=True)
     return g

@@ -127,22 +127,48 @@ class Segment:
 
 
 class IndexReader:
-    """All segments of an index + global stats."""
+    """Segments of an index (all, or a subset for sharded serving) + the
+    GLOBAL corpus stats: N / avgdl from the manifest and per-term global df
+    from the ``term_stats.parquet`` sidecar, so BM25 idf is exact even when
+    this reader holds only some partials (scale path: each actor of the
+    pool owns a partial subset; docs live in exactly one partial, so
+    per-shard results are disjoint and merge by plain top-k union)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, partials: list[str] | None = None):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.cfg = EngineConfig.from_json(self.manifest["config"])
         pdir = os.path.join(index_dir, "partials")
+        self.partials = list(partials) if partials is not None else list(
+            self.manifest["partials"]
+        )
         self.segments = [
-            Segment(os.path.join(pdir, p, "terms")) for p in self.manifest["partials"]
+            Segment(os.path.join(pdir, p, "terms")) for p in self.partials
         ]
         self.N = self.manifest["n_docs"]
         self.avgdl = max(self.manifest["avgdl_text"], 1e-9)
         self._docmap: dict[int, str] | None = None
         self._index_dir = index_dir
+        self._stats: dict[str, int] | None = None
+        self._stats_path = os.path.join(index_dir, "term_stats.parquet")
+        self._is_subset = partials is not None and set(self.partials) != set(
+            self.manifest["partials"]
+        )
 
     def global_df(self, term: str) -> int:
+        if self._is_subset or os.path.exists(self._stats_path):
+            if self._stats is None:
+                if not os.path.exists(self._stats_path):
+                    raise FileNotFoundError(
+                        "sharded serving needs the term_stats.parquet sidecar "
+                        "(re-run finalize_index)"
+                    )
+                t = pq.read_table(self._stats_path, columns=["term", "df"])
+                self._stats = dict(
+                    zip(t["term"].to_pylist(),
+                        t["df"].to_numpy(zero_copy_only=False).tolist())
+                )
+            return self._stats.get(term, 0)
         return sum(
             int(s.df[r])
             for s in self.segments
@@ -160,7 +186,7 @@ class IndexReader:
 
             files: set[str] = set()
             pdir = os.path.join(self._index_dir, "partials")
-            for p in self.manifest["partials"]:
+            for p in self.partials:
                 with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
                     files.update(json.load(f)["input_files"])
             dm: dict[int, str] = {}
@@ -273,8 +299,9 @@ class QueryScorer:
     are formula fragments), optional ``topk`` (int).
     """
 
-    def __init__(self, index_dir: str, topk: int | None = None):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, topk: int | None = None,
+                 partials: list[str] | None = None):
+        self.reader = IndexReader(index_dir, partials=partials)
         self.cfg = self.reader.cfg
         self.topk = topk or self.cfg.topk
         #: per-query instrumentation (reference `I` rows): qt_ms, postings
@@ -662,3 +689,92 @@ def search(
         concurrency=concurrency,
         batch_size=64,
     )
+
+
+def search_sharded(
+    queries,
+    index_dir: str,
+    *,
+    n_shards: int = 2,
+    concurrency_per_shard: int | tuple[int, int] = 1,
+    topk: int | None = None,
+) -> pa.Table:
+    """Sharded serving: each actor group holds a SUBSET of the partials
+    (the scale path — one actor cannot hold a 10^12-turn index), scores the
+    query set against its shard with exact global idf (term_stats sidecar),
+    and the driver merges the per-shard top-k unions.
+
+    Docs live in exactly one partial, so shard results are disjoint and the
+    merge is a plain (score desc, docid asc) re-sort per query — the
+    reference analogue is per-shard top-k heaps merged on the driver
+    (SURVEY §2.6 K1). Results are identical to unsharded ``search``.
+
+    ``mixed``-kind queries are scored by a full-index group: their
+    math+text fusion min-max-normalizes over the candidate set, which is
+    collection-global state (the reference likewise fuses driver-side AFTER
+    both engines return — ``comp_query.py:255-291``). Shard groups run as
+    separate bounded jobs (one actor pool at a time — top-k row volumes are
+    tiny), so small clusters cannot deadlock on concurrent pools.
+    """
+    import ray.data
+
+    if isinstance(queries, ray.data.Dataset):
+        queries = pa.Table.from_pylist(queries.take_all())
+    if isinstance(queries, list):
+        queries = pa.Table.from_pylist(queries)
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    partials = manifest["partials"]
+    n_shards = max(1, min(n_shards, len(partials)))
+    groups: list[list[str] | None] = [partials[i::n_shards] for i in range(n_shards)]
+
+    default_k = topk or EngineConfig.from_json(manifest["config"]).topk
+    topk_of = {
+        r["query_id"]: int(r.get("topk") or default_k) for r in queries.to_pylist()
+    }
+
+    kinds = queries["kind"] if "kind" in queries.column_names else None
+    if kinds is not None:
+        import pyarrow.compute as pc_
+
+        is_mixed = pc_.equal(kinds, "mixed")
+        shardable = queries.filter(pc_.invert(is_mixed))
+        mixed = queries.filter(is_mixed)
+    else:
+        shardable, mixed = queries, queries.slice(0, 0)
+
+    pieces: list[pa.Table] = []
+    jobs: list[tuple[pa.Table, list[str] | None]] = [
+        (shardable, g) for g in groups if shardable.num_rows
+    ]
+    if mixed.num_rows:
+        jobs.append((mixed, None))  # full-index group for fusion queries
+    for qt, group in jobs:
+        ds = ray.data.from_arrow(qt).map_batches(
+            QueryScorer,
+            fn_constructor_args=(index_dir, topk),
+            fn_constructor_kwargs={"partials": group},
+            batch_format="pyarrow",
+            concurrency=concurrency_per_shard,
+            batch_size=64,
+        )
+        got = ds.take_all()
+        if got:
+            pieces.append(pa.Table.from_pylist(got))
+
+    if not pieces:
+        return RESULT_SCHEMA.empty_table()
+    merged = pa.concat_tables(pieces).to_pandas()
+    out = []
+    for qid, g in merged.groupby("query_id"):
+        k = topk_of.get(qid, default_k)
+        g = g.sort_values(["score", "docid"], ascending=[False, True], kind="stable")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.concat(out, ignore_index=True), preserve_index=False
+    ).cast(RESULT_SCHEMA)

@@ -185,3 +185,24 @@ def test_hot_term_salting_identity(ray_session, tmp_path):
     d8, s8 = outs[8]
     assert (d1 == d8).all()
     assert (s1 == s8).all()
+
+
+def test_sharded_search_identity(built_index):
+    """Sharded serving (each actor holds a partial subset + global stats)
+    must return the identical result set as the unsharded pool."""
+    from tangent_ray.query.scorer import search, search_sharded
+
+    out_dir = built_index[0]
+    full = search(query_set(), out_dir, concurrency=1).to_pandas()
+    shard = search_sharded(query_set(), out_dir, n_shards=3).to_pandas()
+
+    def norm(df):
+        return {
+            qid: list(zip(g.sort_values("rank")["docid"], g.sort_values("rank")["score"].round(12)))
+            for qid, g in df.groupby("query_id")
+        }
+
+    f, s = norm(full), norm(shard)
+    assert set(f) == set(s)
+    for qid in f:
+        assert f[qid] == s[qid], qid
