@@ -442,6 +442,24 @@ def q_transcript_rerank(sf_dir: str):
     return rerank_search(qs, idx, list_input_files(data_dir), topk=20)
 
 
+def q_transcript_bm25_sharded(sf_dir: str):
+    """Sharded serving path: actors hold partial subsets, global idf from
+    the term-stats sidecar, driver top-k merge — result-identical to
+    q_transcript_bm25 (asserted here, surfaced as its row count)."""
+    from tangent_ray.fixtures import query_set
+    from tangent_ray.query.scorer import search, search_sharded
+
+    idx = _transcripts_index(sf_dir)
+    sharded = search_sharded(query_set(), idx, n_shards=2)
+    full = _collect(search(query_set(), idx, concurrency=1))
+    a = sharded.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    b = full.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    assert a.equals(b.select(a.column_names).cast(a.schema)), (
+        "sharded result differs from unsharded"
+    )
+    return sharded
+
+
 def q_index_verify(sf_dir: str):
     """Build -> tiered-compact -> verifyIndex: recomputed postings/token
     totals per kind (must equal the manifest counts; mathindex.cpp:62-66).
@@ -724,6 +742,7 @@ QUERIES = {
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
+    "transcript_bm25_sharded": q_transcript_bm25_sharded,
     "transcript_rerank": q_transcript_rerank,
     "index_verify": q_index_verify,
     "math_tuple_stats": q_math_tuple_stats,
