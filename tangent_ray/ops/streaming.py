@@ -67,3 +67,42 @@ def tumbling_window(ds, key_col="event_type", ts_col="ts", value_col="value", un
     return partial.groupby([key_col, "window_start"]).map_groups(
         final, batch_format="pandas"
     )
+
+
+def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30):
+    """Gap-based session windows per key: a new session starts whenever the
+    gap to the previous event of the same key exceeds ``gap_minutes``.
+
+    One shuffle (groupby key); within a group everything is vectorized
+    (sort -> diff -> boundary cumsum). Emits one row per session:
+    (key, session_idx, start, end, n_events). The partitioning assumption is
+    per-key locality — a key's events must co-locate, which the groupby
+    provides; skewed keys are bounded by per-user event counts, not corpus
+    size.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new) - 1
+        out = (
+            pd.DataFrame({"sid": sid, "ts": ts})
+            .groupby("sid")
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("ts", "size"))
+            .reset_index()
+        )
+        out[key_col] = g[key_col].iloc[0]
+        out["session_idx"] = out["sid"].astype(np.int64)
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out[[key_col, "session_idx", "session_start", "session_end", "n_events"]]
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -321,6 +321,25 @@ def q_events_window(sf_dir: str):
     return _cast64(t, ["n"])
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization of the events stream per user."""
+    import ray.data
+
+    from tangent_ray.ops.streaming import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    t = _collect(sessionize(ds, gap_minutes=SESSION_GAP_MIN))
+    for c in ("session_start", "session_end"):
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pc.cast(t[c], pa.timestamp("us")))
+    return _cast64(t, ["user_id", "session_idx", "n_events"])
+
+
 def q_top_revenue_nations(sf_dir: str):
     """Broadcast-dimension join: orders->customer->nation maps shipped once
     via ray.put; lineitem streams through a partial-aggregating map_batches;
@@ -680,6 +699,31 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON doc_b = sb.doc_id
         ORDER BY doc_a, doc_b
     """,
+    "sessions": f"""
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                           OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ordered
+        ), sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                   AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
     "embed_near_dup": f"""
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -739,6 +783,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "shingle_candidates": q_shingle_candidates,
     "events_window": q_events_window,
+    "sessions": q_sessions,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,

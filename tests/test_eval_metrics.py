@@ -46,3 +46,35 @@ def test_ndcg_perfect_is_one():
     gains = {"q2": {21: 2.0, 22: 1.0}}
     _, per = ndcg_at_k(RESULTS, gains, k=2)
     assert abs(per["q2"] - 1.0) < 1e-12
+
+
+def test_sessionize(ray_session):
+    """Gap-based sessionization: hand-built event stream."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tangent_ray.ops.streaming import sessionize
+
+    base = 1_700_000_000_000_000  # us
+    mins = 60 * 1_000_000
+    rows = {
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": pa.array(
+            np.array(
+                [base, base + 10 * mins, base + 50 * mins, base + 55 * mins,
+                 base, base + 31 * mins],
+                dtype="int64",
+            ),
+            type=pa.timestamp("us"),
+        ),
+    }
+    got = sessionize(
+        ray.data.from_arrow(pa.table(rows)), gap_minutes=30
+    ).take_all()
+    per = {}
+    for r in got:
+        per[(r["user_id"], r["session_idx"])] = r["n_events"]
+    # user 1: events at 0,10 | 50,55  -> 2 sessions of 2
+    # user 2: 0 | 31 -> 2 sessions of 1 (31 > 30-minute gap)
+    assert per == {(1, 0): 2, (1, 1): 2, (2, 0): 1, (2, 1): 1}
