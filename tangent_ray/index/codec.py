@@ -340,9 +340,13 @@ def concat_runs(runs: list[tuple[bytes, bytes]]) -> tuple[bytes, bytes]:
             old = varint_encode(np.array([first], dtype=np.uint64))
             new = varint_encode(np.array([first - prev_last], dtype=np.uint64))
             post = new.tobytes() + post[len(old) :]
-            skips["off"] = (skips["off"].astype(np.int64) + (len(new) - len(old))).astype(
-                np.uint32
-            )
+            # The delta-varint rewrite changes the run's byte length; shift
+            # only blocks 1+ — block 0's in-run offset must stay 0.
+            shift = len(new) - len(old)
+            if shift and len(skips) > 1:
+                skips["off"][1:] = (
+                    skips["off"][1:].astype(np.int64) + shift
+                ).astype(np.uint32)
         skips["off"] += np.uint32(byte_off)
         out_post.append(post)
         out_skips.append(skips)

@@ -10,17 +10,43 @@ operations a training-data pipeline needs at 100 TB.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
 
 from tangent_ray.tokenize.text import split_tokens
 
+logger = logging.getLogger(__name__)
+
+# A shingle/bucket group larger than this emits pairs for only the first
+# PAIR_GROUP_CAP (sorted) ids — O(g^2) emission on a hot group (boilerplate
+# shared by 100k docs) would otherwise explode the pipeline's biggest
+# intermediate. Truncation is logged, never silent.
+PAIR_GROUP_CAP = 1024
+
 # deterministic 64-bit hash of a string (unsalted, cross-process stable)
 
 
 def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _capped_unique_ids(ids: np.ndarray, cap: int, what: str) -> np.ndarray:
+    """Sorted unique ids of one candidate group, capped with a logged drop."""
+    ids = np.unique(ids)
+    if len(ids) > cap:
+        logger.warning(
+            "%s: hot group of %d docs capped to %d (%d dropped from pair emission)",
+            what, len(ids), cap, len(ids) - cap,
+        )
+        ids = ids[:cap]
+    return ids
+
+
+def _distinct_pairs(cand, id_cols: list[str]):
+    """Distinct rows via the built-in groupby-count (no Python per group)."""
+    return cand.groupby(id_cols).count().select_columns(id_cols)
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
@@ -97,27 +123,38 @@ def shingle_batch(
     )
 
 
-def shingle_candidates(ds, n: int = 5, text_col: str = "text", id_col: str = "doc_id"):
-    """Distinct doc pairs (a < b) sharing at least one token n-gram."""
-    import pandas as pd
+def _pair_table(ids: np.ndarray) -> pa.Table:
+    a, b = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[a], type=pa.int64()),
+            "doc_b": pa.array(ids[b], type=pa.int64()),
+        }
+    )
 
+
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+)
+
+
+def shingle_candidates(ds, n: int = 5, text_col: str = "text", id_col: str = "doc_id",
+                       group_cap: int = PAIR_GROUP_CAP):
+    """Distinct doc pairs (a < b) sharing at least one token n-gram."""
     sh = ds.map_batches(
         lambda b: shingle_batch(b, n, text_col, id_col), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = _capped_unique_ids(
+            g[id_col].to_numpy(zero_copy_only=False), group_cap, "shingle_candidates"
+        )
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+            return _EMPTY_PAIRS
+        return _pair_table(ids)
 
-    cand = sh.groupby("shingle").map_groups(pairs, batch_format="pandas")
-
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas")
+    cand = sh.groupby("shingle").map_groups(pairs, batch_format="pyarrow")
+    return _distinct_pairs(cand, ["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -127,12 +164,14 @@ def shingle_candidates(ds, n: int = 5, text_col: str = "text", id_col: str = "do
 class MinHashLSH:
     """Per-batch MinHash signatures exploded to (band, band_hash, id) rows.
 
-    num_perm permutations via the standard (a*x+b mod p) family with fixed
-    seeds; bands of rows; near-duplicates collide in >= 1 band. The follow-up
-    ``groupby(["band","band_hash"])`` is the only shuffle.
+    num_perm permutations via the multiply-shift uint64 family (odd ``a``,
+    arithmetic mod 2^64 — pure numpy, no Python bigints); bands of rows;
+    near-duplicates collide in >= 1 band. The follow-up
+    ``groupby(["band","band_hash"])`` is the only shuffle. Per-doc minima
+    come from one ``np.minimum.reduceat`` over the batch's doc-sorted
+    shingle rows; band hashes are a vectorized FNV-style column fold —
+    no per-doc Python loop anywhere.
     """
-
-    P = (1 << 61) - 1
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -144,51 +183,76 @@ class MinHashLSH:
         self.text_col = text_col
         self.id_col = id_col
         rng = np.random.RandomState(42)
-        self.a = rng.randint(1, self.P, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, self.P, size=num_perm, dtype=np.int64).astype(object)
+        a = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+        self.a = (a << np.uint64(1)) | np.uint64(1)  # odd multipliers
+        self.b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """Signature of ONE shingle set (kept for tests/direct use)."""
         if len(shingle_hashes) == 0:
             return np.full(self.num_perm, np.iinfo(np.int64).max, dtype=np.int64)
-        x = shingle_hashes.astype(object)[:, None]
-        vals = (self.a[None, :] * x + self.b[None, :]) % self.P
-        return np.min(vals, axis=0).astype(np.int64)
+        x = shingle_hashes.astype(np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            vals = self.a[None, :] * x + self.b[None, :]
+        return (np.min(vals, axis=0) >> np.uint64(1)).astype(np.int64)
+
+    def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) int64 signatures -> (n_docs, bands) int64."""
+        u = sigs.astype(np.uint64).reshape(-1, self.bands, self.rows_per_band)
+        prime = np.uint64(0x100000001B3)
+        h = np.full((u.shape[0], self.bands), np.uint64(0xCBF29CE484222325))
+        with np.errstate(over="ignore"):
+            for r in range(self.rows_per_band):
+                h = (h ^ u[:, :, r]) * prime
+        return (h >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh = shingle_batch(batch, self.shingle_n, self.text_col, self.id_col)
         ids = sh[self.id_col].to_numpy(zero_copy_only=False)
         hashes = np.fromiter(
-            (_h64(s) & 0x7FFFFFFFFFFFFFFF for s in sh["shingle"].to_pylist()),
+            (_h64(s) for s in sh["shingle"].to_pylist()),
             count=len(ids),
-            dtype=np.int64,
+            dtype=np.uint64,
         )
-        out_id: list[int] = []
-        out_band: list[int] = []
-        out_bh: list[int] = []
-        for did in np.unique(ids):
-            sig = self.signature(hashes[ids == did])
-            for band in range(self.bands):
-                seg = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
-                ) & 0x7FFFFFFFFFFFFFFF
-                out_id.append(int(did))
-                out_band.append(band)
-                out_bh.append(bh)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                }
+            )
+        # doc-sorted segments -> per-doc column minima in one reduceat/perm
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        hs = hashes[order]
+        starts = np.flatnonzero(np.diff(ids_s, prepend=ids_s[0] - 1))
+        uniq = ids_s[starts]
+        with np.errstate(over="ignore"):
+            vals = self.a[None, :] * hs[:, None] + self.b[None, :]
+        sigs = (np.minimum.reduceat(vals, starts, axis=0) >> np.uint64(1)).astype(
+            np.int64
+        )
+        bh = self._band_hashes(sigs)  # (n_docs, bands)
+        n_docs = len(uniq)
         return pa.table(
             {
-                self.id_col: pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_bh, type=pa.int64()),
+                self.id_col: pa.array(
+                    np.repeat(uniq.astype(np.int64), self.bands), type=pa.int64()
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n_docs),
+                    type=pa.int32(),
+                ),
+                "band_hash": pa.array(bh.ravel(), type=pa.int64()),
             }
         )
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id"):
+                       text_col: str = "text", id_col: str = "doc_id",
+                       group_cap: int = PAIR_GROUP_CAP):
     """Candidate near-duplicate pairs via MinHash LSH banding."""
-    import pandas as pd
-
     sigs = ds.map_batches(
         MinHashLSH,
         fn_constructor_kwargs=dict(
@@ -199,19 +263,16 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_n: int =
         concurrency=(1, 4),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = _capped_unique_ids(
+            g[id_col].to_numpy(zero_copy_only=False), group_cap, "minhash_candidates"
+        )
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+            return _EMPTY_PAIRS
+        return _pair_table(ids)
 
-    cand = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas")
+    cand = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
+    return _distinct_pairs(cand, ["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -241,73 +302,108 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
 
 def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
                   text_col: str = "text", id_col: str = "doc_id",
-                  shards: int = 64):
+                  shards: int = 64, group_cap: int = PAIR_GROUP_CAP):
     """Exact token n-gram Jaccard similarity for every doc pair sharing at
     least one shingle: |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingle sets.
 
-    Shape (one wide shuffle + one tiny pair aggregate, everything
-    vectorized): per-batch distinct (doc, shingle) rows carry a
-    deterministic shingle-hash shard key; each shard group explodes its
-    shingle runs into candidate pairs with numpy (no per-shingle Python);
-    pair intersection counts come from a Sum aggregate; per-doc set sizes
-    are a tiny count aggregate broadcast into the final map. The exact
+    Shape (one wide shuffle + one small pair aggregate, Arrow end-to-end,
+    nothing on the driver): per-batch distinct (doc, shingle) rows carry the
+    doc's distinct-shingle count ``sz`` (computable batch-locally — a doc's
+    text is one input row, so all its shingles are in one batch) and a
+    deterministic shingle-hash shard key. Each shard group explodes its
+    shingle runs into candidate pairs with numpy; the global
+    ``groupby([doc_a, doc_b, sz_a, sz_b]).Sum(i)`` folds per-shard partial
+    intersection counts (sizes are functions of the doc ids, so widening the
+    key changes nothing); the final map computes i/(sz_a+sz_b-i). The exact
     counterpart of the MinHash estimate (reference has no near-dup ops,
     SURVEY §2.7).
     """
     import pandas as pd
 
-    import ray
     from ray.data.aggregate import Sum
 
     def shard_shingles(batch: pa.Table) -> pa.Table:
         t = shingle_batch(batch, n, text_col, id_col)
         df = t.to_pandas().drop_duplicates()  # docs never span input batches
+        df["sz"] = df.groupby(id_col)[id_col].transform("size").astype(np.int64)
         h = pd.util.hash_array(df["shingle"].to_numpy(dtype=object))
         df["shard"] = (h % shards).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     sh = ds.map_batches(shard_shingles, batch_format="pyarrow")
 
-    sizes = {
-        r[id_col]: r["count()"]
-        for r in sh.groupby(id_col).count().take_all()
-    }
-    sizes_ref = ray.put(sizes)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "sz_a": pa.array([], type=pa.int64()),
+            "sz_b": pa.array([], type=pa.int64()),
+            "i": pa.array([], type=pa.int64()),
+        }
+    )
 
-    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("shingle", kind="stable")
-        codes, _ = pd.factorize(g["shingle"].to_numpy(dtype=object), sort=False)
-        docs = g[id_col].to_numpy()
-        starts = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1)) if len(g) else np.empty(0, np.int64)
-        ends = np.append(starts[1:], len(g))
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        shingles = g["shingle"].to_numpy(zero_copy_only=False)
+        order = np.argsort(shingles, kind="stable")
+        docs = g[id_col].to_numpy(zero_copy_only=False)[order]
+        szs = g["sz"].to_numpy(zero_copy_only=False)[order]
+        shingles = shingles[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], shingles[1:] != shingles[:-1]])
+        )
+        ends = np.append(starts[1:], len(shingles))
+        out_a, out_b, out_sa, out_sb = [], [], [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            ids = np.sort(docs[s:e])
+            if e - s > group_cap:
+                logger.warning(
+                    "jaccard_pairs: hot shingle with %d docs capped to %d "
+                    "(%d dropped from pair emission)",
+                    e - s, group_cap, e - s - group_cap,
+                )
+                e = s + group_cap
+            o = np.argsort(docs[s:e], kind="stable")
+            ids = docs[s:e][o]
+            sz = szs[s:e][o]
             a, b = np.triu_indices(e - s, k=1)
             out_a.append(ids[a])
             out_b.append(ids[b])
+            out_sa.append(sz[a])
+            out_sb.append(sz[b])
         if not out_a:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "i": []}).astype(np.int64)
-        df = pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+            return empty
+        df = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "sz_a": np.concatenate(out_sa),
+                "sz_b": np.concatenate(out_sb),
+            }
+        )
         # partial per-shard intersection counts (a pair reappears in other
         # shards through different shingles; the Sum aggregate folds them)
-        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "i"})
+        part = (
+            df.groupby(["doc_a", "doc_b", "sz_a", "sz_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "i"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False).cast(empty.schema)
 
     inter = (
-        sh.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"]).aggregate(Sum("i", alias_name="i"))
+        sh.groupby("shard").map_groups(shard_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b", "sz_a", "sz_b"])
+        .aggregate(Sum("i", alias_name="i"))
     )
 
     def to_jaccard(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_b"].to_numpy(zero_copy_only=False)
         i = batch["i"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = np.array([sz[x] for x in a], dtype=np.float64)
-        sb = np.array([sz[x] for x in b], dtype=np.float64)
+        sa = batch["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = batch["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         j = i / (sa + sb - i)
         keep = j >= threshold
         return pa.table(

@@ -39,12 +39,24 @@ _TMP_ROOT = "/tmp/tangent_ray_cache"
 
 
 def _collect(ds) -> pa.Table:
-    """Materialize a (small) Dataset result into one Arrow table."""
+    """Materialize a (small) Dataset result into one Arrow table.
+
+    Blocks may surface as pandas DataFrames on some Ray versions (e.g. after
+    a ``map_groups(..., batch_format="pandas")`` stage); normalize them."""
+    import pandas as pd
+
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    tables = [
+        pa.Table.from_pandas(t, preserve_index=False)
+        if isinstance(t, pd.DataFrame)
+        else t
+        for t in ray.get(ds.to_arrow_refs())
+    ]
     tables = [t for t in tables if t.num_rows > 0] or tables[:1]
-    return pa.concat_tables(tables) if tables else pa.table({})
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 

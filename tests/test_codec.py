@@ -73,6 +73,40 @@ def test_concat_runs_disjoint():
     # and the fully-reencoded version decodes identically too
     d2 = decode_postings(*full)[0]
     assert (d2 == d).all()
+    # every block must decode standalone to the right slice — the appended
+    # run's first-delta rewrite changes the varint length here (abs docid
+    # ~3 bytes vs gap delta ~2 bytes), which exercises the skip-offset shift
+    # used by the block-max WAND path.
+    sk = decode_skips(skips)
+    lo = 0
+    for bi in range(len(sk)):
+        hi = lo + int(sk["n"][bi])
+        bd, bt, bl, bp = decode_block(post, sk, bi)
+        assert (bd == docids[lo:hi]).all(), f"block {bi} docids wrong"
+        assert (bt == tfs[lo:hi]).all()
+        assert (bl == dls[lo:hi]).all()
+        assert (bp == pos[lo:hi]).all()
+        lo = hi
+
+
+def test_concat_runs_many_blocks_per_run():
+    # three runs, each spanning several blocks, with varint-length-changing
+    # first deltas; decode_block must stay aligned across all of them.
+    docids, tfs, dls, pos = _mk(300, seed=3)
+    cuts = [0, 90, 181, 300]
+    runs = [
+        encode_postings(docids[a:b], tfs[a:b], dls[a:b], pos[a:b], block_size=16)
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    post, skips = concat_runs(runs)
+    sk = decode_skips(skips)
+    lo = 0
+    for bi in range(len(sk)):
+        hi = lo + int(sk["n"][bi])
+        bd = decode_block(post, sk, bi)[0]
+        assert (bd == docids[lo:hi]).all(), f"block {bi} misaligned"
+        lo = hi
+    assert lo == 300
 
 
 def test_merge_postings_interleaved():

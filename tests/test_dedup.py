@@ -1,0 +1,101 @@
+"""Dedup operator tests: hot-group capping, minhash collision behavior,
+exact Jaccard vs a brute-force python oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _docs(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def test_shingle_candidates_hot_group_capped(ray_session):
+    """One boilerplate shingle shared by many docs must emit a bounded pair
+    set (cap^2/2), not O(g^2) — the 100 TB hot-key guard."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import shingle_candidates
+
+    boiler = "the quick brown fox jumps"
+    texts = [f"{boiler} unique{i} tail{i} pad{i} x{i}" for i in range(300)]
+    ds = ray.data.from_arrow(_docs(texts))
+    rows = shingle_candidates(ds, n=5, group_cap=16).take_all()
+    # only the first 16 (sorted) ids pair up: 16*15/2 pairs
+    assert len(rows) == 16 * 15 // 2
+    ids = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    assert ids == set(range(16))
+
+
+def test_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    import ray.data
+
+    import re
+
+    from tangent_ray.ops.dedup import jaccard_pairs
+
+    token_re = re.compile(r"[^a-z0-9]+")
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(8, 20)))
+        for _ in range(40)
+    ]
+    n = 3
+
+    def shingles(t):
+        toks = [w for w in token_re.split(t.lower()) if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = [shingles(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            i = len(sets[a] & sets[b])
+            if i:
+                want[(a, b)] = i / (len(sets[a]) + len(sets[b]) - i)
+    assert want, "fixture must produce overlapping pairs"
+
+    ds = ray.data.from_arrow(_docs(texts))
+    rows = jaccard_pairs(ds, n=n).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_signature_properties():
+    from tangent_ray.ops.dedup import MinHashLSH
+
+    mh = MinHashLSH(num_perm=64, bands=16)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1 << 63, size=200).astype(np.uint64)
+    near = base.copy()
+    near[:10] = rng.integers(0, 1 << 63, size=10).astype(np.uint64)  # 95% overlap
+    far = rng.integers(0, 1 << 63, size=200).astype(np.uint64)
+    s0, s1, s2 = mh.signature(base), mh.signature(near), mh.signature(far)
+    # determinism
+    assert (mh.signature(base) == s0).all()
+    # similar sets agree on most minima, dissimilar on few
+    assert (s0 == s1).mean() > 0.7
+    assert (s0 == s2).mean() < 0.2
+    # int64 non-negative (band hashing + Arrow casting rely on this)
+    assert s0.dtype == np.int64 and (s0 >= 0).all()
+
+
+def test_minhash_candidates_finds_near_dups(ray_session):
+    import ray.data
+
+    from tangent_ray.ops.dedup import minhash_candidates
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = [base, base + " extra", "totally different words here entirely " * 5]
+    ds = ray.data.from_arrow(_docs(texts))
+    rows = minhash_candidates(ds, num_perm=64, bands=16, shingle_n=3).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
