@@ -1,0 +1,198 @@
+"""Replay the reference's published golden outputs without its corpus.
+
+The reference ships 15 condition files
+``results/Wikipedia/Task_FormulaBrowing/core_output/core_w{0..4}_e{0..2}.tsv``
+(window 0..4 with 0 = unbounded — ``mathindex.cpp:385`` — and EOL mode
+none/small/all compiled via ``ENDOFBASELINE``). Each query block is::
+
+    Q   <query id>
+    E   <query SLT string>
+    R   <docID> <pos> <expression SLT string> <score>
+
+The core engine's per-expression score is a PURE function of the query and
+result expression tuple multisets (``mathindex.cpp:240``)::
+
+    F = 2*cc / (exprtc + querytc)
+
+so every R row is replayable from its own expression string + the query's
+E line — no Wikipedia corpus needed. ``cc`` follows the iterator semantics
+of ``mathindexmid.h``:
+
+- concrete query tuples contribute ``min(query_tf, expr_tf)``
+  (``IDIterPL::getCurrent``, mathindexmid.h:105);
+- each wildcard tuple instance (repeats kept — ``doAddTupleVar``,
+  mathindex.cpp:180) is an ANY iterator over its expansion set with
+  stop-at-first-match short-circuiting (``IDIterANY::skip``,
+  mathindexmid.h:165) and shared-remainder bookkeeping
+  (``IDIterIND::getCurrent``, mathindexmid.h:136): it contributes 1 if any
+  matching expression tuple still has an unclaimed copy, claiming exactly
+  one;
+- query tuples with a wildcard on BOTH ends are skipped entirely
+  (``WARNR``, mathindex.cpp:281 — not counted in querytc).
+
+The one reference detail not reproducible from a pair alone is the
+evaluation ORDER of an ANY iterator's children (sorted by corpus-global
+postings-list size, mathindex.cpp:211); we order by descending
+within-expression tf, then lexicographically. The order can only matter
+when several wildcard instances compete for scarce duplicate tuples, so
+replayed scores are exact for concrete queries and near-exact for wildcard
+queries (asserted in tests/test_golden_replay.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from dataclasses import dataclass, field
+
+from tangent_ray.tokenize.slt import parse_slt, slt_tuples
+
+GOLDEN_DIR = (
+    "/root/reference/results/Wikipedia/Task_FormulaBrowing/core_output"
+)
+
+# Determined empirically against the golden scores themselves (10 queries of
+# each e-file replayed under all three modes: only this mapping is consistent,
+# 100% vs <12% match): e0=none, e1=all, e2=small.
+_EOL_OF = {0: "none", 1: "all", 2: "small"}
+
+
+def file_config(path: str) -> tuple[int, str]:
+    """``core_w4_e1.tsv`` -> (window=4, eol="small")."""
+    base = os.path.basename(path)
+    stem = base.split(".")[0]
+    _, w, e = stem.split("_")
+    return int(w[1:]), _EOL_OF[int(e[1:])]
+
+
+@dataclass
+class GoldenQuery:
+    query_id: str
+    expr: str
+    results: list[tuple[str, float]] = field(default_factory=list)  # (expr, score)
+
+
+def parse_golden(path: str) -> list[GoldenQuery]:
+    """Parse a core output TSV into queries with DISTINCT result expressions
+    (all R rows of one expression share one score — ``qresult`` is keyed by
+    exprID, mathindex.cpp:188)."""
+    out: list[GoldenQuery] = []
+    cur: GoldenQuery | None = None
+    seen: set[str] = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if parts[0] == "Q":
+                cur = GoldenQuery(query_id=parts[1], expr="")
+                out.append(cur)
+                seen = set()
+            elif parts[0] == "E" and cur is not None and not cur.expr:
+                cur.expr = parts[1]
+            elif parts[0] == "R" and cur is not None:
+                expr, score = parts[3], float(parts[4])
+                if expr not in seen:
+                    seen.add(expr)
+                    cur.results.append((expr, score))
+    return [q for q in out if q.expr]
+
+
+def query_tuple_bag(
+    query_expr: str, window: int, eol: str
+) -> tuple[Counter, list[tuple[str, str, str]], int]:
+    """(concrete tuple counts, wildcard instances in order, querytc)."""
+    tuples = slt_tuples(parse_slt(query_expr), window=window, eol=eol)
+    pls: Counter = Counter()
+    var: list[tuple[str, str, str]] = []
+    querytc = 0
+    for fr, to, rel, _loc in tuples:
+        fw, tw = fr.startswith("?"), to.startswith("?")
+        if fw and tw:
+            continue  # unsupported, skipped before querytc++ (WARNR)
+        querytc += 1
+        if fw:
+            var.append(("?", to, rel))
+        elif tw:
+            var.append((fr, "?", rel))
+        else:
+            pls[(fr, to, rel)] += 1
+    return pls, var, querytc
+
+
+def replay_score(
+    pls: Counter,
+    var: list[tuple[str, str, str]],
+    querytc: int,
+    result_expr: str,
+    window: int,
+    eol: str,
+) -> float:
+    """F = 2*cc/(exprtc+querytc) for one (query, result-expression) pair."""
+    etuples = slt_tuples(parse_slt(result_expr), window=window, eol=eol)
+    exprtc = len(etuples)
+    etf = Counter((fr, to, rel) for fr, to, rel, _ in etuples)
+    cc = 0
+    avail: dict[tuple[str, str, str], int] = {}
+    for t, qc in pls.items():
+        e = etf.get(t, 0)
+        c = min(qc, e)
+        cc += c
+        if e:
+            avail[t] = e - c
+    # Wildcard iterators are CONSTRUCTED upfront in var-vector order
+    # (mathindex.cpp:206-214): the first instance whose expansion contains a
+    # posting list creates its IDIterPL with qcount=1 — reserving one tuple
+    # copy — and every later instance references it through an IDIterIND
+    # that can only claim leftover copies (IDIterIND::getCurrent,
+    # mathindexmid.h:136). So an instance scores 1 if it created any
+    # iterator (its own PL child always yields min(1, tf)=1), else if some
+    # shared list still has an unclaimed copy.
+    for fr, to, rel in var:
+        matches = [
+            t
+            for t in etf
+            if t[2] == rel
+            and (fr == "?" or t[0] == fr)
+            and (to == "?" or t[1] == to)
+        ]
+        fresh = [t for t in matches if t not in avail]
+        for t in fresh:
+            avail[t] = etf[t] - 1
+        if fresh:
+            cc += 1
+            continue
+        matches.sort(key=lambda t: (-avail[t], t))
+        for t in matches:
+            if avail[t] > 0:
+                avail[t] -= 1
+                cc += 1
+                break
+    if exprtc + querytc == 0:
+        return 0.0
+    return 2.0 * cc / (exprtc + querytc)
+
+
+def replay_file(path: str, max_queries: int | None = None) -> dict:
+    """Replay every (query, result expr) score in one golden file.
+
+    Returns counts: exact matches within the TSV's 6-significant-digit
+    print precision, split by concrete vs wildcard queries."""
+    window, eol = file_config(path)
+    stats = {
+        "file": os.path.basename(path),
+        "queries": 0,
+        "concrete_rows": 0,
+        "concrete_ok": 0,
+        "wildcard_rows": 0,
+        "wildcard_ok": 0,
+    }
+    for q in parse_golden(path)[:max_queries]:
+        pls, var, querytc = query_tuple_bag(q.expr, window, eol)
+        stats["queries"] += 1
+        kind = "wildcard" if var else "concrete"
+        for expr, want in q.results:
+            got = replay_score(pls, var, querytc, expr, window, eol)
+            ok = abs(got - want) <= max(1e-9, abs(want)) * 1e-5
+            stats[f"{kind}_rows"] += 1
+            if ok:
+                stats[f"{kind}_ok"] += 1
+    return stats

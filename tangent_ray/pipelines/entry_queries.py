@@ -575,6 +575,26 @@ def q_fingerprints(sf_dir: str):
     return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
 
 
+def q_golden_replay(sf_dir: str):
+    """Replay the reference's published golden core-output scores
+    (results/Wikipedia/Task_FormulaBrowing) from the (query, result
+    expression) pairs alone — F = 2*cc/(exprtc+querytc), mathindex.cpp:240.
+    One row per (window, EOL) condition file; concrete_ok == concrete_rows
+    is asserted (exact reproduction), wildcard is near-exact (see
+    tangent_ray/eval/golden.py docstring). Independent of sf_dir."""
+    import glob as _glob
+
+    from tangent_ray.eval.golden import GOLDEN_DIR, replay_file
+
+    files = sorted(_glob.glob(os.path.join(GOLDEN_DIR, "core_w*_e*.tsv")))
+    rows = []
+    for f in files:
+        s = replay_file(f)
+        assert s["concrete_ok"] == s["concrete_rows"], f
+        rows.append(s)
+    return pa.Table.from_pylist(rows)
+
+
 def q_media_features(sf_dir: str):
     import ray.data
 
@@ -809,4 +829,5 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
+    "golden_replay": q_golden_replay,
 }

@@ -202,9 +202,14 @@ def parse_element(elem: ET.Element):
     """Recursive MathML -> MMLNode ('PreScript' sentinel for mprescripts)."""
     tag = _localname(elem.tag)
     if tag in ("math", "semantics", "mstyle"):
-        children = [parse_element(c) for c in elem]
-        children = [c for c in children if not _is_ignorable(c) and c != "PreScript"]
+        parsed = [parse_element(c) for c in elem]
+        children = [c for c in parsed if not _is_ignorable(c) and c != "PreScript"]
         if not children:
+            # an expression whose every child reduced to whitespace (e.g.
+            # LaTeXML's "~{}" -> empty <mi/>) is still an expression: the
+            # reference keeps it as a bare W! node (mathsymbol.py:381)
+            if any(c is not None and c != "PreScript" for c in parsed):
+                return MMLNode("W!")
             return None
         return _chain(children) if tag != "semantics" else children[0]
     if tag in ("annotation", "annotation-xml"):
@@ -380,7 +385,11 @@ def isolate_presentation(math_elem: ET.Element) -> ET.Element:
 #: ``<math>...</math>`` span finder — DOTALL + namespace-prefix tolerant,
 #: the reference's extraction regex family (``math_extractor.py:26-31``)
 MATHML_SPAN_RE = re.compile(
-    r"<(?:\w+:)?math(?:\s[^>]*)?>.*?</(?:\w+:)?math>", re.DOTALL | re.IGNORECASE
+    # case-sensitive: MathML elements are lowercase by spec; LaTeXML wraps
+    # them in a capital-M <Math> element that must NOT anchor a span (it
+    # would end at the inner </m:math> and leave unbalanced XML)
+    r"<(?:\w+:)?math(?:\s[^>]*)?>.*?</(?:\w+:)?math>",
+    re.DOTALL,
 )
 
 _NS_DECL_RE = re.compile(r"xmlns(:\w+)?=\"[^\"]*\"")
