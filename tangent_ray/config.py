@@ -42,8 +42,11 @@ class EngineConfig:
     #: posting-list block size (entries per skip block).
     block_size: int = 128
     #: number of docid-range salt buckets for the postings groupby; 1 means
-    #: no salting. Salted key = (term, docid >> (64 - salt_bits)); runs are
-    #: disjoint docid ranges so the second-stage merge is pure concatenation.
+    #: no salting. Salted key = (term, min(docid >> (63 - salt_bits),
+    #: salt_buckets-1)) — docids are masked to 63 bits, and the top-bits
+    #: range is clipped (not wrapped) for non-power-of-two bucket counts so
+    #: runs stay disjoint ascending docid ranges and the second-stage merge
+    #: is pure concatenation.
     salt_buckets: int = 1
     #: number of input partitions for the log-structured build (each gets an
     #: independent, resumable partial index + manifest).

@@ -116,59 +116,99 @@ class HyperplaneLSH:
         )
 
 
-class PairFinder:
-    """map_batches stage for exact near-dup: each batch's rows are compared
-    against the full broadcast matrix; a pair (a, b) is emitted once under
-    the a < b convention."""
+def near_dup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_blocks: int = 4):
+    """Exact embedding-cosine near-duplicate pairs (cosine >= threshold).
 
-    def __init__(self, full_ref, threshold: float, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
-        import ray
+    Block-pair join — nothing materializes on the driver and no worker ever
+    holds the full matrix: each row is hash-assigned to one of ``n_blocks``
+    blocks and replicated into the ``n_blocks`` (block_i <= block_j) group
+    tasks its block participates in; each group computes ONE cross (or
+    within-block upper-triangle) matmul. Total compute stays O(N^2) (it is
+    an exact all-pairs), but per-task memory is O((N/n_blocks)^2) and the
+    only shuffle is the pair-key groupby (x n_blocks replication). Size
+    ``n_blocks`` so one block's matrix fits a worker; the LSH-bucketed
+    (``HyperplaneLSH``) or IVF variants remain the sub-quadratic
+    approximate path.
+    """
 
-        ids, mat = ray.get(full_ref) if not isinstance(full_ref, tuple) else full_ref
-        self.full_ids = np.asarray(ids, dtype=np.int64)
-        self.full = _normalize(np.asarray(mat, dtype=np.float64))
-        self.threshold = threshold
-        self.id_col = id_col
-        self.vec_col = vec_col
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ((ids * np.int64(2654435761)) % np.int64(2**31)) % n_blocks
+        keys: list[np.ndarray] = []
+        idx: list[np.ndarray] = []
+        blks: list[np.ndarray] = []
+        for g in range(n_blocks):
+            lo = np.minimum(blk, g)
+            hi = np.maximum(blk, g)
+            keys.append(lo * n_blocks + hi)
+            idx.append(np.arange(len(ids), dtype=np.int64))
+            blks.append(blk)
+        take = np.concatenate(idx)
+        rep = batch.take(pa.array(take))
+        return rep.append_column(
+            "pair_key", pa.array(np.concatenate(keys), type=pa.int32())
+        ).append_column("blk", pa.array(np.concatenate(blks), type=pa.int32()))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_to_matrix(batch[self.vec_col]))
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ self.full.T  # (n_batch, N)
-        hit_r, hit_c = np.nonzero(
-            (sims >= self.threshold) & (ids[:, None] < self.full_ids[None, :])
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        key = int(g["pair_key"][0].as_py())
+        bi, bj = key // n_blocks, key % n_blocks
+        # the two blocks arrive deduplicated per (row, group): a row of
+        # block b appears here exactly once
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = g["blk"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(g[vec_col]))
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
         )
+        if bi == bj:
+            # within-block: each row arrives exactly once (its g==b replica);
+            # unique is defensive against upstream duplicate ids
+            _, first = np.unique(ids, return_index=True)
+            ids, m = ids[first], m[first]
+            if len(ids) < 2:
+                return empty
+            sims = m @ m.T
+            r, c = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < ids[None, :])
+            )
+        else:
+            li = blk == bi
+            lj = blk == bj
+            if not li.any() or not lj.any():
+                return empty
+            ia, ma = ids[li], m[li]
+            ib, mb = ids[lj], m[lj]
+            sims = ma @ mb.T
+            r, c = np.nonzero(sims >= threshold)
+            ids, m = ia, ma  # for doc_a below
+            a_ids, b_ids = ia[r], ib[c]
+            s = sims[r, c]
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            return pa.table(
+                {
+                    "doc_a": pa.array(lo, type=pa.int64()),
+                    "doc_b": pa.array(hi, type=pa.int64()),
+                    "score": pa.array(s, type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "doc_a": pa.array(ids[hit_r], type=pa.int64()),
-                "doc_b": pa.array(self.full_ids[hit_c], type=pa.int64()),
-                "score": pa.array(sims[hit_r, hit_c], type=pa.float64()),
+                "doc_a": pa.array(ids[r], type=pa.int64()),
+                "doc_b": pa.array(ids[c], type=pa.int64()),
+                "score": pa.array(sims[r, c], type=pa.float64()),
             }
         )
 
-
-def near_dup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
-                   vec_col: str = "embedding"):
-    """Exact embedding-cosine near-duplicate pairs (cosine >= threshold).
-
-    The full normalized matrix is broadcast once (``ray.put``) and every
-    batch does one matmul against it — O(N^2 / P) work, the exact baseline.
-    At corpus scale the broadcast side must fit worker memory; beyond that
-    the LSH-bucketed (``HyperplaneLSH``) or IVF (``ivf_knn``) variants are
-    the approximate scale path (bucket-local exact rescoring only).
-    """
-    import ray
-
-    rows = ds.take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    ref = ray.put((ids, mat))
-    return ds.map_batches(
-        PairFinder,
-        fn_constructor_args=(ref, threshold, id_col),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    return exploded.groupby("pair_key").map_groups(
+        group_pairs, batch_format="pyarrow"
     )
 
 
@@ -189,13 +229,86 @@ class IVFAssign:
         return batch.append_column("cluster", pa.array(cluster, type=pa.int32()))
 
 
-def ivf_centroids(ds, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic coarse centroids: evenly-spaced vectors by sorted id
-    (a seeded quantizer; full k-means is a drop-in upgrade)."""
-    rows = sorted(ds.take_all(), key=lambda r: r[id_col])
+def ivf_centroids(ds, nlist: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding", iters: int = 1,
+                  oversample: int = 8) -> np.ndarray:
+    """Coarse centroids without materializing the dataset on the driver.
+
+    1. Deterministic hash sample: each batch keeps rows whose id-hash falls
+       under ``nlist * oversample / N`` — only O(nlist) sampled vectors ever
+       reach the driver, whatever N is.
+    2. ``iters`` distributed Lloyd steps: assignment + per-cluster partial
+       (sum, count) inside ``map_batches``; the driver reduces the tiny
+       (n_batches x nlist)-row partial table into new means. This is real
+       distributed k-means — each step is one streaming pass.
+    """
+    import ray
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("ivf_centroids: empty dataset")
+    target = nlist * oversample
+    thresh = np.uint64(min(1.0, target / n) * 2**63)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # splitmix64-style mix, deterministic across processes
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        with np.errstate(over="ignore"):
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+        keep = (h >> np.uint64(1)) < thresh
+        return batch.filter(pa.array(keep))
+
+    cand = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(cand.take_all(), key=lambda r: r[id_col])  # O(nlist) rows
+    if len(rows) < nlist:  # tiny datasets: hash sample may under-select
+        rows = sorted(ds.take_all(), key=lambda r: r[id_col])
     step = max(1, len(rows) // nlist)
-    picks = rows[::step][:nlist]
-    return np.array([r[vec_col] for r in picks], dtype=np.float64)
+    cents = np.array(
+        [r[vec_col] for r in rows[::step][:nlist]], dtype=np.float64
+    )
+
+    for _ in range(iters):
+        ref = ray.put(_normalize(cents))
+
+        class _PartialMeans:
+            def __init__(self, cref):
+                self.cents = ray.get(cref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                m = _to_matrix(batch[vec_col])
+                a = np.argmax(_normalize(m) @ self.cents.T, axis=1)
+                k, d = self.cents.shape
+                sums = np.zeros((k, d))
+                np.add.at(sums, a, m)
+                counts = np.bincount(a, minlength=k)
+                nz = counts > 0
+                return pa.table(
+                    {
+                        "cluster": pa.array(
+                            np.flatnonzero(nz).astype(np.int32), type=pa.int32()
+                        ),
+                        "count": pa.array(counts[nz], type=pa.int64()),
+                        "vsum": pa.array(
+                            sums[nz].tolist(), type=pa.list_(pa.float64())
+                        ),
+                    }
+                )
+
+        parts = ds.map_batches(
+            _PartialMeans, fn_constructor_args=(ref,),
+            batch_format="pyarrow", concurrency=(1, 4),
+        ).take_all()  # <= n_batches * nlist tiny rows
+        k, d = cents.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["count"]
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
 
 
 def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: int = 4,
@@ -207,15 +320,22 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     """
     import ray
 
+    import pyarrow.compute as pc
+
     cents = _normalize(ivf_centroids(ds, nlist, id_col, vec_col))
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = np.unique(probes)
+    wanted = pa.array(np.unique(probes).astype(np.int32), type=pa.int32())
     ref = ray.put(cents)
     assigned = ds.map_batches(
         IVFAssign, fn_constructor_args=(ref, id_col, vec_col),
         batch_format="pyarrow", concurrency=(1, 4),
-    ).filter(lambda r: r["cluster"] in set(wanted.tolist()))
+    ).map_batches(
+        # vectorized probed-cluster filter (no per-row Python lambda)
+        lambda b: b.filter(pc.is_in(b["cluster"], value_set=wanted)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     return knn_cosine(assigned, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
 
 

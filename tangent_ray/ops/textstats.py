@@ -112,7 +112,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    parents, tokens, _ = split_tokens(texts)
+    parents, tokens, pos = split_tokens(texts)
     import zlib
 
     tok_h = np.fromiter(
@@ -122,9 +122,26 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     )
     out = np.zeros(len(texts), dtype=np.uint64)
     B = np.uint64(1000003)
-    for i in range(len(parents)):  # per-token rolling; parents are grouped
-        p = parents[i]
-        out[p] = out[p] * B + tok_h[i]
+    if len(parents):
+        # Horner expanded: H(doc) = sum_i h_i * B^(L-i) (pos is 1-based),
+        # arithmetic mod 2^64 — identical to the sequential out*B + h_i
+        # rolling but one vectorized pass (position-weighted products +
+        # reduceat per doc run).
+        lens = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(lens, parents, 1)
+        exp = lens[parents] - pos.astype(np.int64)  # L - pos in [0, L-1]
+        max_e = int(exp.max())
+        pows = np.empty(max_e + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(np.full(max_e, B, dtype=np.uint64),
+                                   out=pows[1:])
+            contrib = tok_h * pows[exp]
+            starts = np.flatnonzero(
+                np.concatenate([[True], parents[1:] != parents[:-1]])
+            )
+            sums = np.add.reduceat(contrib, starts)
+        out[parents[starts]] = sums
     return pa.table(
         {
             id_col: batch[id_col],

@@ -353,72 +353,95 @@ def q_sessions(sf_dir: str):
 
 
 def q_top_revenue_nations(sf_dir: str):
-    """Broadcast-dimension join: orders->customer->nation maps shipped once
-    via ray.put; lineitem streams through a partial-aggregating map_batches;
-    the final groupby runs over (nations x batches) partial rows only."""
+    """Scale-safe star join: only TRUE dimensions (customer->nation, a few
+    rows per customer key; nation names) are broadcast via ray.put. The
+    fact tables stream: lineitem pre-aggregates revenue per orderkey inside
+    map_batches (combiner), then hash-joins the (orderkey, rev) stream
+    against the orders (orderkey, nationkey) stream — a distributed
+    ``Dataset.join``, no O(orders) driver dict — and a tiny nation groupby
+    finishes."""
     import pyarrow.parquet as pq
 
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    orders = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
-    )
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    c2n = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    )
+    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
     nk2name = dict(
         zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
     )
-    o2name = {
-        ok: nk2name[c2n[ck]]
-        for ok, ck in zip(
-            orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()
-        )
-    }
-    ref = ray.put(o2name)
+    c2n_ref = ray.put(c2n)
 
-    class RevenuePartial:
+    class OrderNation:
         def __init__(self, ref):
-            self.o2name = ray.get(ref)
+            self.c2n = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            import pandas as pd
+            nk = np.fromiter(
+                (self.c2n[k] for k in b["o_custkey"].to_pylist()),
+                count=b.num_rows,
+                dtype=np.int32,
+            )
+            return pa.table(
+                {
+                    "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                    "nationkey": pa.array(nk, type=pa.int32()),
+                }
+            )
 
-            # exact integer arithmetic: price/discount live on a 0.01 grid,
-            # so revenue*10000 is an exact int64 -> no fp summation-order
-            # sensitivity vs the SQL oracle
-            price_c = np.rint(
-                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
-            ).astype(np.int64)
-            disc_c = np.rint(
-                b["l_discount"].to_numpy(zero_copy_only=False) * 100
-            ).astype(np.int64)
-            rev = price_c * (100 - disc_c)
-            names = [self.o2name[k] for k in b["l_orderkey"].to_pylist()]
-            df = pd.DataFrame({"n_name": names, "rev": rev})
-            g = df.groupby("n_name", as_index=False)["rev"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrderNation, fn_constructor_args=(c2n_ref,),
+                  batch_format="pyarrow", concurrency=(1, 4))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # exact integer arithmetic: price/discount live on a 0.01 grid, so
+        # revenue*10000 is an exact int64 -> no fp summation-order
+        # sensitivity vs the SQL oracle
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "rev": price_c * (100 - disc_c),
+            }
+        )
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(rev_partial, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
-    partial = li.map_batches(
-        RevenuePartial, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    out = partial.groupby("n_name").aggregate(
+    out = joined.groupby("nationkey").aggregate(
         Sum("rev", alias_name="revenue_x10000")
     )
-    return _cast64(_collect(out), ["revenue_x10000"])
+    t = _collect(out)
+    names = pa.array(
+        [nk2name[k] for k in t["nationkey"].to_pylist()], type=pa.string()
+    )
+    t = pa.table({"n_name": names, "revenue_x10000": t["revenue_x10000"]})
+    return _cast64(t, ["revenue_x10000"])
 
 
 # ---------------------------------------------------------------------------

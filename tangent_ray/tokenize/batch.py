@@ -230,6 +230,11 @@ class TokenizeBatch:
         docid_arr = np.concatenate(out_docid).astype(np.int64)
         if self._bucket_shift is not None:
             bucket = (docid_arr.astype(np.uint64) >> self._bucket_shift).astype(np.int32)
+            # non-power-of-two salt_buckets: the top-bits range is
+            # 2^salt_bits > salt_buckets; clip (not modulo — buckets must
+            # stay ordered docid ranges for the concat merge) so skey never
+            # bleeds into the next shard's key space
+            np.minimum(bucket, np.int32(self.cfg.salt_buckets - 1), out=bucket)
         else:
             bucket = np.zeros(len(docid_arr), dtype=np.int32)
         out = pa.Table.from_arrays(

@@ -191,11 +191,17 @@ def tuple_term(fr: str, to: str, rel: str) -> str:
     """Serialize a (from, to, path) tuple into a single index term string.
 
     Locations are excluded, matching the reference lexicon key
-    (``tokentuple`` is (fr, to, rl) only). The separator cannot occur in
-    symbols (the reference's ``clean()`` escaping — ``mathsymbol.py:289-304``
-    — strips control characters), so the mapping is injective, and tuple
-    terms can never collide with plain ``[a-z0-9]+`` text terms.
+    (``tokentuple`` is (fr, to, rl) only). MathML symbols never contain the
+    separator (the reference's ``clean()`` escaping — ``mathsymbol.py:289-304``
+    — strips control characters), but the ``$...$`` SLT path takes raw
+    corpus text, so a stray ``\\x1f`` is sanitized here to keep the mapping
+    injective (``parse_tuple_term`` depends on exactly two separators) and
+    tuple terms distinct from plain ``[a-z0-9]+`` text terms.
     """
+    if _SEP in fr:
+        fr = fr.replace(_SEP, " ")
+    if _SEP in to:
+        to = to.replace(_SEP, " ")
     return f"{fr}{_SEP}{to}{_SEP}{rel}"
 
 

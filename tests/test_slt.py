@@ -128,3 +128,14 @@ def test_tuple_term_roundtrip():
     assert is_tuple_term(term)
     assert not is_tuple_term("hello42")
     assert parse_tuple_term(term) == ("V!a", "N!2", "na")
+
+
+def test_tuple_term_sanitizes_separator():
+    """A stray \\x1f in a symbol (possible via the raw $...$ SLT path) must
+    not break tuple-term injectivity or the wildcard-lexicon parser."""
+    from tangent_ray.tokenize.slt import parse_tuple_term, tuple_term
+
+    t = tuple_term("V!a\x1fb", "N!1", "n")
+    fr, to, rel = parse_tuple_term(t)
+    assert (fr, to, rel) == ("V!a b", "N!1", "n")
+    assert t.count("\x1f") == 2

@@ -34,3 +34,30 @@ def test_tokenize_text_stemmed():
 def test_empty_batch():
     rows, terms, tf, pos1, dl = tokenize_text(pa.array([], type=pa.string()))
     assert len(rows) == 0 and len(dl) == 0
+
+
+def test_fingerprint_vectorized_matches_sequential_horner():
+    import re
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tangent_ray.ops.textstats import fingerprint_batch
+
+    texts = ["hello world foo bar", "a b c", "", "single", "x y " * 2000]
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = fingerprint_batch(b)["fingerprint"].to_pylist()
+    B = np.uint64(1000003)
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for w in toks:
+                h = h * B + np.uint64(zlib.crc32(w.encode()))
+        assert np.int64(h) == got[i]
