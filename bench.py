@@ -160,6 +160,55 @@ def run_bench(num_cpus: int) -> dict:
     log(f"[bench] actor-pool search: {big.num_rows} queries -> {n_res} rows "
         f"in {search_sec:.2f}s")
 
+    # --- MSS rerank-stage latency (reference: median 72 ms/query,
+    #     rerank_results.py timing is the rerank stage on warm state) ------
+    import pyarrow.compute as pc
+
+    from tangent_ray.index.build import list_input_files
+    from tangent_ray.rerank.mss import rerank_candidates
+    from tangent_ray.rerank.pipeline import candidate_slts
+    from tangent_ray.tokenize.batch import _MATH_RE
+
+    math_qs = qtable.filter(pc.equal(qtable["kind"], "math"))
+    per_query: list[tuple[str, list[tuple[int, str]]]] = []
+    for row in math_qs.to_pylist():
+        spans = _MATH_RE.findall(row["text"])
+        if not spans:
+            continue
+        docs, _ = scorer.score_query(row["text"], row["kind"], 20)
+        cands = candidate_slts(list_input_files(data_dir), set(docs.tolist()))
+        flat = [(int(d), slt) for d, slts in cands.items() for slt in slts]
+        per_query.append((spans[0], flat))
+    # the reference's 72 ms/query median is over its NTCIR/Wikipedia result
+    # lists — when those golden files are present, time MSS over the SAME
+    # queries + candidate expressions for a like-for-like number; otherwise
+    # fall back to this corpus's own (much smaller) candidates
+    golden_src = ""
+    try:
+        from tangent_ray.eval.golden import GOLDEN_DIR, parse_golden
+
+        gpath = os.path.join(GOLDEN_DIR, "core_w4_e2.tsv")
+        if os.path.exists(gpath):
+            per_query = [
+                (q.expr, [(i, e) for i, (e, _s) in enumerate(q.results)])
+                for q in parse_golden(gpath)
+            ]
+            golden_src = " (reference NTCIR queries + golden candidates)"
+    except Exception:
+        pass
+    rerank_lat: list[float] = []
+    reps = 1 if golden_src else REPEAT
+    for _ in range(reps):
+        for q_slt, flat in per_query:
+            tq = time.time()
+            rerank_candidates(q_slt, flat, topk=20)
+            rerank_lat.append((time.time() - tq) * 1000)
+    rerank_lat.sort()
+    rr_p50 = statistics.median(rerank_lat) if rerank_lat else 0.0
+    n_cand = sum(len(f) for _, f in per_query)
+    log(f"[bench] rerank stage{golden_src}: {len(rerank_lat)} queries over "
+        f"{n_cand} candidate exprs, p50={rr_p50:.2f}ms")
+
     # --- documents BM25 corpus (driver table; oracle-checked path) --------
     doc_idx = f"/tmp/tangent_ray_bench/didx-{sf}-{num_cpus}-{os.getpid()}"
     t0 = time.time()
@@ -185,6 +234,7 @@ def run_bench(num_cpus: int) -> dict:
             "n_turns": n_turns,
             "query_p50_ms": round(p50, 3),
             "query_p95_ms": round(p95, 3),
+            "rerank_p50_ms": round(rr_p50, 3),
             "search_100q_sec": round(search_sec, 3),
             "docs_build_sec": round(docs_sec, 3),
         },

@@ -69,6 +69,10 @@ SEGMENT_SCHEMA = pa.schema(
 
 MANIFEST_NAME = "_MANIFEST.json"
 
+#: term-stats aggregation switches from one driver-side Arrow group_by to a
+#: Ray groupby above this many segment metadata rows
+_STATS_RAY_ROWS = 2_000_000
+
 
 _TOK_CACHE: dict = {}
 
@@ -240,11 +244,33 @@ def build_partition(
     )
 
     enc.write_parquet(os.path.join(tmp, "terms"))
-    # NOTE: no docmap sidecar is written. docid -> dockey decoration is
-    # derived at query time from the partial manifests' ``input_files``
-    # (scorer.IndexReader.dockey_of) — the id is a pure function of the key
-    # columns, so the mapping is always recoverable from the corpus itself
-    # and the build stays a single wide job.
+
+    # docmap sidecar: compact (docid, dockey) rows per partial, written from
+    # a second PRUNED read of only the key columns (no text bytes move).
+    # Serving decorates results by searchsorted lookup against only the
+    # partials a reader holds — memory bounded per partial, instead of one
+    # O(corpus) dict per scorer actor rebuilt from the raw inputs.
+    key_cols = [c for c in corpus.columns if c != corpus.text_column]
+    if corpus_kind(corpus) == "transcripts" and key_cols:
+        from tangent_ray.docids import dockeys_to_docids
+
+        def emit_docmap(batch: pa.Table) -> pa.Table:
+            keys = corpus.dockeys(batch)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            ids = dockeys_to_docids(keys.to_pylist())
+            return pa.table(
+                {
+                    "docid": pa.array(ids, type=pa.int64()),
+                    "dockey": pc.cast(keys, pa.string()),
+                }
+            )
+
+        ray.data.read_parquet(
+            files, columns=key_cols, override_num_blocks=read_num_blocks
+        ).map_batches(emit_docmap, batch_format="pyarrow").write_parquet(
+            os.path.join(tmp, "docmap")
+        )
 
     manifest = _partition_manifest(tmp, files, n_docs, cfg, corpus)
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
@@ -349,31 +375,57 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
     # term -> (kind, global df, cf). Sharded serving needs GLOBAL df for
     # exact BM25 idf while each actor holds only its segment subset. The
     # aggregation input is segment *metadata* rows (one per term-run, no
-    # postings bytes), so driver-side summing is cheap; at extreme vocab
-    # sizes this becomes one more small Ray groupby over the same columns.
-    stats: dict[str, tuple[int, int, int]] = {}
-    for d in partials:
-        t = pq.read_table(
-            os.path.join(pdir, d, "terms"), columns=["term", "kind", "df", "cf"]
+    # postings bytes). Small vocabularies aggregate with one vectorized
+    # Arrow group_by on the driver; above _STATS_RAY_ROWS rows (math-tuple
+    # vocabularies reach 10^8 terms) it becomes a Ray groupby so no
+    # per-term work ever runs on the driver.
+    import glob as _glob
+
+    term_files = sorted(
+        f
+        for d in partials
+        for f in _glob.glob(os.path.join(pdir, d, "terms", "*.parquet"))
+    )
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in term_files)
+    cols = ["term", "kind", "df", "cf"]
+    if n_rows > _STATS_RAY_ROWS:
+        from ray.data.aggregate import Min, Sum
+
+        out = (
+            ray.data.read_parquet(term_files, columns=cols)
+            .groupby("term")
+            .aggregate(
+                Min("kind", alias_name="kind"),
+                Sum("df", alias_name="df"),
+                Sum("cf", alias_name="cf"),
+            )
         )
-        terms = t["term"].to_pylist()
-        kinds = t["kind"].to_numpy(zero_copy_only=False)
-        dfs = t["df"].to_numpy(zero_copy_only=False)
-        cfs = t["cf"].to_numpy(zero_copy_only=False)
-        for i, term in enumerate(terms):
-            got = stats.get(term)
-            if got is None:
-                stats[term] = (int(kinds[i]), int(dfs[i]), int(cfs[i]))
-            else:
-                stats[term] = (got[0], got[1] + int(dfs[i]), got[2] + int(cfs[i]))
-    items = sorted(stats.items())
+        import ray as _ray
+
+        stats_t = pa.concat_tables(_ray.get(out.to_arrow_refs()))
+    else:
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=cols) for f in term_files]
+        )
+        agg = t.group_by(["term"]).aggregate(
+            [("kind", "min"), ("df", "sum"), ("cf", "sum")]
+        )
+        stats_t = pa.table(
+            {
+                "term": agg["term"],
+                "kind": agg["kind_min"],
+                "df": agg["df_sum"],
+                "cf": agg["cf_sum"],
+            }
+        )
+    stats_t = stats_t.sort_by("term")
     pq.write_table(
         pa.table(
             {
-                "term": pa.array([k for k, _ in items], type=pa.string()),
-                "kind": pa.array([v[0] for _, v in items], type=pa.int8()),
-                "df": pa.array([v[1] for _, v in items], type=pa.int64()),
-                "cf": pa.array([v[2] for _, v in items], type=pa.int64()),
+                "term": pc.cast(stats_t["term"], pa.string()),
+                "kind": pc.cast(stats_t["kind"], pa.int8()),
+                "df": pc.cast(stats_t["df"], pa.int64()),
+                "cf": pc.cast(stats_t["cf"], pa.int64()),
             }
         ),
         os.path.join(out_dir, "term_stats.parquet"),

@@ -85,6 +85,16 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
         lambda g: _merge_term_group(g, bs), batch_format="pyarrow"
     ).write_parquet(os.path.join(tmp, "terms"))
 
+    # carry the docmap sidecars along (pure byte copy — docids are disjoint
+    # across partials, so the merged docmap is the file union)
+    dm_files = sorted(
+        f for d in dirs for f in glob.glob(os.path.join(d, "docmap", "*.parquet"))
+    )
+    if dm_files:
+        os.makedirs(os.path.join(tmp, "docmap"), exist_ok=True)
+        for i, f in enumerate(dm_files):
+            shutil.copy2(f, os.path.join(tmp, "docmap", f"dm{i:05d}.parquet"))
+
     merged = dict(manifests[0])
     merged["input_files"] = sorted(
         f for m in manifests for f in m["input_files"]
@@ -112,9 +122,15 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
 
 
 def compact_index(out_dir: str, max_partials: int = 4, fanin: int = 8) -> list[str]:
-    """Tiered compaction: fold oldest groups of ``fanin`` until bounded."""
+    """Tiered compaction: fold oldest groups of ``fanin`` until bounded.
+
+    Re-finalizes the GLOBAL manifest + term-stats sidecar afterwards (the
+    merge deletes folded partial dirs, so a stale global manifest would
+    point readers at removed paths) — the index stays queryable across the
+    whole call."""
     pdir = os.path.join(out_dir, "partials")
     gen = 0
+    compacted = False
     while True:
         names = sorted(
             d
@@ -122,48 +138,112 @@ def compact_index(out_dir: str, max_partials: int = 4, fanin: int = 8) -> list[s
             if os.path.exists(os.path.join(pdir, d, MANIFEST_NAME))
         )
         if len(names) <= max_partials:
-            return names
+            break
         group = names[: min(fanin, len(names) - max_partials + 1)]
         merged_name = f"m{gen:05d}_{group[0]}"
         merge_partials(out_dir, group, merged_name)
+        compacted = True
         gen += 1
+    gpath = os.path.join(out_dir, "manifest.json")
+    if compacted and os.path.exists(gpath):
+        from tangent_ray.index.build import finalize_index
+        from tangent_ray.sources.corpus import corpus_from_json
+
+        with open(gpath) as f:
+            g = json.load(f)
+        finalize_index(
+            out_dir, EngineConfig.from_json(g["config"]), corpus_from_json(g["corpus"])
+        )
+    return names
 
 
-def verify_index(out_dir: str) -> dict:
+def _verify_batch(t: pa.Table) -> pa.Table:
+    """Per-segment-row invariants + partial totals (one row out per batch)."""
+    from tangent_ray.index.codec import decode_postings
+
+    totals = {"postings_text": 0, "postings_math": 0,
+              "tokens_text": 0, "tokens_math": 0}
+    kinds = t["kind"].to_numpy(zero_copy_only=False)
+    dfs = t["df"].to_numpy(zero_copy_only=False)
+    cfs = t["cf"].to_numpy(zero_copy_only=False)
+    for i in range(t.num_rows):
+        kind = int(kinds[i])
+        if kind == 3:
+            continue
+        d, tf, _, _ = decode_postings(
+            t["postings"][i].as_py(), t["skips"][i].as_py()
+        )
+        assert len(d) == dfs[i], "df != posting entries"
+        assert int(tf.sum()) == cfs[i], "cf != sum tf"
+        if len(d) > 1:
+            assert (np.diff(d.astype(np.int64)) > 0).all(), "docids not sorted"
+        key = "text" if kind == 0 else "math"
+        totals[f"postings_{key}"] += len(d)
+        totals[f"tokens_{key}"] += int(tf.sum())
+    return pa.Table.from_pylist([totals])
+
+
+def _verify_term_group(g: pa.Table) -> pa.Table:
+    """Cross-run docid uniqueness for ONE term (all its runs, all partials).
+
+    Salted runs within a partial cover disjoint docid ranges by
+    construction; re-ingesting the same documents as a new increment
+    produces the same hashed docids in another partial — exactly what this
+    catches (it would silently double-count df/cf in scoring otherwise).
+    """
+    from tangent_ray.index.codec import decode_postings
+
+    if g.num_rows == 1:
+        return pa.table({"dup_terms": pa.array([0], type=pa.int64())})
+    docs = np.concatenate(
+        [
+            decode_postings(g["postings"][i].as_py(), g["skips"][i].as_py())[0]
+            for i in range(g.num_rows)
+        ]
+    )
+    docs.sort()
+    if len(docs) > 1 and (docs[1:] == docs[:-1]).any():
+        term = g["term"][0].as_py()
+        raise AssertionError(
+            f"duplicate docid across runs for term {term!r} "
+            "(same documents ingested in more than one increment?)"
+        )
+    return pa.table({"dup_terms": pa.array([0], type=pa.int64())})
+
+
+def verify_index(out_dir: str, check_unique: bool = True) -> dict:
     """The ``verifyIndex`` invariants (``mathindex.cpp:62-66``), distributed:
 
     - sum of posting entries across segments == manifest postings counts;
     - sum of per-posting tf == manifest token counts;
     - docids strictly increasing within every posting list;
-    - global docid uniqueness per term across partials.
-    Returns the recomputed stats; raises AssertionError on violation.
-    """
-    from tangent_ray.index.codec import decode_postings
+    - with ``check_unique`` (default): global docid uniqueness per term
+      across partials/increments, via one term-keyed groupby over the
+      segment rows (the same shuffle class as compaction — skip it for a
+      totals-only spot check).
 
+    Both passes are Ray jobs: a ``map_batches`` sweep over segment files
+    with a tiny driver reduce, plus the optional uniqueness groupby. Returns
+    the recomputed stats; raises on violation.
+    """
     with open(os.path.join(out_dir, "manifest.json")) as f:
         g = json.load(f)
-    totals = {"postings_text": 0, "postings_math": 0, "tokens_text": 0, "tokens_math": 0}
-    per_term_docs: dict[str, int] = {}
-    import pyarrow.parquet as pq
-
-    for p in g["partials"]:
-        t = pq.read_table(os.path.join(out_dir, "partials", p, "terms"))
-        for i in range(t.num_rows):
-            kind = t["kind"][i].as_py()
-            if kind == 3:
-                continue
-            d, tf, _, _ = decode_postings(
-                t["postings"][i].as_py(), t["skips"][i].as_py()
-            )
-            assert len(d) == t["df"][i].as_py(), "df != posting entries"
-            assert int(tf.sum()) == t["cf"][i].as_py(), "cf != sum tf"
-            if len(d) > 1:
-                assert (np.diff(d.astype(np.int64)) > 0).all(), "docids not sorted"
-            key = "text" if kind == 0 else "math"
-            totals[f"postings_{key}"] += len(d)
-            totals[f"tokens_{key}"] += int(tf.sum())
-            term = t["term"][i].as_py()
-            per_term_docs[term] = per_term_docs.get(term, 0) + len(d)
+    files = sorted(
+        f
+        for p in g["partials"]
+        for f in glob.glob(os.path.join(out_dir, "partials", p, "terms", "*.parquet"))
+    )
+    ds = ray.data.read_parquet(files)
+    parts = ds.map_batches(_verify_batch, batch_format="pyarrow").take_all()
+    totals = {"postings_text": 0, "postings_math": 0,
+              "tokens_text": 0, "tokens_math": 0}
+    for r in parts:
+        for k in totals:
+            totals[k] += r[k]
     for k, v in totals.items():
         assert v == g[k], f"{k}: recomputed {v} != manifest {g[k]}"
+    if check_unique:
+        ray.data.read_parquet(files).groupby("term").map_groups(
+            _verify_term_group, batch_format="pyarrow"
+        ).count()  # consume: raises inside workers on violation
     return totals

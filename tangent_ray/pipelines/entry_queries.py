@@ -526,17 +526,8 @@ def q_index_verify(sf_dir: str):
     compacted = os.path.join(_TMP_ROOT, f"tidx-verify-{_sf_of(sf_dir)}")
     if not os.path.exists(os.path.join(compacted, "manifest.json")):
         shutil.copytree(idx, compacted, dirs_exist_ok=True)
+        # compact_index re-finalizes the global manifest itself
         compact_index(compacted, max_partials=1)
-        # re-finalize after compaction so the manifest lists merged partials
-        from tangent_ray.config import EngineConfig as _EC
-        from tangent_ray.index.build import finalize_index
-        from tangent_ray.sources.corpus import TranscriptsCorpus as _TC
-
-        import json as _json
-
-        with open(os.path.join(compacted, "manifest.json")) as f:
-            cfg = _EC.from_json(_json.load(f)["config"])
-        finalize_index(compacted, cfg, _TC())
     totals = verify_index(compacted)
     rows = [{"stat": k, "value": int(v)} for k, v in sorted(totals.items())]
     return pa.Table.from_pylist(rows)
@@ -596,6 +587,27 @@ def q_fingerprints(sf_dir: str):
 
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
     return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
+
+
+def q_formula_topk(sf_dir: str):
+    """Formula-browsing output layer: one row per matched expression
+    INSTANCE (docid, pos, expr, score) with the golden-validated core score
+    — the reference's Task_FormulaBrowsing R-row shape (mathindex.cpp:161)
+    that the doc-level transcript serving path doesn't produce."""
+    from tangent_ray.index.build import list_input_files
+    from tangent_ray.query.formula import formula_search
+
+    _transcripts_index(sf_dir)  # ensures the transcripts corpus exists
+    sf = _sf_of(sf_dir)
+    data_dir = os.path.join(_TMP_ROOT, f"transcripts-{sf}")
+    queries = {
+        "fq1": "[V!x[=[F!,o[N!1],u[V!p]]]]",
+        "fq2": "[?v[=[F!,o[N!1],u[V!p]]]]",
+        "fq3": "[R!,w[V!z]]",
+    }
+    return formula_search(
+        queries, list_input_files(data_dir), window=2, eol="small", topk=10
+    )
 
 
 def q_golden_replay(sf_dir: str):
@@ -853,4 +865,5 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
     "golden_replay": q_golden_replay,
+    "formula_topk": q_formula_topk,
 }

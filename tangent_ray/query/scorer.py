@@ -147,7 +147,7 @@ class IndexReader:
         ]
         self.N = self.manifest["n_docs"]
         self.avgdl = max(self.manifest["avgdl_text"], 1e-9)
-        self._docmap: dict[int, str] | None = None
+        self._docmap: list[tuple[np.ndarray, pa.Array]] | None = None
         self._index_dir = index_dir
         self._stats: dict[str, int] | None = None
         self._stats_path = os.path.join(index_dir, "term_stats.parquet")
@@ -179,24 +179,59 @@ class IndexReader:
         if self.manifest["corpus"] != "transcripts":
             return [str(int(d)) for d in docids]
         if self._docmap is None:
-            # docid = blake2b(dockey) is a pure function of the corpus key
-            # columns, so the decoration map is derived lazily from the
-            # partial manifests' input_files — the build writes no sidecar
-            from tangent_ray.docids import dockeys_to_docids, transcript_dockeys
-
-            files: set[str] = set()
+            # per-partial docmap sidecars (sorted id arrays + key arrays,
+            # searchsorted lookup): a reader pays memory only for the
+            # partials it actually holds — the sharded-serving scale path.
+            # Indexes built before the sidecar existed fall back to
+            # rederiving the map from the partial manifests' input_files
+            # (docid = blake2b(dockey) is a pure function of the keys).
+            maps: list[tuple[np.ndarray, pa.Array]] = []
             pdir = os.path.join(self._index_dir, "partials")
+            legacy_files: set[str] = set()
             for p in self.partials:
-                with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
-                    files.update(json.load(f)["input_files"])
-            dm: dict[int, str] = {}
-            for fp in sorted(files):
-                t = pq.read_table(fp, columns=["conv_id", "turn_idx"])
-                keys = transcript_dockeys(t).to_pylist()
-                ids = dockeys_to_docids(keys)
-                dm.update(zip(ids.tolist(), keys))
-            self._docmap = dm
-        return [self._docmap.get(int(d), str(int(d))) for d in docids]
+                dmdir = os.path.join(pdir, p, "docmap")
+                if os.path.isdir(dmdir):
+                    t = pq.read_table(dmdir)
+                    ids = t["docid"].to_numpy(zero_copy_only=False)
+                    order = np.argsort(ids)
+                    keys = t["dockey"].combine_chunks().take(
+                        pa.array(order)
+                    )
+                    maps.append((ids[order], keys))
+                else:
+                    with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
+                        legacy_files.update(json.load(f)["input_files"])
+            if legacy_files:
+                from tangent_ray.docids import (
+                    dockeys_to_docids,
+                    transcript_dockeys,
+                )
+
+                for fp in sorted(legacy_files):
+                    t = pq.read_table(fp, columns=["conv_id", "turn_idx"])
+                    keys = transcript_dockeys(t)
+                    if isinstance(keys, pa.ChunkedArray):
+                        keys = keys.combine_chunks()
+                    ids = dockeys_to_docids(keys.to_pylist())
+                    order = np.argsort(ids)
+                    maps.append((ids[order], keys.take(pa.array(order))))
+            self._docmap = maps
+        q = np.asarray(docids, dtype=np.int64)
+        res: list[str | None] = [None] * len(q)
+        for ids_sorted, keys in self._docmap:
+            if not len(ids_sorted):
+                continue
+            pos = np.searchsorted(ids_sorted, q)
+            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            hit = np.flatnonzero(ids_sorted[pos_c] == q)
+            if len(hit):
+                found = keys.take(pa.array(pos_c[hit])).to_pylist()
+                for j, v in zip(hit, found):
+                    if res[j] is None:
+                        res[j] = v
+        return [
+            r if r is not None else str(int(d)) for r, d in zip(res, q)
+        ]
 
 
 def _bm25_idf(N: int, df: np.ndarray | int) -> np.ndarray | float:

@@ -1,0 +1,207 @@
+"""Rerank similarity-metric registry (reference ``rerank_results.py:256-334``).
+
+Independent implementations of the pair/alignment metrics the reference
+selects with its ``metric`` integer; scores are tuples compared
+lexicographically (larger = more similar), matching the reference's
+multi-score lists:
+
+- ``v00`` — f-measure over matched symbol-pair multisets
+  (``ranking_functions.py:251-287``): matches are per-(ancestor,
+  descendant, relation) multiset minima; score
+  ``2m/(|Q|+|C|)`` (``get_fmeasure``, ranking_functions.py:217).
+- ``v01`` — greedy tree-alignment score (``ranking_functions.py:368-416``):
+  every same-symbol (query node, candidate node) pair seeds an alignment
+  grown child-by-child while the f-measure improves
+  (``align_trees``, ranking_functions.py:286-332); grown alignments consume
+  their matched node pairs, survivors are greedily accepted by unaligned
+  roots, and the top accepted alignment's score is returned.
+- ``v02`` — element-limited pair f-measure (``ranking_functions.py:419-480``):
+  for each shared symbol the candidate keeps only its best
+  ``min(q_count, c_count)`` instances' pairs (scored by pair matches
+  against the query's pairs for that symbol), then v00 runs on the filtered
+  pair set; a second unique-element f-measure breaks ties.
+- ``mss`` (v04) — Maximum Subtree Similarity with unification, in
+  :mod:`tangent_ray.rerank.mss`.
+- ``core`` — bypass: keep the engine's core score (reference metric -1).
+
+Pairs are ``slt_tuples(..., window=0 (unbounded), eol="none")`` like the
+reference rerank's ``get_pairs("", window)`` with its default unbounded
+window and no EOL tuples.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from tangent_ray.rerank.mss import EDGE_ORDER, MNode, node_list
+from tangent_ray.tokenize.slt import parse_slt, slt_tuples
+
+Pair = tuple[str, str, str, str]  # (ancestor, descendant, relation, location)
+
+
+def get_fmeasure(matches: float, size_query: int, size_candidate: int) -> float:
+    if int(matches) == 0 or int(size_query) == 0 or int(size_candidate) == 0:
+        return 0.0
+    recall = matches / float(size_query)
+    precision = matches / float(size_candidate)
+    return (2.0 * recall * precision) / (recall + precision)
+
+
+def slt_pairs(slt: str, window: int = 0) -> list[Pair]:
+    """Rerank pair list of an SLT string (unbounded window, no EOL)."""
+    return slt_tuples(parse_slt(slt), window=window, eol="none")
+
+
+def _match_count(pairs_a: list[Pair], pairs_b: list[Pair]) -> int:
+    ca = Counter((f, t, r) for f, t, r, _ in pairs_a)
+    cb = Counter((f, t, r) for f, t, r, _ in pairs_b)
+    return sum(min(v, cb[k]) for k, v in ca.items() if k in cb)
+
+
+def similarity_v00(pairs_query: list[Pair], pairs_candidate: list[Pair]) -> tuple:
+    if not pairs_query or not pairs_candidate:
+        return (0.0,)
+    m = _match_count(pairs_query, pairs_candidate)
+    return (get_fmeasure(m, len(pairs_query), len(pairs_candidate)),)
+
+
+def _align_trees(
+    n1: MNode, p1: str, n2: MNode, p2: str, qsize: int
+) -> tuple[list[tuple[str, str]], int, float]:
+    """Greedy same-path alignment growth (align_trees,
+    ranking_functions.py:286-332): a child subtree joins only while the
+    running f-measure improves."""
+    matches: list[tuple[str, str]] = []
+    if n1.te == n2.te:
+        matches.append((p1, p2))
+    root_f = get_fmeasure(len(matches), qsize, 1)
+    total_unmatched = 1 - len(matches)
+    total_elements = 1
+    for lbl in EDGE_ORDER:
+        c1 = n1.edges.get(lbl)
+        c2 = n2.edges.get(lbl)
+        if c1 is None or c2 is None:
+            continue
+        cm, cu, _cs = _align_trees(c1, p1 + lbl, c2, p2 + lbl, qsize)
+        ct = len(cm) + cu
+        cf = get_fmeasure(len(matches) + len(cm), qsize, total_elements + ct)
+        if cf > root_f:
+            matches += cm
+            total_unmatched += cu
+            total_elements += ct
+            root_f = cf
+    return matches, total_unmatched, root_f
+
+
+def similarity_v01(query_slt: str, candidate_slt: str) -> tuple:
+    q_root = MNode.from_slt(parse_slt(query_slt))
+    c_root = MNode.from_slt(parse_slt(candidate_slt))
+    nodes_q = node_list(q_root)
+    nodes_c = node_list(c_root)
+    qsize = len(nodes_q)
+    all_aligns = [
+        (qn, qp, cn, cp)
+        for qn, qp in nodes_q
+        for cn, cp in nodes_c
+        if qn.te == cn.te
+    ]
+    present = {(qp, cp) for _, qp, _, cp in all_aligns}
+    scored: list[tuple[float, tuple[str, str], list[tuple[str, str]]]] = []
+    for qn, qp, cn, cp in all_aligns:
+        if (qp, cp) not in present:
+            continue
+        matches, _unmatched, score = _align_trees(qn, qp, cn, cp, qsize)
+        for m in matches:
+            present.discard(m)
+        scored.append((score, (qp, cp), matches))
+    # stable sort: ties keep generation (DFS x DFS) order like the reference
+    scored.sort(key=lambda x: -x[0])
+    aligned_q: set[str] = set()
+    aligned_c: set[str] = set()
+    for score, (qp, cp), matches in scored:
+        if qp not in aligned_q and cp not in aligned_c:
+            # the reference returns the TOP accepted alignment's score
+            # (similarity_score_from_alignments, ranking_functions.py:346)
+            return (score,)
+    return (0.0,)
+
+
+def similarity_v02(pairs_query: list[Pair], pairs_candidate: list[Pair]) -> tuple:
+    def count_unique(pairs: list[Pair]) -> dict[str, int]:
+        locs: dict[str, set[str]] = {}
+        for a, _, _, loc in pairs:
+            locs.setdefault(a, set()).add(loc)
+        return {a: len(s) for a, s in locs.items()}
+
+    e_query = count_unique(pairs_query)
+    e_candidate = count_unique(pairs_candidate)
+    overlap = {
+        a: min(e_query[a], e_candidate[a]) for a in e_query if a in e_candidate
+    }
+
+    def per_element(pairs: list[Pair]) -> dict[str, list[Pair]]:
+        out: dict[str, list[Pair]] = {}
+        for p in pairs:
+            out.setdefault(p[0], []).append(p)
+        return out
+
+    pe_query = per_element(pairs_query)
+    pe_candidate = per_element(pairs_candidate)
+
+    final_pairs_candidate: list[Pair] = []
+    total_elements_matched = 0
+    for ancestor, count in overlap.items():
+        total_elements_matched += count
+        sub_candidate = pe_candidate[ancestor]
+        if count < e_candidate[ancestor]:
+            sub_query = pe_query[ancestor]
+            per_instance: dict[str, list[Pair]] = {}
+            for p in sub_candidate:
+                per_instance.setdefault(p[3], []).append(p)
+            scored = [
+                (_match_count(sub_query, inst), loc)
+                for loc, inst in per_instance.items()
+            ]
+            scored.sort(reverse=True)  # (score, location) tuple order
+            for _s, loc in scored[:count]:
+                final_pairs_candidate += per_instance[loc]
+        else:
+            final_pairs_candidate += sub_candidate
+
+    pair_fmeasure = similarity_v00(pairs_query, final_pairs_candidate)[0]
+    if total_elements_matched > 0:
+        er = total_elements_matched / float(sum(e_query.values()))
+        ep = total_elements_matched / float(sum(e_candidate.values()))
+        elements_fmeasure = (2.0 * er * ep) / (er + ep)
+    else:
+        elements_fmeasure = 0.0
+    return (pair_fmeasure, elements_fmeasure)
+
+
+def _score_v00(query_slt: str, cand_slt: str) -> tuple:
+    return similarity_v00(slt_pairs(query_slt), slt_pairs(cand_slt))
+
+
+def _score_v01(query_slt: str, cand_slt: str) -> tuple:
+    return similarity_v01(query_slt, cand_slt)
+
+
+def _score_v02(query_slt: str, cand_slt: str) -> tuple:
+    return similarity_v02(slt_pairs(query_slt), slt_pairs(cand_slt))
+
+
+def _score_mss(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.mss import mss_score
+
+    return mss_score(query_slt, cand_slt)
+
+
+#: metric name -> callable(query_slt, candidate_slt) -> score tuple
+#: (compare lexicographically, larger = more similar)
+METRICS = {
+    "v00": _score_v00,
+    "v01": _score_v01,
+    "v02": _score_v02,
+    "v04": _score_mss,
+    "mss": _score_mss,
+}

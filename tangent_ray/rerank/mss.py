@@ -427,14 +427,26 @@ def rerank_candidates(
     candidates: list[tuple[int, str]],
     constraints: ConstraintTree | str | None = None,
     topk: int | None = None,
-) -> list[tuple[int, str, tuple[float, int, int]]]:
-    """Rerank (docid, slt) candidates by MSS desc, docid asc.
+    metric: str = "mss",
+) -> list[tuple[int, str, tuple]]:
+    """Rerank (docid, slt) candidates by score desc, docid asc.
 
-    Each doc is scored by its best expression (the reference keeps the top
-    candidate per query expression per doc — ``comp_query.py:207-235``)."""
-    scored = [
-        (docid, slt, mss_score(query_slt, slt, constraints))
-        for docid, slt in candidates
-    ]
+    ``metric`` selects from the registry (``rerank/metrics.py``: v00, v01,
+    v02, v04/mss — reference ``rerank_results.py:256-334``); constraints
+    apply to the MSS metric only. Each doc is scored by its best expression
+    (the reference keeps the top candidate per query expression per doc —
+    ``comp_query.py:207-235``)."""
+    if metric in ("mss", "v04"):
+        def score(slt: str) -> tuple:
+            return mss_score(query_slt, slt, constraints)
+    else:
+        from tangent_ray.rerank.metrics import METRICS
+
+        fn = METRICS[metric]
+
+        def score(slt: str) -> tuple:
+            return fn(query_slt, slt)
+
+    scored = [(docid, slt, score(slt)) for docid, slt in candidates]
     scored.sort(key=lambda r: (tuple(-x for x in r[2]), r[0]))
     return scored[:topk] if topk else scored

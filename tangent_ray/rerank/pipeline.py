@@ -74,6 +74,78 @@ def candidate_slts(corpus_files: list[str], docids: set[int]) -> dict[int, list[
     return by_doc
 
 
+def combine_math(
+    query_exprs: list[str],
+    per_doc_candidates: dict[int, list[str]],
+    how: str = "mss",
+    size_norm: bool = False,
+) -> dict[int, tuple]:
+    """Per-document fusion of multi-expression math scores (the reference's
+    ``combine_math`` — ``comp_query.py:176-256``).
+
+    For every query expression the document's BEST candidate under the
+    ``how`` metric is kept; the document's combined score vector is the
+    per-expression weighted sum (weights uniform, or node-count-based with
+    ``size_norm`` — ``comp_query.py:180-196``). ``how`` selects from the
+    rerank metric registry (core bypass scores 1.0 per matched expression,
+    like the reference's original-score passthrough normalized upstream).
+    """
+    from tangent_ray.rerank.metrics import METRICS
+
+    if size_norm and query_exprs:
+        qlens = [e.count("[") for e in query_exprs]
+        total = float(sum(qlens)) or 1.0
+        weights = [l / total for l in qlens]
+    else:
+        weights = [1.0 / max(1, len(query_exprs))] * len(query_exprs)
+
+    if how == "core":
+        def score(q: str, c: str) -> tuple:
+            return (1.0,) if q == c else (0.0,)
+    else:
+        score = METRICS[how]
+
+    out: dict[int, tuple] = {}
+    for docid, cands in per_doc_candidates.items():
+        allscore: list[float] | None = None
+        for w, q in zip(weights, query_exprs):
+            best: tuple | None = None
+            for c in cands:
+                s = score(q, c)
+                if best is None or s > best:
+                    best = s
+            if best is None:
+                continue
+            if allscore is None:
+                allscore = [0.0] * len(best)
+            for j, v in enumerate(best):
+                allscore[j] += float(v) * w
+        out[docid] = tuple(allscore) if allscore else (0.0,)
+    return out
+
+
+def combine_math_text(
+    math_scores: dict[int, tuple],
+    text_scores: dict[int, float],
+    n_math_exprs: int,
+    n_keywords: int,
+    mweight: float | None = None,
+) -> dict[int, tuple]:
+    """Fuse math-combined and normalized text scores per document
+    (``comp_query.py:258-291``): final[0] = w*math[0] + (1-w)*text with the
+    dynamic weight ``#exprs/(#exprs+#keywords)`` unless given; the remaining
+    math score components ride along for lexicographic tie-breaks."""
+    if mweight is None:
+        total = n_math_exprs + n_keywords
+        mweight = (n_math_exprs / total) if total else 0.0
+    out: dict[int, tuple] = {}
+    for docid in set(math_scores) | set(text_scores):
+        m = math_scores.get(docid, (0.0,))
+        t = text_scores.get(docid, 0.0)
+        out[docid] = (mweight * m[0] + (1 - mweight) * t,) + tuple(m[1:])
+    return out
+
+
 def rerank_search(
     queries,
     index_dir: str,

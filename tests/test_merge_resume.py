@@ -148,3 +148,45 @@ def test_increment_config_mismatch_raises(env):
     other = EngineConfig(window=3, eol="all", stem=False, math=False)
     with _pytest.raises(ValueError):
         add_increment(d, idx, other)
+
+
+def test_verify_index_catches_double_ingestion(ray_session, tmp_path):
+    """Re-ingesting the same files as a new increment duplicates every
+    docid; verify_index's cross-partial uniqueness groupby must raise (it
+    would silently double-count df/cf in scoring otherwise)."""
+    from tangent_ray.index.build import add_increment
+
+    data_dir = str(tmp_path / "tr")
+    out_dir = str(tmp_path / "idx")
+    write_transcripts(data_dir, 6, files=2)
+    cfg = EngineConfig(window=1, eol="small", partitions=1)
+    build_index(data_dir, out_dir, cfg, TranscriptsCorpus())
+    verify_index(out_dir)  # clean index passes
+    add_increment(data_dir, out_dir)  # same docs again -> duplicate docids
+    with pytest.raises(Exception):
+        verify_index(out_dir)
+    # totals-only spot check still works on the corrupted index
+    verify_index(out_dir, check_unique=False)
+
+
+def test_compact_index_refinalizes_global_manifest(ray_session, tmp_path):
+    """compact_index must leave the global manifest pointing at live
+    partial dirs (the public API contract: index stays queryable)."""
+    data_dir = str(tmp_path / "tr")
+    out_dir = str(tmp_path / "idx")
+    write_transcripts(data_dir, 10, files=4)
+    cfg = EngineConfig(window=1, eol="small", partitions=4)
+    build_index(data_dir, out_dir, cfg, TranscriptsCorpus())
+    before = search(query_set(), out_dir, concurrency=1).to_pandas()
+    compact_index(out_dir, max_partials=1)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        g = json.load(f)
+    for p in g["partials"]:
+        assert os.path.isdir(os.path.join(out_dir, "partials", p)), p
+    assert len(g["partials"]) == 1
+    verify_index(out_dir)
+    after = search(query_set(), out_dir, concurrency=1).to_pandas()
+    cols = ["query_id", "rank", "docid"]
+    assert before[cols].sort_values(cols).reset_index(drop=True).equals(
+        after[cols].sort_values(cols).reset_index(drop=True)
+    )
