@@ -627,6 +627,34 @@ def q_golden_replay(sf_dir: str):
         s = replay_file(f)
         assert s["concrete_ok"] == s["concrete_rows"], f
         rows.append(s)
+
+    # the published RERANKED m4 file (paper MSS = v06 matching + v04
+    # scores) replays exactly, wildcards included
+    from tangent_ray.eval.golden import parse_golden
+    from tangent_ray.rerank.subtree import mss_subtree_score
+
+    m4 = os.path.join(
+        os.path.dirname(GOLDEN_DIR), "reranked_output",
+        "reranked_paper_m4_w0_e2.tsv",
+    )
+    if os.path.exists(m4):
+        tot = ok = 0
+        for q in parse_golden(m4):
+            for expr, want in q.results:
+                got = mss_subtree_score(q.expr, expr)[0]
+                tot += 1
+                ok += abs(got - want) <= max(1e-6, abs(want)) * 1e-4
+        assert ok == tot, f"reranked m4 replay: {ok}/{tot}"
+        rows.append(
+            {
+                "file": "reranked_paper_m4_w0_e2.tsv",
+                "queries": 40,
+                "concrete_rows": tot,
+                "concrete_ok": ok,
+                "wildcard_rows": 0,
+                "wildcard_ok": 0,
+            }
+        )
     return pa.Table.from_pylist(rows)
 
 

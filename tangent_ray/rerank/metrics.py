@@ -196,6 +196,12 @@ def _score_mss(query_slt: str, cand_slt: str) -> tuple:
     return mss_score(query_slt, cand_slt)
 
 
+def _score_v11(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.subtree import mss_subtree_score
+
+    return mss_subtree_score(query_slt, cand_slt)
+
+
 #: metric name -> callable(query_slt, candidate_slt) -> score tuple
 #: (compare lexicographically, larger = more similar)
 METRICS = {
@@ -204,4 +210,7 @@ METRICS = {
     "v02": _score_v02,
     "v04": _score_mss,
     "mss": _score_mss,
+    # the paper's operational rerank metric (wildcard-subtree MSS);
+    # replays the published reranked_paper_m4 golden scores EXACTLY
+    "v11": _score_v11,
 }

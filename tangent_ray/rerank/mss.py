@@ -151,7 +151,11 @@ class ConstraintSpec:
         c_typed = len(c_te) > 1 and c_te[1] == "!"
         if not (q_typed and c_typed and q_te[0] == c_te[0]):
             return False
-        if q_te[0] == "N" and (self.min_value is not None or self.max_value is not None):
+        if q_te[0] == "N":
+            # the candidate's numeric value is ALWAYS parsed for N<->N
+            # unification (constraint_info.py:63-70): an unparseable
+            # constant (e.g. digit-grouping spaces) cannot be unified,
+            # bounds or not
             try:
                 v = float(c_te.split("!", 1)[1].strip())
             except ValueError:
@@ -439,6 +443,11 @@ def rerank_candidates(
     if metric in ("mss", "v04"):
         def score(slt: str) -> tuple:
             return mss_score(query_slt, slt, constraints)
+    elif metric == "v11":
+        from tangent_ray.rerank.subtree import mss_subtree_score
+
+        def score(slt: str) -> tuple:
+            return mss_subtree_score(query_slt, slt, constraints)
     else:
         from tangent_ray.rerank.metrics import METRICS
 

@@ -108,3 +108,49 @@ def test_golden_scores_replay_all_files_concrete_exact():
         total += s["concrete_rows"]
         ok += s["concrete_ok"]
     assert total > 0 and ok == total
+
+
+RERANKED_DIR = (
+    "/root/reference/results/Wikipedia/Task_FormulaBrowing/reranked_output"
+)
+
+
+def test_reranked_golden_m4_replays_exactly():
+    """The published reranked_paper_m4_w0_e2.tsv (the paper's operational
+    MSS: v06 wildcard-subtree matching + the v04 score vector =
+    similarity_v11) must replay EXACTLY — every score of every query,
+    wildcards included."""
+    from tangent_ray.rerank.subtree import mss_subtree_score
+
+    path = os.path.join(RERANKED_DIR, "reranked_paper_m4_w0_e2.tsv")
+    if not os.path.exists(path):
+        pytest.skip("reranked golden output not present")
+    tot = ok = 0
+    for q in parse_golden(path):
+        for expr, want in q.results:
+            got = mss_subtree_score(q.expr, expr)[0]
+            tot += 1
+            ok += abs(got - want) <= max(1e-6, abs(want)) * 1e-4
+    assert tot == 3940
+    assert ok == tot
+
+
+def test_reranked_m4_concrete_near_exact_under_v04():
+    """The v04 MSS (no subtree wildcards) agrees with the published file on
+    >= 98% of concrete-query rows — the residual is v06's ungated branch
+    growth on matrix-heavy candidates."""
+    from tangent_ray.rerank.mss import mss_score
+
+    path = os.path.join(RERANKED_DIR, "reranked_paper_m4_w0_e2.tsv")
+    if not os.path.exists(path):
+        pytest.skip("reranked golden output not present")
+    tot = ok = 0
+    for q in parse_golden(path):
+        if "?" in q.expr:
+            continue
+        for expr, want in q.results:
+            got = mss_score(q.expr, expr)[0]
+            tot += 1
+            ok += abs(got - want) <= max(1e-6, abs(want)) * 1e-4
+    assert tot == 1940
+    assert ok >= 0.98 * tot
