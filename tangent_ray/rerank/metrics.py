@@ -202,6 +202,24 @@ def _score_v11(query_slt: str, cand_slt: str) -> tuple:
     return mss_subtree_score(query_slt, cand_slt)
 
 
+def _score_v09(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.subtree import subtree_metric_score
+
+    return subtree_metric_score(query_slt, cand_slt, None, "m9")
+
+
+def _score_v10(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.subtree import subtree_metric_score
+
+    return subtree_metric_score(query_slt, cand_slt, None, "m10")
+
+
+def _score_v06(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.subtree import subtree_metric_score
+
+    return subtree_metric_score(query_slt, cand_slt, None, "m6")
+
+
 #: metric name -> callable(query_slt, candidate_slt) -> score tuple
 #: (compare lexicographically, larger = more similar)
 METRICS = {
@@ -210,7 +228,13 @@ METRICS = {
     "v02": _score_v02,
     "v04": _score_mss,
     "mss": _score_mss,
-    # the paper's operational rerank metric (wildcard-subtree MSS);
-    # replays the published reranked_paper_m4 golden scores EXACTLY
+    # wildcard-subtree matcher family (rerank/subtree.py). Each replays its
+    # published reranked_paper_m{N}_w0_e2.tsv golden file EXACTLY
+    # (tests/test_golden_replay.py): m2 = v09's scoring with default (U)
+    # constraints, m3 = v10, m4 = v11 (the paper's operational MSS); m1 is
+    # v00 at window 1.
+    "v06": _score_v06,
+    "v09": _score_v09,
+    "v10": _score_v10,
     "v11": _score_v11,
 }

@@ -289,12 +289,24 @@ def _left_expand(c_root: MNode, w: _WildAlign) -> None:
         w.c_tree = sub
 
 
-def mss_subtree_score(
-    query: str | MNode,
-    candidate: str | MNode,
-    constraints: ConstraintTree | str | None = None,
-) -> tuple[float, int, int]:
-    """similarity_v11: scoring_m4 over the v06 subtree matcher."""
+@dataclass
+class _MatchState:
+    """One seed's full matching outcome (mirrors test_alignment_subtree_
+    unification's return): entry tuples are (q_te, c_te, q_path, c_path)."""
+
+    matched: list[tuple[str, str, str, str]]
+    unified: list[tuple[str, str, str, str]]
+    valid_w: list[_WildAlign]  # accepted wildcard instances (roots)
+    subtree_children: list[tuple[str, str]]  # (q_path, c_path) per node
+    qsize: int
+    csize: int
+    q_root: MNode
+    c_root: MNode
+
+
+def _iter_seed_matches(query, candidate, constraints):
+    """Run the v06 matcher from every seed alignment (with pending-pair
+    consumption), yielding a _MatchState per surviving seed."""
     q_root = (
         MNode.from_slt(parse_slt(query)) if isinstance(query, str) else query
     )
@@ -325,7 +337,6 @@ def mss_subtree_score(
                 seeds.append((qn, qp, cn, cp))
                 pending.add((qp, cp))
 
-    best: tuple[float, int, int] | None = None
     for qn, qp, cn, cp in seeds:
         if (qp, cp) not in pending:
             continue
@@ -369,22 +380,243 @@ def mss_subtree_score(
             pending.discard((w.q_path, w.c_path))
         pending.discard((qp, cp))
 
-        # scoring_m4: query-path node/edge recall + candidate coverage
-        q_locs = [e[2] for e in matched + unified] + [w.q_path for w in valid_w]
-        n_unified = len(q_locs)
-        edges = _edges_from_locations(q_locs)
-        sym_rec = n_unified / float(qsize)
-        if qsize > 1:
-            edge_rec = (edges if edges > 0 else 0.5) / float(qsize - 1)
-        else:
-            edge_rec = 1.0
-        h = (
-            2.0 * sym_rec * edge_rec / (sym_rec + edge_rec)
-            if sym_rec + edge_rec > 0
-            else 0.0
+        yield _MatchState(
+            matched, unified, valid_w, subtree_children,
+            qsize, csize, q_root, c_root,
         )
-        c_cov = len(matched) + len(unified) + len(subtree_children)
-        score = (h, -(csize - c_cov), len(matched))
+
+
+def _dice(a: float, b: float) -> float:
+    return (2.0 * a * b) / (a + b) if a + b > 0 else 0.0
+
+
+def _edge_recall(edges: int, qsize: int) -> float:
+    if qsize > 1:
+        return (edges if edges > 0 else 0.5) / float(qsize - 1)
+    return 1.0
+
+
+def score_m4(s: _MatchState) -> tuple:
+    """v04 score vector over the subtree matcher (similarity_v11)."""
+    q_locs = (
+        [e[2] for e in s.matched + s.unified] + [w.q_path for w in s.valid_w]
+    )
+    sym_rec = len(q_locs) / float(s.qsize)
+    h = _dice(sym_rec, _edge_recall(_edges_from_locations(q_locs), s.qsize))
+    c_cov = len(s.matched) + len(s.unified) + len(s.subtree_children)
+    return (h, -(s.csize - c_cov), len(s.matched))
+
+
+def _leftmost_scores(s: _MatchState, max_depth: int) -> list[int]:
+    """leftmost_match_scores (ranking_functions.py:2125-2137): prefer
+    matches earlier on shallower baselines; c_type 0 exact / 1 wildcard /
+    2 unified."""
+    best: list[int] | None = None
+    groups = [
+        (0, [e[3] for e in s.matched]),
+        (1, [cpath for _qp, cpath in s.subtree_children]),
+        (2, [e[3] for e in s.unified]),
+    ]
+    for c_type, locs in groups:
+        for loc in locs:
+            ms = [0] * max_depth
+            depth = baseline = 0
+            for ch in loc:
+                if depth >= max_depth:
+                    break
+                if ch == "n":
+                    baseline += 1
+                else:
+                    ms[depth] = -(baseline * 4 + 3)
+                    baseline = 0
+                    depth += 1
+            if depth < max_depth:
+                ms[depth] = -(baseline * 4 + c_type)
+            if best is None or best < ms:
+                best = ms
+    return best if best is not None else [0] * max_depth
+
+
+def _wildcard_stdev(s: _MatchState) -> float:
+    import statistics
+
+    counts: dict[str, int] = {}
+    for qp, _cp in s.subtree_children:
+        counts[qp] = counts.get(qp, 0) + 1
+    if len(counts) < 2:
+        return 0.0
+    return statistics.stdev(counts.values())
+
+
+def score_m6(s: _MatchState) -> tuple:
+    """v06: dice(exact+wildcard recall, unified structure dice) + ties."""
+    q_ew = len(s.matched) + len(s.valid_w)
+    ew_recall = q_ew / float(s.qsize)
+    q_locs = (
+        [e[2] for e in s.matched + s.unified] + [w.q_path for w in s.valid_w]
+    )
+    u_dice = _dice(
+        len(q_locs) / float(s.qsize),
+        _edge_recall(_edges_from_locations(q_locs), s.qsize),
+    )
+    score1 = _dice(u_dice, ew_recall)
+    c_cov = len(s.matched) + len(s.unified) + len(s.subtree_children)
+    return tuple(
+        [score1, -(s.csize - c_cov), -len(s.subtree_children)]
+        + _leftmost_scores(s, 3)
+        + [-_wildcard_stdev(s)]
+    )
+
+
+def _count_triplets(root: MNode, window: int, n_anc: int = 0) -> int:
+    total = n_anc if window == 0 else min(n_anc, window)
+    for lbl in ("n", "a", "b", "c", "d", "o", "u", "w", "e"):
+        c = root.edges.get(lbl)
+        if c is not None:
+            total += _count_triplets(c, window, n_anc + 1)
+    return total
+
+
+def _triplets_from_locations(locs: list[str], window: int) -> int:
+    by_len: dict[int, list[str]] = {}
+    for loc in locs:
+        by_len.setdefault(len(loc), []).append(loc)
+    if not by_len:
+        return 0
+    total = 0
+    lo, hi = min(by_len), max(by_len)
+    for length in range(hi, lo, -1):
+        if length not in by_len:
+            continue
+        start = lo if window == 0 else max(length - window, lo)
+        for anc_len in range(start, length):
+            if anc_len not in by_len:
+                continue
+            parents = by_len[anc_len]
+            for loc in by_len[length]:
+                if loc[:anc_len] in parents:
+                    total += 1
+    return total
+
+
+def _triplet_score(s: _MatchState, window: int, with_unif: bool) -> float:
+    """score_DC_triplets_w_wild_{no,w}_unif (ranking_functions.py:2190-2238)."""
+    q_triplets = _count_triplets(s.q_root, window)
+    c_triplets = _count_triplets(s.c_root, window)
+    q_ew_locs = [e[2] for e in s.matched] + [w.q_path for w in s.valid_w]
+    q_ew = _triplets_from_locations(q_ew_locs, window)
+    c_ew_locs = [e[3] for e in s.matched] + [cp for _qp, cp in s.subtree_children]
+    c_ew = _triplets_from_locations(c_ew_locs, window)
+    if not with_unif:
+        rec = (q_ew + 1.0) / float(q_triplets + 1.0)
+        prec = (c_ew + 1.0) / float(c_triplets + 1.0)
+        return _dice(rec, prec)
+    q_u_locs = q_ew_locs[: len(s.matched)] + [e[2] for e in s.unified] + [
+        w.q_path for w in s.valid_w
+    ]
+    q_u = _triplets_from_locations(q_u_locs, window)
+    c_u_locs = (
+        [e[3] for e in s.matched]
+        + [e[3] for e in s.unified]
+        + [cp for _qp, cp in s.subtree_children]
+    )
+    c_u = _triplets_from_locations(c_u_locs, window)
+    rec = (q_ew + q_u + 2.0) / float(2 * (q_triplets + 1))
+    prec = (c_ew + c_u + 2.0) / float(2 * (c_triplets + 1))
+    return _dice(rec, prec)
+
+
+def score_m7(s: _MatchState) -> tuple:
+    """score_DC_edges_w_wild_no_unif (ranking_functions.py:2147-2162).
+    NOTE: the reference's candidate-side edge count reads q_location for
+    the c side too — reproduced verbatim."""
+    q_ew_locs = [e[2] for e in s.matched] + [w.q_path for w in s.valid_w]
+    q_ew_edges = _edges_from_locations(q_ew_locs)
+    c_ew_locs = [e[2] for e in s.matched] + [qp for qp, _cp in s.subtree_children]
+    c_ew_edges = _edges_from_locations(c_ew_locs)
+    rec = (q_ew_edges + 1.0) / float(s.qsize)
+    prec = (c_ew_edges + 1.0) / float(s.csize)
+    return (_dice(rec, prec), q_ew_edges, c_ew_edges, s.qsize, s.csize)
+
+
+def score_m8(s: _MatchState) -> tuple:
+    """score_DC_Edges_w_wild_w_unif (ranking_functions.py:2164-2188)."""
+    q_ew_locs = [e[2] for e in s.matched] + [w.q_path for w in s.valid_w]
+    q_ew = _edges_from_locations(q_ew_locs)
+    q_u_locs = (
+        [e[2] for e in s.matched]
+        + [e[2] for e in s.unified]
+        + [w.q_path for w in s.valid_w]
+    )
+    q_u = _edges_from_locations(q_u_locs)
+    c_ew_locs = [e[2] for e in s.matched] + [qp for qp, _cp in s.subtree_children]
+    c_ew = _edges_from_locations(c_ew_locs)
+    c_u_locs = (
+        [e[2] for e in s.matched]
+        + [e[2] for e in s.unified]
+        + [qp for qp, _cp in s.subtree_children]
+    )
+    c_u = _edges_from_locations(c_u_locs)
+    rec = (q_ew + q_u + 2.0) / float(2 * s.qsize)
+    prec = (c_ew + c_u + 2.0) / float(2 * s.csize)
+    return (_dice(rec, prec), rec, prec, q_ew, q_u, c_ew, c_u)
+
+
+def score_m9(s: _MatchState) -> tuple:
+    score1 = _triplet_score(s, window=0, with_unif=False)
+    return tuple(
+        [score1, -len(s.subtree_children), -_wildcard_stdev(s)]
+        + _leftmost_scores(s, 2)
+    )
+
+
+def score_m10(s: _MatchState) -> tuple:
+    score1 = _triplet_score(s, window=0, with_unif=True)
+    return tuple(
+        [score1, -len(s.subtree_children), -_wildcard_stdev(s)]
+        + _leftmost_scores(s, 2)
+    )
+
+
+SCORING = {"m4": score_m4, "m6": score_m6, "m7": score_m7, "m8": score_m8,
+           "m9": score_m9, "m10": score_m10}
+
+
+def all_exact_constraints(query: str | MNode) -> ConstraintTree:
+    """The 'E' default-constraint tree (unification disabled — used by the
+    reference's v07/v09 variants, ranking_functions.py:2034-2054)."""
+    from tangent_ray.rerank.mss import ConstraintSpec
+
+    root = MNode.from_slt(parse_slt(query)) if isinstance(query, str) else query
+    return ConstraintTree(
+        {p: ConstraintSpec(unifiable=False) for _n, p in node_list(root)}
+    )
+
+
+def subtree_metric_score(
+    query: str | MNode,
+    candidate: str | MNode,
+    constraints: ConstraintTree | str | None = None,
+    scoring: str = "m4",
+) -> tuple:
+    """choose_best_match over the v06 matcher with the selected scoring."""
+    fn = SCORING[scoring]
+    best: tuple | None = None
+    for s in _iter_seed_matches(query, candidate, constraints):
+        score = fn(s)
         if best is None or score > best:
             best = score
-    return best if best is not None else (0.0, 0, 0)
+    if best is not None:
+        return best
+    if scoring == "m4":
+        return (0.0, 0, 0)
+    return (0.0,)
+
+
+def mss_subtree_score(
+    query: str | MNode,
+    candidate: str | MNode,
+    constraints: ConstraintTree | str | None = None,
+) -> tuple[float, int, int]:
+    """similarity_v11: scoring_m4 over the v06 subtree matcher."""
+    return subtree_metric_score(query, candidate, constraints, "m4")
