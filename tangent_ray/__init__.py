@@ -54,6 +54,10 @@ def __getattr__(name):
 #: first-touch mmap faults — see util.tune_allocator
 _ALLOCATOR_TUNED = _tune_allocator()
 
+from tangent_ray.util import stabilize_lazy_imports as _stabilize_lazy_imports
+
+_stabilize_lazy_imports()
+
 __version__ = "0.1.0"
 
 __all__ = [

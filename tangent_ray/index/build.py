@@ -243,15 +243,27 @@ def build_partition(
         lambda g: encode_group(g, cfg.block_size), batch_format="pyarrow"
     )
 
-    enc.write_parquet(os.path.join(tmp, "terms"))
-
     # docmap sidecar: compact (docid, dockey) rows per partial, written from
     # a second PRUNED read of only the key columns (no text bytes move).
     # Serving decorates results by searchsorted lookup against only the
     # partials a reader holds — memory bounded per partial, instead of one
-    # O(corpus) dict per scorer actor rebuilt from the raw inputs.
+    # O(corpus) dict per scorer actor rebuilt from the raw inputs. The job
+    # is driven from a side thread so it pipelines with the main
+    # tokenize->shuffle->encode job instead of serializing behind it.
     key_cols = [c for c in corpus.columns if c != corpus.text_column]
+    dm_thread = None
+    dm_err: list[BaseException] = []
     if corpus_kind(corpus) == "transcripts" and key_cols:
+        import threading
+
+        # pre-warm imports that Ray's path resolution performs lazily —
+        # a first import racing between this thread and the main job's
+        # write_parquet can observe a partially-initialized module
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            pass
+
         from tangent_ray.docids import dockeys_to_docids
 
         def emit_docmap(batch: pa.Table) -> pa.Table:
@@ -266,11 +278,24 @@ def build_partition(
                 }
             )
 
-        ray.data.read_parquet(
-            files, columns=key_cols, override_num_blocks=read_num_blocks
-        ).map_batches(emit_docmap, batch_format="pyarrow").write_parquet(
-            os.path.join(tmp, "docmap")
-        )
+        def run_docmap() -> None:
+            try:
+                # tiny output — let Ray pick its own (small) parallelism
+                # rather than inheriting the main build's block count
+                ray.data.read_parquet(files, columns=key_cols).map_batches(
+                    emit_docmap, batch_format="pyarrow"
+                ).write_parquet(os.path.join(tmp, "docmap"))
+            except BaseException as e:  # surfaced after join
+                dm_err.append(e)
+
+        dm_thread = threading.Thread(target=run_docmap, daemon=True)
+        dm_thread.start()
+
+    enc.write_parquet(os.path.join(tmp, "terms"))
+    if dm_thread is not None:
+        dm_thread.join()
+        if dm_err:
+            raise dm_err[0]
 
     manifest = _partition_manifest(tmp, files, n_docs, cfg, corpus)
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:

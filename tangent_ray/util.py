@@ -39,3 +39,35 @@ def tune_allocator() -> bool:
         return bool(libc.mallopt(M_MMAP_THRESHOLD, 1 << 30))
     except Exception:
         return False
+
+
+def stabilize_lazy_imports() -> None:
+    """Make Ray Data's lazy fsspec-http probe thread-safe in this env.
+
+    ``ray.data``'s path resolution lazily runs ``from
+    fsspec.implementations.http import HTTPFileSystem`` and treats
+    ``ModuleNotFoundError`` (aiohttp absent here) as "not an http fs". When
+    two Dataset executions run concurrently (e.g. the docmap sidecar thread
+    pipelined with the main build job), the failing import can race and one
+    thread observes a partially-initialized module — surfacing as a plain
+    ``ImportError`` that Ray does NOT catch. Pre-seed a sentinel module with
+    an ``HTTPFileSystem`` class nothing is ever an instance of, so the
+    probe is deterministic and False. No-op when aiohttp is installed.
+    """
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module imports fine; nothing to do
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        return  # partially initialized by another thread; leave it alone
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: isinstance() is always False
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
