@@ -45,24 +45,25 @@ class BruteForceKNN:
         m = _normalize(_to_matrix(batch[self.vec_col]))  # (n, d)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.q @ m.T  # (nq, n)
-        k = min(self.k, sims.shape[1])
-        out_q: list[int] = []
-        out_id: list[int] = []
-        out_s: list[float] = []
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            if len(s) > k:
-                part = np.argpartition(-s, k - 1)[:k]
-            else:
-                part = np.arange(len(s))
-            out_q.extend([qi] * len(part))
-            out_id.extend(ids[part].tolist())
-            out_s.extend(s[part].tolist())
+        nq, n = sims.shape
+        k = min(self.k, n)
+        if n > k:
+            # one argpartition across all queries (axis-wise, no Python loop)
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (nq, k)
+        else:
+            part = np.broadcast_to(np.arange(n), (nq, n))
+        qidx = np.repeat(np.arange(nq, dtype=np.int32), part.shape[1])
+        flat = part.ravel()
         return pa.table(
             {
-                "qid": pa.array(out_q, type=pa.int32()),
-                self.id_col: pa.array(out_id, type=pa.int64()),
-                "score": pa.array(out_s, type=pa.float64()),
+                "qid": pa.array(qidx, type=pa.int32()),
+                self.id_col: pa.array(
+                    ids[flat].astype(np.int64), type=pa.int64()
+                ),
+                "score": pa.array(
+                    sims[np.repeat(np.arange(nq), part.shape[1]), flat],
+                    type=pa.float64(),
+                ),
             }
         )
 

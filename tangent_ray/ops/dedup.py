@@ -93,32 +93,43 @@ def shingle_batch(
     batch: pa.Table, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
     """(id, shingle) rows: token n-grams joined by a single space (shared
-    definition with the DuckDB oracle)."""
+    definition with the DuckDB oracle).
+
+    Fully vectorized: the flat token array is sliced n times (zero-copy
+    views offset by 0..n-1), joined with one Arrow
+    ``binary_join_element_wise`` kernel call, and masked to windows that
+    stay within one document — no Python loop touches a token."""
+    import pyarrow.compute as pc
+
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     parents, tokens, _ = split_tokens(texts)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    toks = tokens.to_pylist()
-    out_id: list[int] = []
-    out_sh: list[str] = []
     m = len(parents)
-    i = 0
-    while i < m:
-        j = i
-        p = parents[i]
-        while j < m and parents[j] == p:
-            j += 1
-        row_toks = toks[i:j]
-        did = int(ids[p])
-        for s in range(0, len(row_toks) - n + 1):
-            out_id.append(did)
-            out_sh.append(" ".join(row_toks[s : s + n]))
-        i = j
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "shingle": pa.array([], type=pa.string()),
+        }
+    )
+    if m < n:
+        return empty
+    L = m - n + 1
+    valid = parents[:L] == parents[n - 1 :]
+    if not valid.any():
+        return empty
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    parts = [tokens.slice(k, L) for k in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    keep = pa.array(valid)
     return pa.table(
         {
-            id_col: pa.array(out_id, type=pa.int64()),
-            "shingle": pa.array(out_sh, type=pa.string()),
+            id_col: pa.array(
+                ids[parents[:L][valid]].astype(np.int64), type=pa.int64()
+            ),
+            "shingle": joined.filter(keep),
         }
     )
 
@@ -207,13 +218,15 @@ class MinHashLSH:
         return (h >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         sh = shingle_batch(batch, self.shingle_n, self.text_col, self.id_col)
         ids = sh[self.id_col].to_numpy(zero_copy_only=False)
-        hashes = np.fromiter(
-            (_h64(s) for s in sh["shingle"].to_pylist()),
-            count=len(ids),
-            dtype=np.uint64,
-        )
+        # deterministic vectorized string hash (pandas siphash with a fixed
+        # key, C loop) — no per-shingle Python hashing
+        hashes = pd.util.hash_array(
+            sh["shingle"].to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
         if len(ids) == 0:
             return pa.table(
                 {
@@ -222,17 +235,21 @@ class MinHashLSH:
                     "band_hash": pa.array([], type=pa.int64()),
                 }
             )
-        # doc-sorted segments -> per-doc column minima in one reduceat/perm
+        # doc-sorted segments -> per-doc minima, one contiguous 1-D
+        # multiply-add + reduceat per permutation (the 2-D axis-0 reduceat
+        # takes numpy's slow path and a 200 MB temporary at realistic batch
+        # sizes)
         order = np.argsort(ids, kind="stable")
         ids_s = ids[order]
         hs = hashes[order]
         starts = np.flatnonzero(np.diff(ids_s, prepend=ids_s[0] - 1))
         uniq = ids_s[starts]
+        sigs = np.empty((len(uniq), self.num_perm), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            vals = self.a[None, :] * hs[:, None] + self.b[None, :]
-        sigs = (np.minimum.reduceat(vals, starts, axis=0) >> np.uint64(1)).astype(
-            np.int64
-        )
+            for j in range(self.num_perm):
+                v = self.a[j] * hs + self.b[j]
+                sigs[:, j] = np.minimum.reduceat(v, starts)
+        sigs = (sigs >> np.uint64(1)).astype(np.int64)
         bh = self._band_hashes(sigs)  # (n_docs, bands)
         n_docs = len(uniq)
         return pa.table(
@@ -284,10 +301,12 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    import pandas as pd
+
     parents, tokens, _ = split_tokens(texts)
-    th = np.fromiter(
-        (_h64(t) for t in tokens.to_pylist()), count=len(parents), dtype=np.uint64
-    )
+    th = pd.util.hash_array(
+        tokens.to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     votes = np.zeros((len(texts), 64), dtype=np.int64)
     np.add.at(votes, parents, 2 * bits - 1)

@@ -87,12 +87,13 @@ class LangId:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         parents, tokens, _ = split_tokens(texts)
-        toks = tokens.to_pylist()
         langs = sorted(self.tables)
         counts = np.zeros((len(texts), len(langs)), dtype=np.int32)
         for li, lang in enumerate(langs):
-            table = self.tables[lang]
-            hits = np.fromiter((t in table for t in toks), count=len(toks), dtype=bool)
+            # vectorized set membership (Arrow kernel, no per-token Python)
+            hits = pc.is_in(
+                tokens, value_set=pa.array(sorted(self.tables[lang]))
+            ).to_numpy(zero_copy_only=False)
             np.add.at(counts[:, li], parents[hits], 1)
         best = counts.argmax(axis=1)
         none = counts.max(axis=1) == 0
