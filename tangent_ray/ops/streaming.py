@@ -69,6 +69,73 @@ def tumbling_window(ds, key_col="event_type", ts_col="ts", value_col="value", un
     )
 
 
+def hopping_window(ds, key_col="event_type", ts_col="ts", value_col="value",
+                   size_hours: int = 2, hop_hours: int = 1):
+    """Overlapping (hopping) windows: size ``size_hours`` advancing by
+    ``hop_hours`` — each event lands in ``size/hop`` windows.
+
+    Same combiner shape as :func:`tumbling_window`: the per-batch partial
+    explodes each event into its windows VECTORIZED (one repeat + offset
+    subtraction, no per-event Python), pre-aggregates, and the final
+    groupby folds tiny partial rows only. ``size`` must be a multiple of
+    ``hop``."""
+    import pandas as pd
+
+    assert size_hours % hop_hours == 0
+    k = size_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch[ts_col], multiple=hop_hours, unit="hour")
+        base_us = base.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = len(base_us)
+        # window starts: base - j*hop for j in 0..k-1
+        starts = (
+            np.repeat(base_us, k)
+            - np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        )
+        t = pa.table(
+            {
+                key_col: pa.array(
+                    np.repeat(batch[key_col].to_numpy(zero_copy_only=False), k)
+                ),
+                "window_start": pa.array(
+                    starts.astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "v": pa.array(
+                    np.repeat(batch[value_col].to_numpy(zero_copy_only=False), k)
+                ),
+            }
+        )
+        agg = t.group_by([key_col, "window_start"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+        return pa.table(
+            {
+                key_col: agg[key_col],
+                "window_start": agg["window_start"],
+                "n": pc.cast(agg["v_count"], pa.int64()),
+                "sum_value": agg["v_sum"],
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n": [np.int64(g["n"].sum())],
+                "sum_value": [float(round_half_away(g["sum_value"].sum(), 6))],
+            }
+        )
+
+    return part.groupby([key_col, "window_start"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
                gap_minutes: int = 30):
     """Gap-based session windows per key: a new session starts whenever the

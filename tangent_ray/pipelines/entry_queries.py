@@ -333,6 +333,26 @@ def q_events_window(sf_dir: str):
     return _cast64(t, ["n"])
 
 
+HOP_SIZE_H, HOP_H = 2, 1
+
+
+def q_events_hopping(sf_dir: str):
+    """Overlapping (hopping) window aggregate: 2h windows advancing by 1h —
+    each event lands in two windows (streaming §2.9 breadth beyond the
+    tumbling window)."""
+    import ray.data
+
+    from tangent_ray.ops.streaming import hopping_window
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    t = _collect(hopping_window(ds, size_hours=HOP_SIZE_H, hop_hours=HOP_H))
+    i = t.column_names.index("window_start")
+    t = t.set_column(i, "window_start", pc.cast(t["window_start"], pa.timestamp("us")))
+    return _cast64(t, ["n"])
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -850,6 +870,15 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "events_hopping": f"""
+        SELECT event_type,
+               date_trunc('hour', ts) - j * INTERVAL 1 HOUR AS window_start,
+               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+        FROM events,
+             LATERAL (SELECT unnest(generate_series(0, {HOP_SIZE_H // HOP_H - 1}))
+                      AS j) g
+        GROUP BY 1, 2
+    """,
     "top_revenue_nations": """
         SELECT n_name,
                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -878,6 +907,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "shingle_candidates": q_shingle_candidates,
     "events_window": q_events_window,
+    "events_hopping": q_events_hopping,
     "sessions": q_sessions,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
