@@ -20,8 +20,18 @@ multi-score lists:
   ``min(q_count, c_count)`` instances' pairs (scored by pair matches
   against the query's pairs for that symbol), then v00 runs on the filtered
   pair set; a second unique-element f-measure breaks ties.
+- ``v03`` — v02 plus greedy variable unification
+  (``ranking_functions.py:542-619``): anonymized per-variable pair lists
+  score every (query var, candidate var) unification, accepted 1-to-1
+  greedily; scores under the rewritten (unified) pair lists come first.
 - ``mss`` (v04) — Maximum Subtree Similarity with unification, in
   :mod:`tangent_ray.rerank.mss`.
+- ``v05`` — MSS over multiple disjoint sub-matches with a shared
+  unification map (:func:`tangent_ray.rerank.mss.mss_multi_score`).
+- ``v06``-``v11`` — the wildcard-subtree matcher family
+  (:mod:`tangent_ray.rerank.subtree`); v07/v09 disable unification ("E"
+  constraints), each pairs the v06 matcher with a different scoring
+  (m7/m8/m6/m9/m10/m4 — ``ranking_functions.py:2028-2066``).
 - ``core`` — bypass: keep the engine's core score (reference metric -1).
 
 Pairs are ``slt_tuples(..., window=0 (unbounded), eol="none")`` like the
@@ -126,27 +136,30 @@ def similarity_v01(query_slt: str, candidate_slt: str) -> tuple:
     return (0.0,)
 
 
-def similarity_v02(pairs_query: list[Pair], pairs_candidate: list[Pair]) -> tuple:
-    def count_unique(pairs: list[Pair]) -> dict[str, int]:
-        locs: dict[str, set[str]] = {}
-        for a, _, _, loc in pairs:
-            locs.setdefault(a, set()).add(loc)
-        return {a: len(s) for a, s in locs.items()}
+def _count_unique(pairs: list[Pair]) -> dict[str, int]:
+    """Unique instance (location) count per ancestor element."""
+    locs: dict[str, set[str]] = {}
+    for a, _, _, loc in pairs:
+        locs.setdefault(a, set()).add(loc)
+    return {a: len(s) for a, s in locs.items()}
 
-    e_query = count_unique(pairs_query)
-    e_candidate = count_unique(pairs_candidate)
+
+def _per_element(pairs: list[Pair]) -> dict[str, list[Pair]]:
+    out: dict[str, list[Pair]] = {}
+    for p in pairs:
+        out.setdefault(p[0], []).append(p)
+    return out
+
+
+def similarity_v02(pairs_query: list[Pair], pairs_candidate: list[Pair]) -> tuple:
+    e_query = _count_unique(pairs_query)
+    e_candidate = _count_unique(pairs_candidate)
     overlap = {
         a: min(e_query[a], e_candidate[a]) for a in e_query if a in e_candidate
     }
 
-    def per_element(pairs: list[Pair]) -> dict[str, list[Pair]]:
-        out: dict[str, list[Pair]] = {}
-        for p in pairs:
-            out.setdefault(p[0], []).append(p)
-        return out
-
-    pe_query = per_element(pairs_query)
-    pe_candidate = per_element(pairs_candidate)
+    pe_query = _per_element(pairs_query)
+    pe_candidate = _per_element(pairs_candidate)
 
     final_pairs_candidate: list[Pair] = []
     total_elements_matched = 0
@@ -178,6 +191,84 @@ def similarity_v02(pairs_query: list[Pair], pairs_candidate: list[Pair]) -> tupl
     return (pair_fmeasure, elements_fmeasure)
 
 
+def _is_var_tag(tag: str) -> bool:
+    return tag.startswith("V!") or tag.startswith("?")
+
+
+def _unification_pairs(tag_pairs: list[Pair]) -> list[Pair]:
+    """Anonymize one element's pair list for unification testing: the
+    (common) ancestor becomes ``<U>``, self-references ``<U>``, other
+    variables ``<V>`` (``generate_unification_pairs``,
+    ``ranking_functions.py:496-510``)."""
+    out: list[Pair] = []
+    for anc, desc, rel, loc in tag_pairs:
+        if desc == anc:
+            u_desc = "<U>"
+        elif _is_var_tag(desc):
+            u_desc = "<V>"
+        else:
+            u_desc = desc
+        out.append(("<U>", u_desc, rel, loc))
+    return out
+
+
+def _unify_vars(pairs: list[Pair], variables: dict[str, int | None]) -> list[Pair]:
+    """Rewrite accepted-variable tags to shared ``U!<idx>`` placeholders and
+    pool all constants as ``N!U`` (``unify_variables``,
+    ``ranking_functions.py:513-539``)."""
+    out: list[Pair] = []
+    for anc, desc, rel, loc in pairs:
+        if anc in variables:
+            if variables[anc] is not None:
+                anc = f"U!{variables[anc]}"
+        elif anc.startswith("N!"):
+            anc = "N!U"
+        if desc in variables:
+            if variables[desc] is not None:
+                desc = f"U!{variables[desc]}"
+        elif desc.startswith("N!"):
+            desc = "N!U"
+        out.append((anc, desc, rel, loc))
+    return out
+
+
+def similarity_v03(pairs_query: list[Pair], pairs_candidate: list[Pair]) -> tuple:
+    """v02 plus greedy variable unification (``similarity_v03``,
+    ``ranking_functions.py:542-619``): every (query var, candidate var)
+    pair is scored by the f-measure of their anonymized pair lists, the
+    best-scoring pairs are accepted 1-to-1 greedily, both pair lists are
+    rewritten under the accepted map (constants pooled), and the score is
+    ``(unified pair f, original pair f, unified element f)``."""
+    v_query: dict[str, int | None] = {
+        t: None for t in _count_unique(pairs_query) if _is_var_tag(t)
+    }
+    v_candidate: dict[str, int | None] = {
+        t: None for t in _count_unique(pairs_candidate) if _is_var_tag(t)
+    }
+    pe_query = _per_element(pairs_query)
+    pe_candidate = _per_element(pairs_candidate)
+    uq = {t: _unification_pairs(pe_query[t]) for t in v_query}
+    uc = {t: _unification_pairs(pe_candidate[t]) for t in v_candidate}
+
+    weights = []
+    for qv in v_query:
+        for cv in v_candidate:
+            m = _match_count(uq[qv], uc[cv])
+            f = get_fmeasure(m, len(uq[qv]), len(uc[cv]))
+            weights.append(((f, 1.0 if qv == cv else 0.0), qv, cv))
+    n_accepted = 0
+    for (f, _same), qv, cv in sorted(weights, reverse=True):
+        if f > 0.0 and v_query[qv] is None and v_candidate[cv] is None:
+            v_query[qv] = v_candidate[cv] = n_accepted
+            n_accepted += 1
+
+    u_scores = similarity_v02(
+        _unify_vars(pairs_query, v_query), _unify_vars(pairs_candidate, v_candidate)
+    )
+    o_scores = similarity_v02(pairs_query, pairs_candidate)
+    return (u_scores[0], o_scores[0], u_scores[1])
+
+
 def _score_v00(query_slt: str, cand_slt: str) -> tuple:
     return similarity_v00(slt_pairs(query_slt), slt_pairs(cand_slt))
 
@@ -188,6 +279,35 @@ def _score_v01(query_slt: str, cand_slt: str) -> tuple:
 
 def _score_v02(query_slt: str, cand_slt: str) -> tuple:
     return similarity_v02(slt_pairs(query_slt), slt_pairs(cand_slt))
+
+
+def _score_v03(query_slt: str, cand_slt: str) -> tuple:
+    return similarity_v03(slt_pairs(query_slt), slt_pairs(cand_slt))
+
+
+def _score_v05(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.mss import mss_multi_score
+
+    return mss_multi_score(query_slt, cand_slt)
+
+
+def _score_v07(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.subtree import (
+        all_exact_constraints,
+        subtree_metric_score,
+    )
+
+    # v07 overrides the constraint tree to "E" (unification disabled,
+    # ranking_functions.py:2034-2040)
+    return subtree_metric_score(
+        query_slt, cand_slt, all_exact_constraints(query_slt), "m7"
+    )
+
+
+def _score_v08(query_slt: str, cand_slt: str) -> tuple:
+    from tangent_ray.rerank.subtree import subtree_metric_score
+
+    return subtree_metric_score(query_slt, cand_slt, None, "m8")
 
 
 def _score_mss(query_slt: str, cand_slt: str) -> tuple:
@@ -226,8 +346,12 @@ METRICS = {
     "v00": _score_v00,
     "v01": _score_v01,
     "v02": _score_v02,
+    "v03": _score_v03,
     "v04": _score_mss,
     "mss": _score_mss,
+    "v05": _score_v05,
+    "v07": _score_v07,
+    "v08": _score_v08,
     # wildcard-subtree matcher family (rerank/subtree.py). Each replays its
     # published reranked_paper_m{N}_w0_e2.tsv golden file EXACTLY
     # (tests/test_golden_replay.py): m2 = v09's scoring with default (U)

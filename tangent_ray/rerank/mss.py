@@ -329,13 +329,28 @@ def _matched_edges(locations: list[str]) -> int:
     return sum(1 for loc in locs if loc and loc[:-1] in locs)
 
 
-def _score_alignment(
-    st: _AlignState, qsize: int, csize: int
-) -> tuple[tuple[float, int, int], list[tuple[str, str, str, str]]]:
+@dataclass
+class _ScoredAlign:
+    """One unified alignment: score triple, accepted entry lists, and the
+    greedy 1-to-1 symbol maps it committed to (query tag -> candidate tag)."""
+
+    score: tuple[float, int, int]
+    matched: list[tuple[str, str, str, str]]
+    unified: list[tuple[str, str, str, str]]
+    var_map: dict[str, str | None]
+    wild_map: dict[str, str | None]
+
+    @property
+    def used(self) -> list[tuple[str, str, str, str]]:
+        return self.matched + self.unified
+
+
+def _score_alignment(st: _AlignState, qsize: int, csize: int) -> _ScoredAlign:
     matched = list(st.matched)
     unified: list[tuple[str, str, str, str]] = []
     not_unified = 0
 
+    w_u: dict[str, str | None] = {}
     if st.u_wild:
         w_u = _greedy_unify(st.u_wild)
         for e in st.u_wild:
@@ -365,7 +380,9 @@ def _score_alignment(
         if sym_rec + edge_rec > 0
         else 0.0
     )
-    return (hs, -(csize - n_unified), len(matched)), matched + unified
+    return _ScoredAlign(
+        (hs, -(csize - n_unified), len(matched)), matched, unified, v_u, w_u
+    )
 
 
 ZERO_SCORE = (0.0, 0, 0)
@@ -415,15 +432,155 @@ def mss_score(
         if (qi, ci) not in pending:
             continue
         st = _grow_alignment(qn, qp, cn, cp, con, restricted, qsize)
-        score, used = _score_alignment(st, qsize, csize)
+        res = _score_alignment(st, qsize, csize)
         # consume used pairs (reference removes matched+unified alignments)
-        for _, _, upq, upc in used:
+        for _, _, upq, upc in res.used:
             key = (qpath_index.get(upq), cpath_index.get(upc))
             pending.discard(key)
         pending.discard((qi, ci))
-        if score > best:
-            best = score
+        if res.score > best:
+            best = res.score
     return best
+
+
+def mss_multi_score(
+    query: SLTNode | str,
+    candidate: SLTNode | str,
+    constraints: ConstraintTree | str | None = None,
+) -> tuple[float, int, int]:
+    """``similarity_v05``: MSS with multiple disjoint sub-matches.
+
+    Where v04 keeps only the single best aligned subtree, v05 accepts the
+    best alignment in full and then folds in further alignments' entries
+    that (a) touch only still-unaligned query/candidate nodes and (b) carry
+    a variable/wildcard unification consistent with the map accumulated so
+    far (``ranking_functions.py:1151-1315``). The final triple pools all
+    accepted sub-matches: harmonic mean of pooled node recall and pooled
+    per-sub-match edge recall, negated candidate leftovers, pooled exact
+    matches (``similarity_scores_from_u_alignments``,
+    ``ranking_functions.py:1104-1149``)."""
+    q_root = MNode.from_slt(parse_slt(query) if isinstance(query, str) else query)
+    c_root = MNode.from_slt(
+        parse_slt(candidate) if isinstance(candidate, str) else candidate
+    )
+    if isinstance(constraints, str):
+        constraints = ConstraintTree.from_slt(constraints)
+    con = constraints or ConstraintTree()
+
+    q_nodes = node_list(q_root)
+    c_nodes = node_list(c_root)
+    qsize, csize = len(q_nodes), len(c_nodes)
+    restricted = {
+        n.te
+        for n, p in q_nodes
+        if n.te.startswith("V!") and not con.at(p).unifiable
+    }
+    qpath_index = {p: i for i, (_, p) in enumerate(q_nodes)}
+    cpath_index = {p: i for i, (_, p) in enumerate(c_nodes)}
+
+    # same alignment generation/consumption as mss_score, keeping every
+    # scored alignment instead of only the max
+    pending: set[tuple[int, int]] = set()
+    roots: list[tuple[MNode, str, MNode, str, int, int]] = []
+    for qi, (qn, qp) in enumerate(q_nodes):
+        spec = con.at(qp)
+        for ci, (cn, cp) in enumerate(c_nodes):
+            if qn.te == cn.te or spec.check(qn.te, cn.te):
+                roots.append((qn, qp, cn, cp, qi, ci))
+                pending.add((qi, ci))
+    scored: list[_ScoredAlign] = []
+    for qn, qp, cn, cp, qi, ci in roots:
+        if (qi, ci) not in pending:
+            continue
+        st = _grow_alignment(qn, qp, cn, cp, con, restricted, qsize)
+        res = _score_alignment(st, qsize, csize)
+        for _, _, upq, upc in res.used:
+            pending.discard((qpath_index.get(upq), cpath_index.get(upc)))
+        pending.discard((qi, ci))
+        scored.append(res)
+    scored.sort(key=lambda r: r.score, reverse=True)
+
+    aligned_q: set[str] = set()
+    aligned_c: set[str] = set()
+    var_map: dict[str, str] = {}  # query var tag -> candidate var tag
+    var_rev: dict[str, str] = {}
+    wild_map: dict[str, str] = {}
+    wild_rev: dict[str, str] = {}
+    total_exact = total_unified = total_edges = 0
+    accepted_any = False
+
+    for res in scored:
+        if not accepted_any:
+            valid_m, valid_u = res.matched, res.unified
+            for q_te, c_te in res.var_map.items():
+                if c_te is not None:
+                    var_map[q_te], var_rev[c_te] = c_te, q_te
+            for q_te, c_te in res.wild_map.items():
+                if c_te is not None:
+                    wild_map[q_te], wild_rev[c_te] = c_te, q_te
+        else:
+            # merge compatible unifications; conflicting query tags are
+            # invalid for this sub-match
+            new_var: dict[str, str] = {}
+            new_wild: dict[str, str] = {}
+            invalid: set[str] = set()
+            for q_te, c_te in res.var_map.items():
+                if c_te is None:
+                    continue
+                if var_map.get(q_te) == c_te:
+                    continue
+                if q_te not in var_map and c_te not in var_rev:
+                    new_var[q_te] = c_te
+                else:
+                    invalid.add(q_te)
+            for q_te, c_te in res.wild_map.items():
+                if c_te is None:
+                    continue
+                if wild_map.get(q_te) == c_te:
+                    continue
+                if q_te not in wild_map and c_te not in wild_rev:
+                    new_wild[q_te] = c_te
+                else:
+                    invalid.add(q_te)
+
+            def _ok(e: tuple[str, str, str, str]) -> bool:
+                return (
+                    e[2] not in aligned_q
+                    and e[3] not in aligned_c
+                    and e[0] not in invalid
+                )
+
+            valid_m = [e for e in res.matched if _ok(e)]
+            valid_u = [e for e in res.unified if _ok(e)]
+            if not valid_m and not valid_u:
+                continue
+            for q_te, c_te in new_var.items():
+                var_map[q_te], var_rev[c_te] = c_te, q_te
+            for q_te, c_te in new_wild.items():
+                wild_map[q_te], wild_rev[c_te] = c_te, q_te
+
+        accepted_any = True
+        for e in valid_m + valid_u:
+            aligned_q.add(e[2])
+            aligned_c.add(e[3])
+        total_exact += len(valid_m)
+        total_unified += len(valid_m) + len(valid_u)
+        # edges within THIS sub-match's accepted query locations
+        total_edges += _matched_edges([e[2] for e in valid_m + valid_u])
+
+    if not accepted_any:
+        return ZERO_SCORE
+    sym_rec = total_unified / float(qsize)
+    if qsize > 1:
+        edge_rec = (total_edges if total_edges > 0 else 0.5) / float(qsize - 1)
+    else:
+        edge_rec = 1.0
+    hs = (
+        2.0 * sym_rec * edge_rec / (sym_rec + edge_rec)
+        if sym_rec + edge_rec > 0
+        else 0.0
+    )
+    return (hs, -(csize - total_unified), total_exact)
 
 
 def rerank_candidates(

@@ -111,3 +111,88 @@ def test_combine_math_mss_vector_rides_along():
     got = combine_math([QX], {7: [QX]}, how="mss")
     assert len(got[7]) == 3  # (h, unmatched, exact) vector preserved
     assert got[7][0] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# v03 (pairs + greedy unification), v05 (multi-submatch MSS), v07/v08
+# (subtree matcher with edge-Dice scoring)
+
+
+def test_v03_unifies_variables_and_pools_constants():
+    from tangent_ray.rerank.metrics import similarity_v03
+
+    # x+1 vs y+2: no pair matches literally, but x<->y unify and constants
+    # pool to N!U, so the unified pair f-measure is perfect while the
+    # original one is 0 (score order: unified-pair f, original f, element f)
+    assert similarity_v03(slt_pairs(QA), slt_pairs("[V!y[+[N!2]]]")) == (
+        1.0,
+        0.0,
+        1.0,
+    )
+    # identity: everything 1.0
+    assert similarity_v03(slt_pairs(QA), slt_pairs(QA)) == (1.0, 1.0, 1.0)
+    # fully disjoint: all zero
+    assert similarity_v03(slt_pairs(QA), slt_pairs("[O!([N!9[)]]]")) == (
+        0.0,
+        0.0,
+        0.0,
+    )
+
+
+def test_v03_one_to_one_greedy_unification():
+    from tangent_ray.rerank.metrics import similarity_v03
+
+    # query has ONE variable, candidate TWO: greedy unification must pick
+    # V!b (anonymized pair f 1.0) over V!a (0.667). With x<->b the
+    # element-limited unified candidate pairs equal the query's exactly,
+    # while V!a stays an unmatched element (element f = 2*(2/2)*(2/3)/(5/3))
+    q = slt_pairs("[V!x[+[N!1]]]")
+    c = slt_pairs("[V!a[+[V!b[+[N!1]]]]]")
+    u_f, o_f, e_f = similarity_v03(q, c)
+    assert u_f == pytest.approx(1.0)
+    assert o_f == pytest.approx(0.5)
+    assert e_f == pytest.approx(2 * 1.0 * 0.5 / 1.5)
+    assert u_f > o_f  # unification can only help
+
+
+def test_v05_pools_disjoint_submatches():
+    from tangent_ray.rerank.mss import mss_multi_score, mss_score
+
+    # untyped operators can't unify, and the interleaved % chain prevents a
+    # single grown alignment from covering =, <, > together; v05 pools the
+    # three 1-node sub-matches where v04 keeps only the best one
+    q = "[=[<[>]]]"
+    c = "[=[%[<[%[>]]]]]"
+    assert mss_score(q, c) == pytest.approx((2 * (1 / 3) * (1 / 4) / (1 / 3 + 1 / 4), -4, 1))
+    hs, unmatched, exact = mss_multi_score(q, c)
+    assert exact == 3 and unmatched == -2
+    # pooled: sym 3/3, per-submatch edges 0 -> 0.5/(qsize-1) floor
+    assert hs == pytest.approx(2 * (1.0 * 0.25) / (1.0 + 0.25))
+    # identity: one alignment takes everything
+    assert mss_multi_score(q, q) == (1.0, 0, 3)
+
+
+def test_v05_unification_consistency_across_submatches():
+    from tangent_ray.rerank.mss import mss_multi_score
+
+    # first submatch unifies V!x<->V!p; a later submatch wanting V!x<->V!q
+    # is rejected for the conflicting entry (consistent-map rule)
+    q = "[V!x[=[V!x]]]"
+    c = "[V!p[=[V!q]]]"
+    hs, unmatched, exact = mss_multi_score(q, c)
+    # one alignment: = exact, one V!x unifies, the other V!x cannot map to a
+    # second distinct candidate var 1-to-1 within that alignment
+    assert exact == 1
+    assert unmatched == -1  # 3 candidate nodes - 2 unified
+
+
+def test_v07_v08_registry_ordering():
+    # v07 disables unification: x+1 vs y+1 only matches [+, N!1]; v08
+    # unifies x<->y as well, so it must score at least as high
+    qa, qb = QA, "[V!y[+[N!1]]]"
+    v07 = METRICS["v07"]
+    v08 = METRICS["v08"]
+    assert v07(qa, qa) > v07(qa, qb) > v07(qa, "[O!(]")
+    assert v08(qa, qb)[0] >= v07(qa, qb)[0]
+    for name in ("v03", "v05", "v07", "v08"):
+        assert name in METRICS
