@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import zlib
 
 import numpy as np
@@ -210,6 +211,7 @@ def build_partition(
     (strong-scaling benchmarks fix it to the target-cluster value so the
     same job shape runs at every resource level; default lets Ray choose).
     """
+    t_start = time.monotonic()
     tmp = partial_dir + "__tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -298,6 +300,13 @@ def build_partition(
             raise dm_err[0]
 
     manifest = _partition_manifest(tmp, files, n_docs, cfg, corpus)
+    # per-partition build metrics ride with the lineage (the checkpoint
+    # record a resumed run reports without recomputing anything)
+    elapsed = time.monotonic() - t_start
+    manifest["metrics"] = {
+        "build_seconds": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1) if elapsed > 0 else None,
+    }
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     if os.path.exists(partial_dir):
@@ -395,6 +404,17 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
         "avgdl_text": (tokens_text / n_docs) if n_docs else 0.0,
         "config": cfg.to_json(),
         "corpus": corpus_kind(corpus),
+        # pooled per-partition build metrics (partition wall-times overlap
+        # only if partitions ran concurrently; the sum is total build work)
+        "metrics": {
+            "partition_build_seconds_sum": round(
+                sum(m.get("metrics", {}).get("build_seconds") or 0.0 for m in manifests),
+                3,
+            ),
+            "partitions_with_metrics": sum(
+                1 for m in manifests if m.get("metrics")
+            ),
+        },
     }
     # global term-stats sidecar (A4 corpus stats, ``mathindex.cpp:62-79``):
     # term -> (kind, global df, cf). Sharded serving needs GLOBAL df for
