@@ -573,6 +573,41 @@ def q_math_tuple_stats(sf_dir: str):
     return _cast64(_collect(out), ["df", "cf"])
 
 
+def q_expr_reorder_stats(sf_dir: str):
+    """A10: tuple-count quartiles + 20-bucket order-statistic distribution
+    over the unique math expressions of the transcript corpus
+    (``mathindex.cpp:87-99``), computed from a distributed count histogram
+    (no global sort). One row per distribution break."""
+    import ray.data
+
+    from tangent_ray.fixtures import write_transcripts
+    from tangent_ray.index.reorder import (
+        expr_tuple_counts,
+        reorder_stats,
+        tc_histogram,
+    )
+
+    sf = _sf_of(sf_dir)
+    n_convs = _SF_CONVS.get(sf, 120)
+    data_dir = os.path.join(_TMP_ROOT, f"transcripts-{sf}")
+    write_transcripts(data_dir, n_convs, files=4)
+    cfg = EngineConfig(window=2, eol="small")
+    ds = ray.data.read_parquet(data_dir, columns=["text"])
+    counts = expr_tuple_counts(ds, cfg).materialize()
+    stats = reorder_stats(tc_histogram(counts))
+    n = len(stats["disttc"])
+    return pa.table(
+        {
+            "bucket": pa.array(range(n), type=pa.int64()),
+            "expr_rank": pa.array(stats["distexpr"], type=pa.int64()),
+            "tc": pa.array(stats["disttc"], type=pa.int64()),
+            "q1": pa.array([stats["q1"]] * n, type=pa.int64()),
+            "q2": pa.array([stats["q2"]] * n, type=pa.int64()),
+            "n_exprs": pa.array([stats["n_exprs"]] * n, type=pa.int64()),
+        }
+    )
+
+
 def q_lang_id(sf_dir: str):
     import ray.data
 
@@ -916,6 +951,7 @@ QUERIES = {
     "transcript_rerank": q_transcript_rerank,
     "index_verify": q_index_verify,
     "math_tuple_stats": q_math_tuple_stats,
+    "expr_reorder_stats": q_expr_reorder_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
     "ann_ivf": q_ann_ivf,
