@@ -434,3 +434,119 @@ def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
         )
 
     return inter.map_batches(to_jaccard, batch_format="pyarrow")
+
+
+def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
+                         node_col: str = "doc_id", max_iters: int = 64):
+    """Duplicate clusters from a candidate-pair graph: connected components
+    by iterative min-label propagation.
+
+    Returns a Dataset of ``(doc_id, cluster)`` for EVERY node in ``nodes``
+    (singletons label themselves); ``cluster`` is the component's minimum
+    doc id. Each round is two key shuffles and no joins:
+
+    1. edges and current labels co-group on the source node; the group
+       emits the node's label to itself and to each neighbor;
+    2. ``groupby(node)`` takes the min candidate; a ``changed`` flag is
+       computed against the carried old label, and the driver reads ONE
+       aggregate row per round to detect convergence.
+
+    Labels only decrease, so the rounds needed equal the graph diameter
+    (near-dup graphs are shallow: clusters are quasi-cliques from shared
+    shingles/bands). Star-contraction would cut worst-case chains to
+    O(log n) rounds; the per-round plumbing here would be unchanged.
+    Each round materializes the (node, label) frontier — O(V) rows — so
+    lineage stays flat across iterations.
+    """
+    import pyarrow.compute as pc
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "label": pa.array(
+                    np.full(2 * len(a), -1, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def to_labels(batch: pa.Table) -> pa.Table:
+        ids = batch[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ids, type=pa.int64()),
+                "dst": pa.array(np.full(len(ids), -1, np.int64), type=pa.int64()),
+                "label": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    labels = nodes.map_batches(to_labels, batch_format="pyarrow").materialize()
+
+    def propagate(g: pa.Table) -> pa.Table:
+        lab = g["label"].to_numpy(zero_copy_only=False)
+        own = lab[lab >= 0]
+        if len(own) == 0:  # edge endpoints not present in nodes: skip
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64()),
+                 "old": pa.array([], pa.int64())}
+            )
+        label = int(own.min())
+        node = int(g["key"][0].as_py())
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        dst = np.unique(dst[dst >= 0])
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([[node], dst]), type=pa.int64()),
+                "cand": pa.array(
+                    np.full(len(dst) + 1, label, np.int64), type=pa.int64()
+                ),
+                # the node's own row carries its old label for change
+                # detection; neighbor messages carry a -1 sentinel
+                "old": pa.array(
+                    np.concatenate([[label], np.full(len(dst), -1, np.int64)]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        cand = g["cand"].to_numpy(zero_copy_only=False)
+        old = g["old"].to_numpy(zero_copy_only=False)
+        own = old[old >= 0]
+        new = int(cand.min())
+        prev = int(own.max()) if len(own) else new
+        return pa.table(
+            {
+                "key": pa.array([int(g["node"][0].as_py())], type=pa.int64()),
+                "dst": pa.array([-1], type=pa.int64()),
+                "label": pa.array([new], type=pa.int64()),
+                "changed": pa.array([int(new < prev)], type=pa.int64()),
+            }
+        )
+
+    for _ in range(max_iters):
+        msgs = edges.union(labels).groupby("key").map_groups(
+            propagate, batch_format="pyarrow"
+        )
+        folded = msgs.groupby("node").map_groups(
+            fold, batch_format="pyarrow"
+        ).materialize()
+        changed = folded.sum("changed")
+        labels = folded.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_col: batch["key"],
+                "cluster": pc.cast(batch["label"], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(out, batch_format="pyarrow")

@@ -319,6 +319,21 @@ def q_shingle_candidates(sf_dir: str):
     return _cast64(t.select(["doc_a", "doc_b"]), ["doc_a", "doc_b"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate clusters: connected components over the shingle candidate
+    graph (min-label propagation, two shuffles per round, no joins); every
+    document gets a cluster id (the component's min doc_id)."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import connected_components, shingle_candidates
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    pairs = shingle_candidates(ds, n=SHINGLE_N)
+    nodes = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
+    t = _collect(connected_components(pairs, nodes))
+    return _cast64(t, ["doc_id", "cluster"])
+
+
 def q_events_window(sf_dir: str):
     import ray.data
 
@@ -900,6 +915,30 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                       || ' ' || ts[i+4] AS shingle
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ts) - {SHINGLE_N - 1}))
+                        AS i) g
+        ), e AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        ), cc(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN e ON cc.node = e.u
+        )
+        SELECT node AS doc_id, min(label)::BIGINT AS cluster
+        FROM cc GROUP BY node
+    """,
     "events_window": """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -941,6 +980,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,
     "shingle_candidates": q_shingle_candidates,
+    "dedup_clusters": q_dedup_clusters,
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "sessions": q_sessions,

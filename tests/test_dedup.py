@@ -99,3 +99,44 @@ def test_minhash_candidates_finds_near_dups(ray_session):
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_connected_components_chains_and_singletons(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tangent_ray.ops.dedup import connected_components
+
+    # a 6-long chain (needs multiple propagation rounds), a triangle with a
+    # redundant edge, and a singleton
+    pairs = pa.table(
+        {
+            "doc_a": [2, 3, 4, 5, 6, 20, 21, 20],
+            "doc_b": [3, 4, 5, 6, 7, 21, 22, 22],
+        }
+    )
+    nodes = pa.table({"doc_id": [2, 3, 4, 5, 6, 7, 20, 21, 22, 50]})
+    got = connected_components(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(nodes)
+    ).take_all()
+    lab = {r["doc_id"]: r["cluster"] for r in got}
+    assert lab == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2,
+                   20: 20, 21: 20, 22: 20, 50: 50}
+
+
+def test_connected_components_iteration_cap(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tangent_ray.ops.dedup import connected_components
+
+    # with max_iters=1 a long chain cannot fully converge: the far end of
+    # the chain keeps an intermediate label (bounded work is honored)
+    pairs = pa.table({"doc_a": [1, 2, 3, 4], "doc_b": [2, 3, 4, 5]})
+    nodes = pa.table({"doc_id": [1, 2, 3, 4, 5]})
+    got = connected_components(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(nodes), max_iters=1
+    ).take_all()
+    lab = {r["doc_id"]: r["cluster"] for r in got}
+    assert lab[1] == 1 and lab[2] == 1
+    assert lab[5] == 4  # one hop of propagation only
