@@ -250,7 +250,7 @@ class _BMWIter:
 
     __slots__ = (
         "idf", "k1", "b", "avgdl", "plan_pos", "post", "skips", "lasts",
-        "block_ubs", "gub", "bi", "docs", "tfs", "dls", "pi", "cur",
+        "block_ubs", "gub", "bi", "docs", "tfs", "dls", "pi", "cur", "ncum",
     )
 
     def __init__(self, idf, seg, row, k1, b, avgdl, plan_pos):
@@ -267,9 +267,18 @@ class _BMWIter:
         tfn = mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
         self.block_ubs = self.idf * tfn
         self.gub = float(self.block_ubs.max()) if len(self.block_ubs) else 0.0
+        self.ncum = np.concatenate(
+            [[0], np.cumsum(self.skips["n"].astype(np.int64))]
+        )
         self.cur = _BMW_END
         if len(self.lasts):
             self._load(0)
+
+    def progress(self) -> int:
+        """Postings passed so far (for the mid-flight cost estimate)."""
+        if self.cur == _BMW_END:
+            return int(self.ncum[-1])
+        return int(self.ncum[self.bi]) + self.pi
 
     def _load(self, bi: int) -> None:
         from tangent_ray.index.codec import decode_block
@@ -453,15 +462,27 @@ class QueryScorer:
     #: posting-count threshold above which multi-term text queries take the
     #: block-max WAND path instead of full TAAT accumulation
     wand_min_postings = 500_000
+    #: WAND only when the rarest query term is at least this many times
+    #: smaller than the posting union: the Python pivot loop costs ~10^3 a
+    #: vectorized TAAT posting, so dynamic pruning pays ONLY when a selective
+    #: term drives block skipping (measured: 2 hot terms over a 1.27M-turn
+    #: corpus score in ~95 ms TAAT vs ~4 s doc-at-a-time WAND; even a ~5k-df
+    #: driver term loses to TAAT by ~3x). 0 disables
+    #: the check (tests force the WAND path).
+    wand_drive_ratio = 1024
+    #: runtime safety net: mid-flight, estimate the total pivot iterations
+    #: from progress so far and bail out to TAAT when they exceed
+    #: total_postings / this. 0 disables.
+    wand_bailout_ratio = 256
 
     # -- BM25 ------------------------------------------------------------
     def _score_bm25(
         self, terms: list[str], k: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self.reader
-        k1, b = self.cfg.k1, self.cfg.b
         plan: list[tuple[float, "Segment", int]] = []  # (idf, seg, row)
         total_postings = 0
+        min_df = 1 << 62
         for term in terms:  # sorted order fixes fp summation order
             df = r.global_df(term)
             if df == 0:
@@ -469,6 +490,7 @@ class QueryScorer:
             idf = _bm25_idf(r.N, df)
             self.last_stats["terms"] += 1
             total_postings += df
+            min_df = min(min_df, df)
             for seg in r.segments:
                 for row in seg.lookup.get(term, ()):
                     plan.append((idf, seg, row))
@@ -477,8 +499,16 @@ class QueryScorer:
             and len(terms) >= 2
             and len(plan) >= 2
             and total_postings >= self.wand_min_postings
+            and min_df * self.wand_drive_ratio <= total_postings
         ):
-            return self._score_bm25_wand(plan, k)
+            return self._score_bm25_wand(plan, k, total_postings)
+        return self._score_bm25_taat(plan)
+
+    def _score_bm25_taat(
+        self, plan: list[tuple[float, "Segment", int]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        r = self.reader
+        k1, b = self.cfg.k1, self.cfg.b
         cand: list[np.ndarray] = []
         contrib: list[np.ndarray] = []
         for idf, seg, row in plan:
@@ -491,7 +521,8 @@ class QueryScorer:
         return _accumulate(cand, contrib)
 
     def _score_bm25_wand(
-        self, plan: list[tuple[float, "Segment", int]], k: int
+        self, plan: list[tuple[float, "Segment", int]], k: int,
+        total_postings: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max WAND over the compressed lists (the analogue of the
         reference's threshold-driven candidate skipping + galloping seek,
@@ -516,7 +547,28 @@ class QueryScorer:
         # docid-asc tie-break, so the heap stores (score, -docid) and the
         # prune condition is strictly-less-than the k-th *score*
         heap: list[tuple[float, int]] = []
+        # mid-flight cost control: doc-at-a-time pivoting costs ~10^3 a
+        # vectorized TAAT posting, so if the projected pivot count says the
+        # pruning is not selective enough, restart as one TAAT pass (exact
+        # either way; the probe cost is bounded by _WAND_PROBE iterations)
+        _WAND_PROBE = 16384
+        iters = 0
+        all_postings = sum(int(it.ncum[-1]) for it in its)
         while True:
+            iters += 1
+            if (
+                self.wand_bailout_ratio
+                and iters % _WAND_PROBE == 0
+                and total_postings
+            ):
+                passed = sum(it.progress() for it in its)
+                if passed > 0:
+                    est_total = iters * all_postings / passed
+                    if est_total > total_postings / self.wand_bailout_ratio:
+                        self.last_stats["wand_bailouts"] = (
+                            self.last_stats.get("wand_bailouts", 0) + 1
+                        )
+                        return self._score_bm25_taat(plan)
             its.sort(key=lambda t: t.cur)
             threshold = heap[0][0] if len(heap) >= k else -np.inf
             acc = 0.0

@@ -134,6 +134,8 @@ def test_wand_matches_taat(built_index):
     taat = QueryScorer(built_index[0])
     wand = QueryScorer(built_index[0])
     wand.wand_min_postings = 1  # force the WAND path
+    wand.wand_drive_ratio = 0   # ...even for unselective term mixes
+    wand.wand_bailout_ratio = 0  # and keep it there (no TAAT fallback)
     for row in query_set().to_pylist():
         if row["kind"] != "text":
             continue
