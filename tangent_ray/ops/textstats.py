@@ -72,6 +72,34 @@ def token_count_partial(batch: pa.Table, group_col: str = "source", text_col: st
     )
 
 
+#: GPT-2-style pre-tokenizer pattern (public BPE convention: contraction
+#: suffixes, space-prefixed word/number/punctuation runs, whitespace runs),
+#: ASCII-restricted so the RE2 semantics are portable. Counting uses
+#: Arrow's RE2 (``pc.count_substring_regex``) — the same engine DuckDB's
+#: ``regexp_extract_all`` uses, so the oracle twin is exact by construction.
+BPE_TOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\tA-Za-z0-9']+|[ \\t]+"
+)
+
+
+def bpe_token_count_partial(batch: pa.Table, group_col: str = "source",
+                            text_col: str = "text") -> pa.Table:
+    """BPE-ish regex token counts per group (per-batch partial, one
+    vectorized RE2 pass — the 'how many BPE tokens is this corpus' stage of
+    a training-data pipeline, to first order and without a merges table)."""
+    texts = batch[text_col]
+    counts = pc.count_substring_regex(texts, BPE_TOKEN_RE)
+    t = pa.table({group_col: batch[group_col], "tok": counts})
+    agg = t.group_by([group_col]).aggregate([("tok", "sum"), ("tok", "count")])
+    return pa.table(
+        {
+            group_col: agg[group_col],
+            "total_tokens": pc.cast(agg["tok_sum"], pa.int64()),
+            "n_docs": pc.cast(agg["tok_count"], pa.int64()),
+        }
+    )
+
+
 class LangId:
     """Stopword-overlap language scorer (stateful stage: sets compiled once).
 

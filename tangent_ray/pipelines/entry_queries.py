@@ -221,6 +221,23 @@ def q_token_count_by_source(sf_dir: str):
     return _cast64(_collect(out), ["total_tokens", "n_docs"])
 
 
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish regex token counts per source (one vectorized RE2 pass per
+    batch + a tiny groupby; the DuckDB twin uses the same RE2 engine)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tangent_ray.ops.textstats import bpe_token_count_partial
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "source"])
+    partial = ds.map_batches(bpe_token_count_partial, batch_format="pyarrow")
+    out = partial.groupby("source").aggregate(
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+    return _cast64(_collect(out), ["total_tokens", "n_docs"])
+
+
 def q_knn_cosine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -826,6 +843,13 @@ ORACLE_SQL: dict[str, str] = {
               FROM documents)
         GROUP BY source
     """,
+    "bpe_token_count": """
+        SELECT source,
+               sum(len(regexp_extract_all(text, '__BPE_RE__')))::BIGINT
+                   AS total_tokens,
+               count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY source
+    """,
     "knn_cosine": f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                    WHERE vec_id = {KNN_QUERY_VEC_ID})
@@ -966,6 +990,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+
+def _bpe_sql_pattern() -> str:
+    from tangent_ray.ops.textstats import BPE_TOKEN_RE
+
+    # SQL-quote the apostrophes; backslash escapes pass through verbatim
+    # (DuckDB standard strings) into the same RE2 engine Arrow uses
+    return BPE_TOKEN_RE.replace("'", "''")
+
+
+ORACLE_SQL["bpe_token_count"] = ORACLE_SQL["bpe_token_count"].replace(
+    "__BPE_RE__", _bpe_sql_pattern()
+)
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -976,6 +1013,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "quality_scores": q_quality_scores,
     "token_count_by_source": q_token_count_by_source,
+    "bpe_token_count": q_bpe_token_count,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,

@@ -61,3 +61,23 @@ def test_fingerprint_vectorized_matches_sequential_horner():
             for w in toks:
                 h = h * B + np.uint64(zlib.crc32(w.encode()))
         assert np.int64(h) == got[i]
+
+
+def test_bpe_token_count_partial():
+    import pyarrow as pa
+
+    from tangent_ray.ops.textstats import bpe_token_count_partial
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["a", "a", "b"],
+            "text": ["it's 42 fast-paths", "", "hello   world"],
+        }
+    )
+    out = bpe_token_count_partial(batch)
+    got = {r["source"]: (r["total_tokens"], r["n_docs"]) for r in out.to_pylist()}
+    # "it's 42 fast-paths" -> it, 's, " 42", " fast", "-", paths  = 6
+    # ""                    -> 0
+    # "hello   world"       -> hello, "  ", " world" = 3
+    assert got == {"a": (6, 2), "b": (3, 1)}
