@@ -72,6 +72,64 @@ def token_count_partial(batch: pa.Table, group_col: str = "source", text_col: st
     )
 
 
+def lexical_stats_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Repetition quality signals per doc (the Gopher/C4-style filters):
+    word count, distinct words, type-token ratio and top-word fraction.
+
+    Fully vectorized: tokens dictionary-encode to int codes, (doc, code)
+    pairs fuse into one int64 key, and ``np.unique`` + ``np.add.at`` /
+    ``np.maximum.at`` produce the per-doc distinct and max counts — no
+    Python per-doc loop. Docs with zero words are dropped (the ratios are
+    undefined; the DuckDB twin's groupby drops them identically)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, tokens, _pos = split_tokens(texts)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "n_words": pa.array([], type=pa.int64()),
+            "distinct_words": pa.array([], type=pa.int64()),
+            "type_token_ratio": pa.array([], type=pa.float64()),
+            "top_word_fraction": pa.array([], type=pa.float64()),
+        }
+    )
+    if not len(parents):
+        return empty
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    codes = pc.dictionary_encode(tokens).indices.to_numpy(zero_copy_only=False)
+    key = parents.astype(np.int64) * (int(codes.max()) + 1) + codes
+    pair, pair_counts = np.unique(key, return_counts=True)
+    pair_parent = (pair // (int(codes.max()) + 1)).astype(np.int64)
+
+    n_docs = len(texts)
+    n_words = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(n_words, parents, 1)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(distinct, pair_parent, 1)
+    top = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top, pair_parent, pair_counts)
+
+    keep = n_words > 0
+    nw = n_words[keep].astype(np.float64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "n_words": pa.array(n_words[keep], type=pa.int64()),
+            "distinct_words": pa.array(distinct[keep], type=pa.int64()),
+            "type_token_ratio": pa.array(
+                round_half_away(distinct[keep] / nw, 6), type=pa.float64()
+            ),
+            "top_word_fraction": pa.array(
+                round_half_away(top[keep] / nw, 6), type=pa.float64()
+            ),
+        }
+    )
+
+
 #: GPT-2-style pre-tokenizer pattern (public BPE convention: contraction
 #: suffixes, space-prefixed word/number/punctuation runs, whitespace runs),
 #: ASCII-restricted so the RE2 semantics are portable. Counting uses

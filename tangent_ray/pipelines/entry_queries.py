@@ -221,6 +221,17 @@ def q_token_count_by_source(sf_dir: str):
     return _cast64(_collect(out), ["total_tokens", "n_docs"])
 
 
+def q_lexical_stats(sf_dir: str):
+    """Repetition quality signals (type-token ratio, top-word fraction) —
+    Gopher/C4-style filter inputs, vectorized per batch, no shuffle."""
+    import ray.data
+
+    from tangent_ray.ops.textstats import lexical_stats_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(lexical_stats_batch, batch_format="pyarrow"))
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish regex token counts per source (one vectorized RE2 pass per
     batch + a tiny groupby; the DuckDB twin uses the same RE2 engine)."""
@@ -843,6 +854,21 @@ ORACLE_SQL: dict[str, str] = {
               FROM documents)
         GROUP BY source
     """,
+    "lexical_stats": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS word
+          FROM documents
+        ), c AS (
+          SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2
+        )
+        SELECT doc_id, sum(n)::BIGINT AS n_words,
+               count(*)::BIGINT AS distinct_words,
+               round(count(*)::DOUBLE / sum(n), 6) AS type_token_ratio,
+               round(max(n)::DOUBLE / sum(n), 6) AS top_word_fraction
+        FROM c GROUP BY doc_id
+    """,
     "bpe_token_count": """
         SELECT source,
                sum(len(regexp_extract_all(text, '__BPE_RE__')))::BIGINT
@@ -1014,6 +1040,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_count_by_source": q_token_count_by_source,
     "bpe_token_count": q_bpe_token_count,
+    "lexical_stats": q_lexical_stats,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,

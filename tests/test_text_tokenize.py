@@ -81,3 +81,22 @@ def test_bpe_token_count_partial():
     # ""                    -> 0
     # "hello   world"       -> hello, "  ", " world" = 3
     assert got == {"a": (6, 2), "b": (3, 1)}
+
+
+def test_lexical_stats_batch():
+    import pyarrow as pa
+
+    from tangent_ray.ops.textstats import lexical_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the the the cat", "", "a b c d"],
+        }
+    )
+    out = {r["doc_id"]: r for r in lexical_stats_batch(batch).to_pylist()}
+    assert set(out) == {1, 3}  # empty doc dropped (undefined ratios)
+    assert out[1]["n_words"] == 4 and out[1]["distinct_words"] == 2
+    assert out[1]["top_word_fraction"] == 0.75  # "the" 3 of 4
+    assert out[1]["type_token_ratio"] == 0.5
+    assert out[3]["type_token_ratio"] == 1.0 and out[3]["top_word_fraction"] == 0.25
