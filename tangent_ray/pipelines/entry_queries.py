@@ -221,6 +221,59 @@ def q_token_count_by_source(sf_dir: str):
     return _cast64(_collect(out), ["total_tokens", "n_docs"])
 
 
+CLEAN_MIN_WORDS, CLEAN_MIN_ALPHA = 5, 0.5
+
+
+def q_clean_corpus(sf_dir: str):
+    """Flagship training-data composition, one streaming pipeline:
+    quality gate (vectorized filter, BEFORE the shuffle so junk never
+    moves) -> exact dedup keeping the min-doc_id row per content hash
+    (narrow shuffle: text hashes, not text, key the groupby) -> token
+    totals per source. Shows the ops compose end-to-end."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tangent_ray.ops.dedup import _h64
+    from tangent_ray.ops.textstats import quality_batch, token_count_partial
+
+    ds = ray.data.read_parquet(
+        _doc_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        import numpy as np
+
+        keep = (
+            q["n_words"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_WORDS
+        ) & (q["alpha_ratio"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_ALPHA)
+        out = batch.filter(pa.array(keep))
+        h = np.fromiter(
+            (_h64(t) for t in out["text"].to_pylist()),
+            count=out.num_rows, dtype=np.uint64,
+        )
+        return out.append_column(
+            "content_hash", pa.array(h.astype(np.int64), type=pa.int64())
+        )
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    kept = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(first_row, batch_format="pandas")
+    )
+    partial = kept.map_batches(token_count_partial, batch_format="pyarrow")
+    out = partial.groupby("source").aggregate(
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+    return _cast64(_collect(out), ["total_tokens", "n_docs"])
+
+
 def q_lexical_stats(sf_dir: str):
     """Repetition quality signals (type-token ratio, top-word fraction) —
     Gopher/C4-style filter inputs, vectorized per batch, no shuffle."""
@@ -854,6 +907,27 @@ ORACLE_SQL: dict[str, str] = {
               FROM documents)
         GROUP BY source
     """,
+    "clean_corpus": f"""
+        WITH q AS (
+          SELECT doc_id, text, source,
+                 len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '')) AS n_words,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / length(text) END AS alpha_ratio
+          FROM documents
+        ), f AS (
+          SELECT * FROM q
+          WHERE n_words >= {CLEAN_MIN_WORDS} AND alpha_ratio >= {CLEAN_MIN_ALPHA}
+        ), d AS (
+          SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
+                 min(n_words) AS n_words
+          FROM f GROUP BY text
+        )
+        SELECT source, sum(n_words)::BIGINT AS total_tokens,
+               count(*)::BIGINT AS n_docs
+        FROM d GROUP BY source
+    """,
     "lexical_stats": """
         WITH w AS (
           SELECT doc_id,
@@ -1041,6 +1115,7 @@ QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "bpe_token_count": q_bpe_token_count,
     "lexical_stats": q_lexical_stats,
+    "clean_corpus": q_clean_corpus,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,
