@@ -93,7 +93,10 @@ def run_bench(num_cpus: int) -> dict:
 
     cfg = EngineConfig(
         window=2, eol="small", stem=True, math=True,
-        salt_buckets=4, partitions=1, block_size=128,
+        # skew salting sized to the corpus (4 at <=1.27M turns — the
+        # scaling corpus keeps its historical job shape — 16 at ~5M)
+        salt_buckets=EngineConfig.suggest_salt_buckets(n_turns),
+        partitions=1, block_size=128,
     )
     build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2" if phases == "build" else "1"))
     build_sec = float("inf")

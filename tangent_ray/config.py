@@ -60,6 +60,21 @@ class EngineConfig:
         n = max(1, self.salt_buckets)
         return max(0, (n - 1).bit_length())
 
+    @staticmethod
+    def suggest_salt_buckets(n_rows: int, target_group_rows: int = 320_000) -> int:
+        """Power-of-two salt bucket count for a corpus of ``n_rows`` docs.
+
+        Sized so a worst-case hot term (df ~= n_rows) splits into per-group
+        runs of ~``target_group_rows`` — the encode stage's critical path is
+        its LARGEST group, and oversalting multiplies group count by the
+        whole vocabulary, costing more in the sort/groupby than it saves in
+        skew (measured, 5.1M-turn corpus, 32 CPUs: salt 4 -> 45 s,
+        16 -> 20.8 s, 64 -> 54 s). Capped at 32.
+        """
+        want = max(1, -(-n_rows // target_group_rows))  # ceil
+        buckets = 1 << (want - 1).bit_length()
+        return max(4, min(32, buckets))
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
 

@@ -153,12 +153,17 @@ def rerank_search(
     *,
     topk: int = 100,
     concurrency: int | tuple[int, int] = 2,
+    metric: str = "mss",
 ) -> pa.Table:
-    """Two-stage retrieval: core top-k then MSS rerank of formula queries.
+    """Two-stage retrieval: core top-k then similarity rerank of formula
+    queries under any registry ``metric`` (v00..v11; default MSS/v04).
 
     ``queries``: pyarrow Table / list of dicts with (query_id, kind, text).
-    Only formula fragments take part in MSS; text-only queries pass through
-    with their core ranking (the reference reranks math results only).
+    Only formula fragments take part in the rerank; text-only queries pass
+    through with their core ranking (the reference reranks math results
+    only). For non-MSS metrics the score vector's first component lands in
+    ``mss_h`` and integer components 2-3 (when present) in the unmatched /
+    exact columns — the lexicographic doc ordering is always the metric's.
     """
     from tangent_ray.query.scorer import search
     from tangent_ray.tokenize.batch import _MATH_RE
@@ -207,19 +212,29 @@ def rerank_search(
                          mss_exact=0, core_score=r["score"])
                 )
             continue
+        if metric in ("mss", "v04"):
+            score_fn = mss_score
+        else:
+            from tangent_ray.rerank.metrics import METRICS
+
+            score_fn = lambda q, c: METRICS[metric](q, c)  # noqa: E731
         scored = []
         for r in rows:
-            best = (0.0, 0, 0)
+            best: tuple | None = None
             for cand in by_doc.get(r["docid"], ()):  # best expression per doc
-                s = mss_score(slt, cand)
-                if s > best:
+                s = score_fn(slt, cand)
+                if best is None or s > best:
                     best = s
-            scored.append((best, r))
-        scored.sort(key=lambda t: (-t[0][0], -t[0][1], -t[0][2], t[1]["docid"]))
+            scored.append((best if best is not None else (0.0,), r))
+        scored.sort(
+            key=lambda t: (tuple(-float(x) for x in t[0]), t[1]["docid"])
+        )
         for i, (s, r) in enumerate(scored):
+            s3 = (tuple(s) + (0, 0, 0))[:3]
             out.append(
                 dict(query_id=qid, rank=i + 1, docid=r["docid"],
-                     dockey=r["dockey"], mss_h=s[0], mss_unmatched=int(s[1]),
-                     mss_exact=int(s[2]), core_score=r["score"])
+                     dockey=r["dockey"], mss_h=float(s3[0]),
+                     mss_unmatched=int(s3[1]), mss_exact=int(s3[2]),
+                     core_score=r["score"])
             )
     return pa.Table.from_pylist(out, schema=RERANK_SCHEMA)

@@ -161,3 +161,37 @@ def test_rerank_search_end_to_end(ray_session, tmp_path):
     assert vecs == sorted(vecs, reverse=True) or all(
         vecs[i] >= vecs[i + 1] for i in range(len(vecs) - 1)
     )
+
+
+def test_rerank_search_metric_param(ray_session, tmp_path):
+    """rerank_search accepts any registry metric; exact doc still tops."""
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.fixtures import write_transcripts
+    from tangent_ray.index.build import build_index, list_input_files
+    from tangent_ray.rerank.pipeline import rerank_search
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    data_dir = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    write_transcripts(data_dir, 40, files=2)
+    build_index(data_dir, idx, EngineConfig(window=2, eol="small"),
+                TranscriptsCorpus())
+    q = [{"query_id": "r1", "kind": "math",
+          "text": "$[V!x[=[F!,o[N!1],u[V!p]]]]$"}]
+    files = list_input_files(data_dir)
+    for metric, top in (("v00", None), ("v05", 1.0), ("v11", 1.0)):
+        out = rerank_search(q, idx, files, topk=5, concurrency=1,
+                            metric=metric).to_pylist()
+        assert out and [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        scores = [r["mss_h"] for r in out]
+        assert scores == sorted(scores, reverse=True), metric
+        assert scores[0] > 0.0, metric
+        if top is not None:
+            # unification-capable metrics fully cover the variant formula
+            # (the corpus holds N!/V! variants of the query template)
+            assert scores[0] == top, metric
+        else:
+            # v00 has no unification: the variant can't reach 1.0
+            assert scores[0] < 1.0, metric
+        # padded integer columns stay well-formed for 1-component metrics
+        assert isinstance(out[0]["mss_unmatched"], int)

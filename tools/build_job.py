@@ -48,6 +48,9 @@ def main() -> int:
                     help="resumable build partitions (one manifest each)")
     ap.add_argument("--shards", type=int, default=64,
                     help="term shards for the build groupby")
+    ap.add_argument("--salt", default="auto",
+                    help="hot-term salt buckets (int, or 'auto' to size "
+                         "from the input row count)")
     ap.add_argument("--no-resume", action="store_true",
                     help="rebuild every partition even if finished")
     ap.add_argument("--queries", default=None,
@@ -71,7 +74,18 @@ def main() -> int:
     from tangent_ray.index.build import build_index
     from tangent_ray.sources.corpus import DocumentsCorpus, TranscriptsCorpus
 
-    cfg = EngineConfig(partitions=args.partitions)
+    if args.salt == "auto":
+        import pyarrow.parquet as pq
+
+        from tangent_ray.index.build import list_input_files
+
+        n_rows = sum(
+            pq.read_metadata(f).num_rows for f in list_input_files(args.input)
+        )
+        salt = EngineConfig.suggest_salt_buckets(n_rows)
+    else:
+        salt = int(args.salt)
+    cfg = EngineConfig(partitions=args.partitions, salt_buckets=salt)
     corpus = TranscriptsCorpus() if args.corpus == "transcripts" else DocumentsCorpus()
 
     t0 = time.monotonic()
