@@ -121,8 +121,18 @@ def run_bench(num_cpus: int) -> dict:
         f"({n_turns / build_sec:.0f} turns/s), "
         f"{manifest['postings_text'] + manifest['postings_math']} postings")
 
+    def _cleanup(*dirs):
+        # scratch indexes are per-pid: without cleanup every bench run
+        # leaks ~1-4 GB under /tmp (the corpus dirs are reused, kept)
+        import shutil
+
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     if phases == "build":
         ray.shutdown()
+        _cleanup(*(f"/tmp/tangent_ray_bench/tidx-{sf}-{num_cpus}-{os.getpid()}-{r}"
+                   for r in range(build_reps)))
         return {
             "metric": "transcripts_index_build_sec",
             "value": round(build_sec, 3),
@@ -225,6 +235,9 @@ def run_bench(num_cpus: int) -> dict:
     log(f"[bench] documents build: {docs_sec:.2f}s")
 
     ray.shutdown()
+    _cleanup(doc_idx,
+             *(f"/tmp/tangent_ray_bench/tidx-{sf}-{num_cpus}-{os.getpid()}-{r}"
+               for r in range(build_reps)))
 
     headline = build_sec + query_wall + search_sec + docs_sec
     return {
