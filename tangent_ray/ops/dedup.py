@@ -457,6 +457,15 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
     O(log n) rounds; the per-round plumbing here would be unchanged.
     Each round materializes the (node, label) frontier — O(V) rows — so
     lineage stays flat across iterations.
+
+    Why not ``Dataset.join`` for the label-shipping step: on this Ray
+    version a hash-shuffle aggregate emits empty blocks with a NULL schema,
+    and when such a dataset feeds a subsequent hash join, join partitions
+    assembled only from schema-less blocks make Acero fail with "No match
+    ... FieldRef(node) on right side" (reproduced deterministically; a
+    repartition() in between is only flakily curative). The groupby
+    co-location used here avoids a second hash-shuffle operator kind in
+    the loop entirely.
     """
     import pyarrow.compute as pc
 
