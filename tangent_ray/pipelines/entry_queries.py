@@ -819,6 +819,19 @@ def q_media_features(sf_dir: str):
     return out.select(["media_id", "kind", "payload_bytes"])
 
 
+def q_image_dims(sf_dir: str):
+    """REAL (dependency-free) multimodal kernel: image dimensions parsed
+    from actual PNG/GIF/JPEG container headers over a binary column."""
+    import ray.data
+
+    from tangent_ray.ops.multimodal import image_dims_batch, synth_image_table
+
+    ds = ray.data.from_arrow(synth_image_table(48))
+    return _collect(
+        ds.map_batches(image_dims_batch, batch_format="pyarrow", batch_size=16)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 TOKS = (
@@ -1138,6 +1151,7 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
+    "image_dims": q_image_dims,
     "golden_replay": q_golden_replay,
     "formula_topk": q_formula_topk,
 }

@@ -56,3 +56,35 @@ def test_frame_sample(ray_session):
         assert kinds[r["media_id"]] == "video"
     for mid, fis in per.items():
         assert sorted(fis) == list(range(max(1, durs[mid] // 5000)))
+
+
+def test_image_header_parsers_round_trip():
+    from tangent_ray.ops.multimodal import (
+        image_dims,
+        make_gif,
+        make_jpeg,
+        make_png,
+    )
+
+    for maker, fmt in ((make_png, "png"), (make_gif, "gif"), (make_jpeg, "jpeg")):
+        for w, h in ((1, 1), (640, 480), (1919, 1079)):
+            assert image_dims(maker(w, h)) == (fmt, w, h)
+    assert image_dims(b"not an image") == ("unknown", -1, -1)
+    assert image_dims(b"\xff\xd8\xff\xe0\x00\x04zz")[0] == "jpeg"  # truncated
+
+
+def test_image_dims_pipeline(ray_session):
+    import ray.data
+
+    from tangent_ray.ops.multimodal import image_dims_batch, synth_image_table
+
+    out = (
+        ray.data.from_arrow(synth_image_table(48))
+        .map_batches(image_dims_batch, batch_format="pyarrow", batch_size=16)
+        .take_all()
+    )
+    assert len(out) == 48
+    for r in out:
+        i = r["media_id"]
+        assert (r["width"], r["height"]) == ((i * 37) % 1920 + 1, (i * 53) % 1080 + 1)
+        assert r["format"] in ("png", "gif", "jpeg")
