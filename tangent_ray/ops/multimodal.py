@@ -266,3 +266,98 @@ def synth_image_table(n: int = 48) -> pa.Table:
             "payload": pa.array(rows["payload"], type=pa.binary()),
         }
     )
+
+
+# --- audio/video duration from container headers (same REAL-kernel family
+# as image_dims: public format layouts, no codec, header-rate work) --------
+
+
+def make_wav(duration_ms: int, sample_rate: int = 16000) -> bytes:
+    """Minimal valid WAV header (PCM16 mono) with ``duration_ms`` of data
+    declared (the data chunk itself is elided — header-only synthesis)."""
+    import struct
+
+    byte_rate = sample_rate * 2
+    data_size = (duration_ms * byte_rate) // 1000
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal MP4: ftyp box + moov box containing a version-0 mvhd."""
+    import struct
+
+    duration = (duration_ms * timescale) // 1000
+    mvhd = struct.pack(">B3xIIII", 0, 0, 0, timescale, duration) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov_box = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov_box
+
+
+def media_duration(payload: bytes) -> tuple[str, int]:
+    """(format, duration_ms) from a WAV/MP4 container header, or
+    ("unknown", -1). WAV: data-chunk bytes over the fmt byte rate; MP4:
+    mvhd duration over its timescale (moov walked box-by-box)."""
+    import struct
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, n = 12, len(payload)
+        byte_rate = data_size = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)
+        if byte_rate and data_size is not None:
+            return "wav", (data_size * 1000) // byte_rate
+        return "wav", -1
+    if len(payload) >= 12 and payload[4:8] in (b"ftyp", b"moov", b"mdat"):
+        i, n = 0, len(payload)
+        while i + 8 <= n:
+            size = struct.unpack(">I", payload[i : i + 4])[0]
+            btype = payload[i + 4 : i + 8]
+            if btype == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    bsz = struct.unpack(">I", payload[j : j + 4])[0]
+                    if payload[j + 4 : j + 8] == b"mvhd":
+                        ver = payload[j + 8]
+                        if ver == 0 and j + 28 <= n:
+                            ts, dur = struct.unpack(
+                                ">II", payload[j + 20 : j + 28]
+                            )
+                        elif j + 40 <= n:  # version 1: 64-bit times
+                            ts = struct.unpack(">I", payload[j + 28 : j + 32])[0]
+                            dur = struct.unpack(">Q", payload[j + 32 : j + 40])[0]
+                        else:
+                            return "mp4", -1
+                        return "mp4", (dur * 1000) // ts if ts else -1
+                    j += max(bsz, 8)
+                return "mp4", -1
+            i += max(size, 8)
+        return "mp4", -1
+    return "unknown", -1
+
+
+def media_duration_batch(batch: pa.Table, payload_col: str = "payload",
+                         id_col: str = "media_id") -> pa.Table:
+    fmts: list[str] = []
+    durs: list[int] = []
+    col = batch[payload_col]
+    for i in range(len(col)):
+        f, d = media_duration(col[i].as_py())
+        fmts.append(f)
+        durs.append(d)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "format": pa.array(fmts, type=pa.string()),
+            "duration_ms": pa.array(durs, type=pa.int64()),
+        }
+    )

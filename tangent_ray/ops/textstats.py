@@ -235,3 +235,39 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
             "fingerprint": pa.array(out.astype(np.int64), type=pa.int64()),
         }
     )
+
+
+SPLIT_BUCKETS = 1000
+SPLIT_TEST, SPLIT_VAL = 10, 60  # bucket < 10 -> test; < 60 -> val; else train
+
+
+def split_assign_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic train/val/test assignment by id hash (the standard
+    holdout-split op of a training-data pipeline): bucket =
+    ``int(md5(str(id))[:8], 16) % 1000``, test < 1%, val < 6%, train rest.
+
+    Stable across runs, machines and engines (md5 of the DECIMAL id
+    string — the DuckDB twin computes the identical bucket). Hashing
+    touches only the id column — metadata-rate, not payload-rate."""
+    import hashlib
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    buckets = np.fromiter(
+        (
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+            % SPLIT_BUCKETS
+            for i in ids
+        ),
+        count=len(ids),
+        dtype=np.int64,
+    )
+    split = np.where(
+        buckets < SPLIT_TEST, "test", np.where(buckets < SPLIT_VAL, "val", "train")
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        }
+    )

@@ -221,6 +221,17 @@ def q_token_count_by_source(sf_dir: str):
     return _cast64(_collect(out), ["total_tokens", "n_docs"])
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test holdout split by md5 id hash — same
+    bucket arithmetic as the DuckDB twin, stable across engines."""
+    import ray.data
+
+    from tangent_ray.ops.textstats import split_assign_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
+    return _collect(ds.map_batches(split_assign_batch, batch_format="pyarrow"))
+
+
 CLEAN_MIN_WORDS, CLEAN_MIN_ALPHA = 5, 0.5
 
 
@@ -819,6 +830,31 @@ def q_media_features(sf_dir: str):
     return out.select(["media_id", "kind", "payload_bytes"])
 
 
+def q_media_durations(sf_dir: str):
+    """REAL multimodal kernel #2: audio/video duration parsed from actual
+    WAV (RIFF) / MP4 (mvhd) container headers."""
+    import ray.data
+
+    from tangent_ray.ops.multimodal import make_mp4, make_wav, media_duration_batch
+
+    t = pa.table(
+        {
+            "media_id": pa.array(range(40), type=pa.int64()),
+            "payload": pa.array(
+                [
+                    (make_wav if i % 2 == 0 else make_mp4)((i + 1) * 250)
+                    for i in range(40)
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return _collect(
+        ds.map_batches(media_duration_batch, batch_format="pyarrow", batch_size=16)
+    )
+
+
 def q_image_dims(sf_dir: str):
     """REAL (dependency-free) multimodal kernel: image dimensions parsed
     from actual PNG/GIF/JPEG container headers over a binary column."""
@@ -919,6 +955,17 @@ ORACLE_SQL: dict[str, str] = {
                      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
               FROM documents)
         GROUP BY source
+    """,
+    "split_assign": """
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                   % 1000 AS bucket,
+               CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8))
+                              AS BIGINT) % 1000 < 10 THEN 'test'
+                    WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8))
+                              AS BIGINT) % 1000 < 60 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
     """,
     "clean_corpus": f"""
         WITH q AS (
@@ -1129,6 +1176,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "lexical_stats": q_lexical_stats,
     "clean_corpus": q_clean_corpus,
+    "split_assign": q_split_assign,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1152,6 +1200,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
     "image_dims": q_image_dims,
+    "media_durations": q_media_durations,
     "golden_replay": q_golden_replay,
     "formula_topk": q_formula_topk,
 }

@@ -88,3 +88,46 @@ def test_image_dims_pipeline(ray_session):
         i = r["media_id"]
         assert (r["width"], r["height"]) == ((i * 37) % 1920 + 1, (i * 53) % 1080 + 1)
         assert r["format"] in ("png", "gif", "jpeg")
+
+
+def test_media_duration_parsers():
+    from tangent_ray.ops.multimodal import make_mp4, make_wav, media_duration
+
+    for ms in (0, 1000, 61500, 3600000):
+        assert media_duration(make_wav(ms)) == ("wav", ms)
+        assert media_duration(make_mp4(ms)) == ("mp4", ms)
+    # version-agnostic fallbacks / junk
+    assert media_duration(b"junk") == ("unknown", -1)
+    assert media_duration(make_wav(1000)[:16]) == ("wav", -1)  # truncated
+
+
+def test_media_duration_pipeline(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from tangent_ray.ops.multimodal import (
+        make_mp4,
+        make_wav,
+        media_duration_batch,
+    )
+
+    t = pa.table(
+        {
+            "media_id": pa.array(range(20), type=pa.int64()),
+            "payload": pa.array(
+                [
+                    (make_wav if i % 2 == 0 else make_mp4)((i + 1) * 500)
+                    for i in range(20)
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(media_duration_batch, batch_format="pyarrow", batch_size=8)
+        .take_all()
+    )
+    for r in out:
+        assert r["duration_ms"] == (r["media_id"] + 1) * 500
