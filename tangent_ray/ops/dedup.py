@@ -559,3 +559,74 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
         )
 
     return labels.map_batches(out, batch_format="pyarrow")
+
+
+def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  group_cap: int = PAIR_GROUP_CAP):
+    """SimHash near-duplicate pairs: doc pairs whose 64-bit SimHash
+    signatures differ in at most ``max_hamming`` bits.
+
+    The banding pigeonhole makes it exact for ``max_hamming < n_bands``:
+    two signatures within the Hamming radius agree on at least one of the
+    ``n_bands`` 16-bit bands, so candidates are found by ONE
+    ``groupby((band, band_bits))`` shuffle, and each group verifies its
+    (capped) candidates with a vectorized XOR-popcount. Distinctness of
+    pairs found in several bands comes from the same built-in groupby
+    used by the other candidate generators.
+    """
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    band_width = 64 // n_bands
+    mask = np.uint64((1 << band_width) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = simhash_batch(batch, text_col, id_col)
+        ids = sig[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sig["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        bands = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(band_width))
+        bits = ((np.tile(h, n_bands) >> np.repeat(shifts, n)) & mask).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.tile(ids, n_bands), type=pa.int64()),
+                "simhash": pa.array(np.tile(h.astype(np.int64), n_bands), type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_bits": pa.array(bits, type=pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, h = ids[order], h[order]
+        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+        ids, h = ids[keep_first], h[keep_first]
+        if len(ids) > group_cap:
+            logger.warning(
+                "simhash_pairs: hot band bucket of %d docs capped to %d",
+                len(ids), group_cap,
+            )
+            ids, h = ids[:group_cap], h[:group_cap]
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        a, b = np.triu_indices(len(ids), k=1)
+        x = h[a] ^ h[b]
+        # vectorized popcount via the 8-bit lookup on the raw bytes
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(1)
+        ok = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a[ok]], type=pa.int64()),
+                "doc_b": pa.array(ids[b[ok]], type=pa.int64()),
+            }
+        )
+
+    cand = exploded.groupby(["band", "band_bits"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    return _distinct_pairs(cand, ["doc_a", "doc_b"])

@@ -733,6 +733,17 @@ def q_minhash_candidates(sf_dir: str):
     return _collect(minhash_candidates(ds)).select(["doc_a", "doc_b"])
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3): banding pigeonhole makes the
+    single band-bucket shuffle exact; XOR-popcount verification in-group."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _cast64(_collect(simhash_pairs(ds)), ["doc_a", "doc_b"])
+
+
 def q_simhash(sf_dir: str):
     import ray.data
 
@@ -1197,6 +1208,7 @@ QUERIES = {
     "minhash_candidates": q_minhash_candidates,
     "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
     "image_dims": q_image_dims,

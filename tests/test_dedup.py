@@ -140,3 +140,35 @@ def test_connected_components_iteration_cap(ray_session):
     lab = {r["doc_id"]: r["cluster"] for r in got}
     assert lab[1] == 1 and lab[2] == 1
     assert lab[5] == 4  # one hop of propagation only
+
+
+def test_simhash_pairs_equals_brute_force(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tangent_ray.ops.dedup import simhash_batch, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "with words ") * 4
+    texts = [base + f"tail{i // 5}" if i < 5
+             else " ".join(f"w{i}x{j}" for j in range(40)) for i in range(30)]
+    t = pa.table({"doc_id": pa.array(range(30), type=pa.int64()),
+                  "text": texts})
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(ray.data.from_arrow(t)).take_all()
+    }
+    h = simhash_batch(t)["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(30), 2)
+        if ham(h[i], h[j]) <= 3
+    }
+    assert got == want and len(want) >= 10
