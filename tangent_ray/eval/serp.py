@@ -165,15 +165,26 @@ td, th {{ border: 1px solid #ccc; padding: 4px 10px; text-align: left; }}
 """
 
 
-def _math_or_text(text: str) -> str:
-    """Render $...$ SLT spans of a query/result string as MathML."""
-    def sub(m: re.Match) -> str:
-        try:
-            return slt_to_mathml(m.group(1))
-        except Exception:
-            return html.escape(m.group(0))
+_SPAN_RE = re.compile(r"\$(\[.*?\])\$")
 
-    return re.sub(r"\$(\[.*?\])\$", sub, html.escape(text))
+
+def _math_or_text(text: str) -> str:
+    """Render $...$ SLT spans of a query/result string as MathML.
+
+    Spans are matched on the RAW text and only the non-math segments are
+    HTML-escaped — escaping first would double-escape SLT symbol entities
+    (``&lsqb;`` -> ``&amp;lsqb;``) before they reach the parser."""
+    out: list[str] = []
+    pos = 0
+    for m in _SPAN_RE.finditer(text):
+        out.append(html.escape(text[pos : m.start()]))
+        try:
+            out.append(slt_to_mathml(m.group(1)))
+        except Exception:
+            out.append(html.escape(m.group(0)))
+        pos = m.end()
+    out.append(html.escape(text[pos:]))
+    return "".join(out)
 
 
 def render_serp(query_id: str, query_text: str, rows: list[dict]) -> str:

@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import shutil
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 import ray.data
 
@@ -86,14 +89,27 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
     ).write_parquet(os.path.join(tmp, "terms"))
 
     # carry the docmap sidecars along (pure byte copy — docids are disjoint
-    # across partials, so the merged docmap is the file union)
-    dm_files = sorted(
-        f for d in dirs for f in glob.glob(os.path.join(d, "docmap", "*.parquet"))
-    )
-    if dm_files:
+    # across partials, so the merged docmap is the file union). ONLY when
+    # every source has one: a merged docmap covering just some sources
+    # would silently decorate the uncovered docs with numeric ids, because
+    # the reader's input-files fallback fires only for partials with NO
+    # docmap dir. A mixed merge (pre-sidecar partial folded with new ones)
+    # therefore writes no docmap and keeps the fallback path correct.
+    have_dm = [os.path.isdir(os.path.join(d, "docmap")) for d in dirs]
+    if all(have_dm):
+        dm_files = sorted(
+            f for d in dirs
+            for f in glob.glob(os.path.join(d, "docmap", "*.parquet"))
+        )
         os.makedirs(os.path.join(tmp, "docmap"), exist_ok=True)
         for i, f in enumerate(dm_files):
             shutil.copy2(f, os.path.join(tmp, "docmap", f"dm{i:05d}.parquet"))
+    elif any(have_dm):
+        logger.warning(
+            "merge_partials: %d of %d sources lack a docmap sidecar; the "
+            "merged partial keeps NONE (dockeys decorate via input_files)",
+            sum(1 for h in have_dm if not h), len(dirs),
+        )
 
     merged = dict(manifests[0])
     merged["input_files"] = sorted(

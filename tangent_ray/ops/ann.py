@@ -188,7 +188,6 @@ def near_dup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
             ib, mb = ids[lj], m[lj]
             sims = ma @ mb.T
             r, c = np.nonzero(sims >= threshold)
-            ids, m = ia, ma  # for doc_a below
             a_ids, b_ids = ia[r], ib[c]
             s = sims[r, c]
             lo = np.minimum(a_ids, b_ids)

@@ -377,17 +377,25 @@ def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            if e - s > group_cap:
-                logger.warning(
-                    "jaccard_pairs: hot shingle with %d docs capped to %d "
-                    "(%d dropped from pair emission)",
-                    e - s, group_cap, e - s - group_cap,
-                )
-                e = s + group_cap
+            # deterministic doc order BEFORE any capping, so a hot shingle
+            # keeps its smallest group_cap doc ids (not input order)
             o = np.argsort(docs[s:e], kind="stable")
             ids = docs[s:e][o]
             sz = szs[s:e][o]
-            a, b = np.triu_indices(e - s, k=1)
+            if len(ids) > group_cap:
+                # pairs among the kept docs stay exact; pairs involving a
+                # dropped doc lose this shingle from their intersection
+                # count, biasing their Jaccard LOW (they may fall under
+                # `threshold`) — inherent to bounding an O(g^2) hot group
+                logger.warning(
+                    "jaccard_pairs: hot shingle with %d docs capped to the "
+                    "%d smallest ids (%d dropped; surviving pairs with a "
+                    "dropped doc undercount this shingle)",
+                    len(ids), group_cap, len(ids) - group_cap,
+                )
+                ids = ids[:group_cap]
+                sz = sz[:group_cap]
+            a, b = np.triu_indices(len(ids), k=1)
             out_a.append(ids[a])
             out_b.append(ids[b])
             out_sa.append(sz[a])
@@ -479,6 +487,9 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
                 "label": pa.array(
                     np.full(2 * len(a), -1, dtype=np.int64), type=pa.int64()
                 ),
+                "member": pa.array(
+                    np.full(2 * len(a), -1, dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 
@@ -491,6 +502,10 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
                 "key": pa.array(ids, type=pa.int64()),
                 "dst": pa.array(np.full(len(ids), -1, np.int64), type=pa.int64()),
                 "label": pa.array(ids, type=pa.int64()),
+                # contract: only ids from ``nodes`` appear in the OUTPUT —
+                # edge endpoints outside it may still relay labels, but the
+                # flag keeps them out of the result
+                "member": pa.array(np.ones(len(ids), np.int64), type=pa.int64()),
             }
         )
 
@@ -502,10 +517,12 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
         if len(own) == 0:  # edge endpoints not present in nodes: skip
             return pa.table(
                 {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64()),
-                 "old": pa.array([], pa.int64())}
+                 "old": pa.array([], pa.int64()),
+                 "member": pa.array([], pa.int64())}
             )
         label = int(own.min())
         node = int(g["key"][0].as_py())
+        mem = int(g["member"].to_numpy(zero_copy_only=False).max())
         dst = g["dst"].to_numpy(zero_copy_only=False)
         dst = np.unique(dst[dst >= 0])
         return pa.table(
@@ -520,6 +537,10 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
                     np.concatenate([[label], np.full(len(dst), -1, np.int64)]),
                     type=pa.int64(),
                 ),
+                "member": pa.array(
+                    np.concatenate([[mem], np.full(len(dst), -1, np.int64)]),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -528,12 +549,19 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
         old = g["old"].to_numpy(zero_copy_only=False)
         own = old[old >= 0]
         new = int(cand.min())
-        prev = int(own.max()) if len(own) else new
+        # a key materialized purely from neighbor messages (an edge endpoint
+        # outside ``nodes``) had no previous label: it IS a change — without
+        # this the loop can converge one round early through such relays
+        prev = int(own.max()) if len(own) else new + 1
         return pa.table(
             {
                 "key": pa.array([int(g["node"][0].as_py())], type=pa.int64()),
                 "dst": pa.array([-1], type=pa.int64()),
                 "label": pa.array([new], type=pa.int64()),
+                "member": pa.array(
+                    [int(g["member"].to_numpy(zero_copy_only=False).max())],
+                    type=pa.int64(),
+                ),
                 "changed": pa.array([int(new < prev)], type=pa.int64()),
             }
         )
@@ -551,6 +579,8 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
             break
 
     def out(batch: pa.Table) -> pa.Table:
+        keep = batch["member"].to_numpy(zero_copy_only=False) == 1
+        batch = batch.filter(pa.array(keep))
         return pa.table(
             {
                 node_col: batch["key"],

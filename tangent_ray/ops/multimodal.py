@@ -214,11 +214,18 @@ def image_dims(payload: bytes) -> tuple[str, int, int]:
     if payload[:2] == b"\xff\xd8":
         i = 2
         n = len(payload)
-        while i + 9 < n and payload[i] == 0xFF:
+        while i + 1 < n and payload[i] == 0xFF:
+            # the spec allows runs of 0xFF fill bytes before any marker
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI: no SOF seen
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length
                 continue
+            if i + 9 >= n:
+                break
             seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
@@ -317,11 +324,18 @@ def media_duration(payload: bytes) -> tuple[str, int]:
         if byte_rate and data_size is not None:
             return "wav", (data_size * 1000) // byte_rate
         return "wav", -1
-    if len(payload) >= 12 and payload[4:8] in (b"ftyp", b"moov", b"mdat"):
+    if len(payload) >= 12 and payload[4:8] in (
+        b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"styp"
+    ):
         i, n = 0, len(payload)
         while i + 8 <= n:
             size = struct.unpack(">I", payload[i : i + 4])[0]
             btype = payload[i + 4 : i + 8]
+            if size == 1 and i + 16 <= n:
+                # extended 64-bit box size (>4 GiB mdat)
+                size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+            elif size == 0:
+                size = n - i  # box extends to end of file
             if btype == b"moov":
                 j, end = i + 8, min(i + size, n)
                 while j + 8 <= end:

@@ -166,19 +166,23 @@ class LangId:
     """
 
     def __init__(self):
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        # Arrow value-set arrays built ONCE (the whole point of the actor)
+        self.langs = sorted(_STOPWORDS)
+        self.value_sets = {
+            lang: pa.array(sorted(_STOPWORDS[lang])) for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         parents, tokens, _ = split_tokens(texts)
-        langs = sorted(self.tables)
+        langs = self.langs
         counts = np.zeros((len(texts), len(langs)), dtype=np.int32)
         for li, lang in enumerate(langs):
             # vectorized set membership (Arrow kernel, no per-token Python)
             hits = pc.is_in(
-                tokens, value_set=pa.array(sorted(self.tables[lang]))
+                tokens, value_set=self.value_sets[lang]
             ).to_numpy(zero_copy_only=False)
             np.add.at(counts[:, li], parents[hits], 1)
         best = counts.argmax(axis=1)

@@ -129,7 +129,37 @@ def formula_search(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    rows = partial.take_all()
+
+    def batch_expr_topk(batch: pa.Table) -> pa.Table:
+        """Batch-local expression top-k cut (exact): an expression's score
+        is a pure function of (query, expr), so cutting every batch by the
+        SAME total order (score desc, expr asc) can only drop expressions
+        that have >= topk strictly-preceding expressions globally — never a
+        member of the global top-k. Keeps the driver merge bounded to
+        O(batches x queries x topk) expression groups instead of every
+        matching instance in the corpus (a broad wildcard matches nearly
+        everything)."""
+        if batch.num_rows == 0:
+            return batch
+        import pandas as pd
+
+        df = batch.to_pandas()
+        parts = []
+        for _qid, g in df.groupby("query_id", sort=False):
+            exprs = (
+                g[["expr", "score"]]
+                .drop_duplicates("expr")
+                .sort_values(["score", "expr"], ascending=[False, True])
+                .head(topk)
+            )
+            parts.append(g[g["expr"].isin(set(exprs["expr"]))])
+        return pa.Table.from_pandas(
+            pd.concat(parts), preserve_index=False
+        ).cast(batch.schema)
+
+    rows = partial.map_batches(
+        batch_expr_topk, batch_format="pyarrow"
+    ).take_all()
 
     out: dict[str, list] = {k: [] for k in RESULT_SCHEMA.names}
     # per query: rank EXPRESSIONS (score desc, expr asc), keep topk, then

@@ -172,3 +172,22 @@ def test_simhash_pairs_equals_brute_force(ray_session):
         if ham(h[i], h[j]) <= 3
     }
     assert got == want and len(want) >= 10
+
+
+def test_connected_components_non_member_endpoint_relays(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tangent_ray.ops.dedup import connected_components
+
+    # endpoint 99 appears in pairs but NOT in nodes: it must relay
+    # connectivity (1-99-5 one component) yet never appear in the output
+    pairs = pa.table({"doc_a": [1, 99], "doc_b": [99, 5]})
+    nodes = pa.table({"doc_id": [1, 5, 7]})
+    got = sorted(
+        (r["doc_id"], r["cluster"])
+        for r in connected_components(
+            ray.data.from_arrow(pairs), ray.data.from_arrow(nodes)
+        ).take_all()
+    )
+    assert got == [(1, 1), (5, 1), (7, 7)]

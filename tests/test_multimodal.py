@@ -131,3 +131,23 @@ def test_media_duration_pipeline(ray_session):
     )
     for r in out:
         assert r["duration_ms"] == (r["media_id"] + 1) * 500
+
+
+def test_header_parser_spec_variants():
+    """Spec-valid variants beyond our own synthesis: JPEG fill bytes / EOI,
+    MP4 extended (64-bit) box size and size-0 (to-EOF) boxes."""
+    import struct
+
+    from tangent_ray.ops.multimodal import image_dims, make_jpeg, make_mp4, media_duration
+
+    j = make_jpeg(640, 480)
+    assert image_dims(j[:2] + b"\xff\xff" + j[2:]) == ("jpeg", 640, 480)
+    assert image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", -1, -1)
+
+    free = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 24) + b"\x00" * 8
+    assert media_duration(free + make_mp4(5000)) == ("mp4", 5000)
+    mvhd = struct.pack(">B3xIIII", 0, 0, 0, 1000, 7000) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    m3 = (struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+          + struct.pack(">I", 0) + b"moov" + mvhd_box)
+    assert media_duration(m3) == ("mp4", 7000)
