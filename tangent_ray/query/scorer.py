@@ -799,9 +799,10 @@ def search_sharded(
     ``mixed``-kind queries are scored by a full-index group: their
     math+text fusion min-max-normalizes over the candidate set, which is
     collection-global state (the reference likewise fuses driver-side AFTER
-    both engines return — ``comp_query.py:255-291``). Shard groups run as
-    separate bounded jobs (one actor pool at a time — top-k row volumes are
-    tiny), so small clusters cannot deadlock on concurrent pools.
+    both engines return — ``comp_query.py:255-291``). All shard groups run
+    CONCURRENTLY as one unioned plan (each group is its own actor pool);
+    the streaming executor schedules pools as resources allow, so a small
+    cluster degrades to sequential groups instead of deadlocking.
     """
     import ray.data
 
@@ -831,14 +832,13 @@ def search_sharded(
     else:
         shardable, mixed = queries, queries.slice(0, 0)
 
-    pieces: list[pa.Table] = []
     jobs: list[tuple[pa.Table, list[str] | None]] = [
         (shardable, g) for g in groups if shardable.num_rows
     ]
     if mixed.num_rows:
         jobs.append((mixed, None))  # full-index group for fusion queries
-    for qt, group in jobs:
-        ds = ray.data.from_arrow(qt).map_batches(
+    shard_ds = [
+        ray.data.from_arrow(qt).map_batches(
             QueryScorer,
             fn_constructor_args=(index_dir, topk),
             fn_constructor_kwargs={"partials": group},
@@ -846,13 +846,19 @@ def search_sharded(
             concurrency=concurrency_per_shard,
             batch_size=64,
         )
-        got = ds.take_all()
-        if got:
-            pieces.append(pa.Table.from_pylist(got))
-
-    if not pieces:
+        for qt, group in jobs
+    ]
+    if not shard_ds:
         return RESULT_SCHEMA.empty_table()
-    merged = pa.concat_tables(pieces).to_pandas()
+    # one plan: every group's pool executes concurrently, results stream
+    # into a single tiny top-k union
+    whole = shard_ds[0]
+    for d in shard_ds[1:]:
+        whole = whole.union(d)
+    got = whole.take_all()
+    if not got:
+        return RESULT_SCHEMA.empty_table()
+    merged = pa.Table.from_pylist(got).to_pandas()
     out = []
     for qid, g in merged.groupby("query_id"):
         k = topk_of.get(qid, default_k)
