@@ -445,136 +445,134 @@ def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
 
 
 def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
-                         node_col: str = "doc_id", max_iters: int = 64):
+                         node_col: str = "doc_id", max_iters: int = 64,
+                         num_partitions: int = 16):
     """Duplicate clusters from a candidate-pair graph: connected components
     by iterative min-label propagation.
 
     Returns a Dataset of ``(doc_id, cluster)`` for EVERY node in ``nodes``
     (singletons label themselves); ``cluster`` is the component's minimum
-    doc id. Each round is two key shuffles and no joins:
+    doc id. Edge endpoints absent from ``nodes`` still relay labels but are
+    excluded from the output (membership flag carried through the rounds).
 
-    1. edges and current labels co-group on the source node; the group
-       emits the node's label to itself and to each neighbor;
-    2. ``groupby(node)`` takes the min candidate; a ``changed`` flag is
-       computed against the carried old label, and the driver reads ONE
-       aggregate row per round to detect convergence.
+    Each round is fully vectorized — no per-group Python:
 
-    Labels only decrease, so the rounds needed equal the graph diameter
+    1. one hash join ships every node's current label to its out-edges
+       (the neighbor messages);
+    2. the messages union the nodes' own rows and one ``groupby(node)``
+       Min/Max aggregate folds the new label while carrying the old label
+       and the membership flag;
+    3. a batched map normalizes the frontier and a one-row aggregate gives
+       the changed count (keys materialized purely from neighbor messages
+       count as changed, else the loop could converge a round early
+       through a relay).
+
+    Labels only decrease, so rounds needed equal the graph diameter
     (near-dup graphs are shallow: clusters are quasi-cliques from shared
     shingles/bands). Star-contraction would cut worst-case chains to
-    O(log n) rounds; the per-round plumbing here would be unchanged.
-    Each round materializes the (node, label) frontier — O(V) rows — so
-    lineage stays flat across iterations.
+    O(log n) rounds with the same per-round plumbing. Every round
+    materializes the O(V) frontier so lineage stays flat.
 
-    Why not ``Dataset.join`` for the label-shipping step: on this Ray
-    version a hash-shuffle aggregate emits empty blocks with a NULL schema,
-    and when such a dataset feeds a subsequent hash join, join partitions
-    assembled only from schema-less blocks make Acero fail with "No match
-    ... FieldRef(node) on right side" (reproduced deterministically; a
-    repartition() in between is only flakily curative). The groupby
-    co-location used here avoids a second hash-shuffle operator kind in
-    the loop entirely.
+    Engine note: this Ray version's hash-shuffle aggregate emits empty
+    blocks with a NULL schema, and a downstream hash join whose partition
+    assembles only such blocks fails in Acero ("No match ... FieldRef on
+    right side"). The frontier therefore re-batches through a
+    ``map_batches(..., batch_size=...)`` normalizer each round — batching
+    coalesces rows across blocks, so schema-less empties never reach the
+    next join.
     """
-    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
                 "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
-                "label": pa.array(
-                    np.full(2 * len(a), -1, dtype=np.int64), type=pa.int64()
-                ),
-                "member": pa.array(
-                    np.full(2 * len(a), -1, dtype=np.int64), type=pa.int64()
-                ),
             }
         )
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    have_edges = edges.count() > 0
 
     def to_labels(batch: pa.Table) -> pa.Table:
         ids = batch[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": pa.array(ids, type=pa.int64()),
-                "dst": pa.array(np.full(len(ids), -1, np.int64), type=pa.int64()),
+                "node": pa.array(ids, type=pa.int64()),
                 "label": pa.array(ids, type=pa.int64()),
-                # contract: only ids from ``nodes`` appear in the OUTPUT —
-                # edge endpoints outside it may still relay labels, but the
-                # flag keeps them out of the result
                 "member": pa.array(np.ones(len(ids), np.int64), type=pa.int64()),
             }
         )
 
-    labels = nodes.map_batches(to_labels, batch_format="pyarrow").materialize()
+    labels = nodes.map_batches(
+        to_labels, batch_format="pyarrow", batch_size=65536
+    ).materialize()
 
-    def propagate(g: pa.Table) -> pa.Table:
-        lab = g["label"].to_numpy(zero_copy_only=False)
-        own = lab[lab >= 0]
-        if len(own) == 0:  # edge endpoints not present in nodes: skip
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64()),
-                 "old": pa.array([], pa.int64()),
-                 "member": pa.array([], pa.int64())}
+    def nbr_msgs(batch: pa.Table) -> pa.Table:
+        # neighbor message: dst inherits src's label; sentinel own/member
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "label": batch["label"],
+                "own": pa.array(np.full(n, -1, np.int64), type=pa.int64()),
+                "member": pa.array(np.full(n, -1, np.int64), type=pa.int64()),
+            }
+        )
+
+    def self_msgs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "label": batch["label"],
+                "own": batch["label"],
+                "member": batch["member"],
+            }
+        )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "label": batch["label"],
+                "member": batch["member"],
+            }
+        )
+
+    def delta(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        own = batch["own"].to_numpy(zero_copy_only=False)
+        changed = int(((own < 0) | (lab < own)).sum())
+        return pa.table({"changed": pa.array([changed], pa.int64())})
+
+    for _ in range(max_iters if have_edges else 0):
+        nbr = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(nbr_msgs, batch_format="pyarrow", batch_size=65536)
+        own = labels.map_batches(
+            self_msgs, batch_format="pyarrow", batch_size=65536
+        )
+        folded = (
+            nbr.union(own)
+            .groupby("node")
+            .aggregate(
+                Min("label", alias_name="label"),
+                Max("own", alias_name="own"),
+                Max("member", alias_name="member"),
             )
-        label = int(own.min())
-        node = int(g["key"][0].as_py())
-        mem = int(g["member"].to_numpy(zero_copy_only=False).max())
-        dst = g["dst"].to_numpy(zero_copy_only=False)
-        dst = np.unique(dst[dst >= 0])
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([[node], dst]), type=pa.int64()),
-                "cand": pa.array(
-                    np.full(len(dst) + 1, label, np.int64), type=pa.int64()
-                ),
-                # the node's own row carries its old label for change
-                # detection; neighbor messages carry a -1 sentinel
-                "old": pa.array(
-                    np.concatenate([[label], np.full(len(dst), -1, np.int64)]),
-                    type=pa.int64(),
-                ),
-                "member": pa.array(
-                    np.concatenate([[mem], np.full(len(dst), -1, np.int64)]),
-                    type=pa.int64(),
-                ),
-            }
+            .materialize()
         )
-
-    def fold(g: pa.Table) -> pa.Table:
-        cand = g["cand"].to_numpy(zero_copy_only=False)
-        old = g["old"].to_numpy(zero_copy_only=False)
-        own = old[old >= 0]
-        new = int(cand.min())
-        # a key materialized purely from neighbor messages (an edge endpoint
-        # outside ``nodes``) had no previous label: it IS a change — without
-        # this the loop can converge one round early through such relays
-        prev = int(own.max()) if len(own) else new + 1
-        return pa.table(
-            {
-                "key": pa.array([int(g["node"][0].as_py())], type=pa.int64()),
-                "dst": pa.array([-1], type=pa.int64()),
-                "label": pa.array([new], type=pa.int64()),
-                "member": pa.array(
-                    [int(g["member"].to_numpy(zero_copy_only=False).max())],
-                    type=pa.int64(),
-                ),
-                "changed": pa.array([int(new < prev)], type=pa.int64()),
-            }
-        )
-
-    for _ in range(max_iters):
-        msgs = edges.union(labels).groupby("key").map_groups(
-            propagate, batch_format="pyarrow"
-        )
-        folded = msgs.groupby("node").map_groups(
-            fold, batch_format="pyarrow"
+        changed = folded.map_batches(
+            delta, batch_format="pyarrow", batch_size=65536
+        ).sum("changed")
+        labels = folded.map_batches(
+            norm, batch_format="pyarrow", batch_size=65536
         ).materialize()
-        changed = folded.sum("changed")
-        labels = folded.drop_columns(["changed"]).materialize()
         if not changed:
             break
 
@@ -583,13 +581,14 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
         batch = batch.filter(pa.array(keep))
         return pa.table(
             {
-                node_col: batch["key"],
+                node_col: batch["node"],
                 "cluster": pc.cast(batch["label"], pa.int64()),
             }
         )
 
-    return labels.map_batches(out, batch_format="pyarrow")
+    import pyarrow.compute as pc
 
+    return labels.map_batches(out, batch_format="pyarrow", batch_size=65536)
 
 def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
                   text_col: str = "text", id_col: str = "doc_id",
