@@ -1,10 +1,14 @@
 """Deduplication operators: exact, n-gram shingle, MinHash+LSH, SimHash.
 
-All are Ray-Data-first: vectorized per-batch signature computation, then one
-``groupby`` on the signature/bucket key (the only shuffle), then per-group
-candidate emission. The reference's only dedup is exact-expression first-wins
-(``dictExpressions``, ``mathindex.cpp:336-355``); these generalize it to the
-operations a training-data pipeline needs at 100 TB.
+All are Ray-Data-first: vectorized per-batch signature computation, then ONE
+shuffle, then vectorized candidate emission. The shuffle key is never the
+raw bucket/content key (bucket groups are O(corpus) and a per-group Python
+call costs ~0.5 ms — measured: 419 s for 100k groups): exact dedup folds
+with built-in Min/Count aggregates, and the pair generators group by a
+FIXED hash shard of the bucket key, each shard processing all its bucket
+runs in one sorted pass. The reference's only dedup is exact-expression
+first-wins (``dictExpressions``, ``mathindex.cpp:336-355``); these
+generalize it to the operations a training-data pipeline needs at 100 TB.
 """
 
 from __future__ import annotations
@@ -68,21 +72,30 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     Returns (id, dups) — the kept id and the duplicate count per content
     group. The groupby key is the 64-bit content hash (narrow shuffle: the
-    text itself never moves), the analogue of the reference's global
-    first-occurrence expression dedup with "first" defined by data order,
-    not arrival (SURVEY §2.7 D1)."""
-    import pandas as pd
+    text itself never moves) and the fold is BUILT-IN Min/Count aggregates
+    — no Python runs per group (content groups are O(corpus)); the
+    analogue of the reference's global first-occurrence expression dedup
+    with "first" defined by data order, not arrival (SURVEY §2.7 D1)."""
+    from ray.data.aggregate import Count, Min
 
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col, id_col), batch_format="pyarrow"
     )
+    agg = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="dups")
+    )
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_col: [int(g[id_col].min())], "dups": [np.int64(len(g))]}
+    def strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "dups": pc.cast(batch["dups"], pa.int64()),
+            }
         )
 
-    return hashed.groupby("content_hash").map_groups(first_wins, batch_format="pandas")
+    return agg.map_batches(strip, batch_format="pyarrow", batch_size=65536)
 
 
 # ---------------------------------------------------------------------------
@@ -150,21 +163,53 @@ _EMPTY_PAIRS = pa.table(
 
 
 def shingle_candidates(ds, n: int = 5, text_col: str = "text", id_col: str = "doc_id",
-                       group_cap: int = PAIR_GROUP_CAP):
-    """Distinct doc pairs (a < b) sharing at least one token n-gram."""
-    sh = ds.map_batches(
-        lambda b: shingle_batch(b, n, text_col, id_col), batch_format="pyarrow"
-    )
+                       group_cap: int = PAIR_GROUP_CAP, shards: int = 64):
+    """Distinct doc pairs (a < b) sharing at least one token n-gram.
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = _capped_unique_ids(
-            g[id_col].to_numpy(zero_copy_only=False), group_cap, "shingle_candidates"
+    The shuffle key is a FIXED hash shard of the shingle, not the shingle
+    itself: shingle groups are O(vocabulary) and a per-group Python call
+    costs ~0.5 ms; each shard instead processes all its shingle runs in
+    one sorted pass (the same shape as ``jaccard_pairs``)."""
+    import pandas as pd
+
+    def shard_shingles(batch: pa.Table) -> pa.Table:
+        t = shingle_batch(batch, n, text_col, id_col)
+        h = pd.util.hash_array(t["shingle"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "shard", pa.array((h % shards).astype(np.int32), type=pa.int32())
         )
-        if len(ids) < 2:
-            return _EMPTY_PAIRS
-        return _pair_table(ids)
 
-    cand = sh.groupby("shingle").map_groups(pairs, batch_format="pyarrow")
+    sh = ds.map_batches(shard_shingles, batch_format="pyarrow")
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY_PAIRS
+        shingles = g["shingle"].to_numpy(zero_copy_only=False)
+        order = np.argsort(shingles, kind="stable")
+        shingles = shingles[order]
+        docs = g[id_col].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], shingles[1:] != shingles[:-1]])
+        )
+        ends = np.append(starts[1:], len(shingles))
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            ids = _capped_unique_ids(docs[st:en], group_cap, "shingle_candidates")
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    cand = sh.groupby("shard").map_groups(per_shard, batch_format="pyarrow")
     return _distinct_pairs(cand, ["doc_a", "doc_b"])
 
 
@@ -280,15 +325,56 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_n: int =
         concurrency=(1, 4),
     )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = _capped_unique_ids(
-            g[id_col].to_numpy(zero_copy_only=False), group_cap, "minhash_candidates"
-        )
-        if len(ids) < 2:
-            return _EMPTY_PAIRS
-        return _pair_table(ids)
+    # fixed hash shards of the (band, band_hash) bucket space — bucket
+    # groups are O(docs x bands), so per-group Python calls are the wrong
+    # granularity; each shard processes all its bucket runs in one sorted
+    # vectorized pass
+    shards = 64
 
-    cand = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
+    def add_shard(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ band
+        return batch.append_column(
+            "shard", pa.array((h % shards).astype(np.int32), type=pa.int32())
+        )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY_PAIRS
+        band = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bh, band))
+        band, bh, docs = band[order], bh[order], docs[order]
+        new = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(docs))
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            ids = _capped_unique_ids(docs[st:en], group_cap, "minhash_candidates")
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    cand = (
+        sigs.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
     return _distinct_pairs(cand, ["doc_a", "doc_b"])
 
 
@@ -625,37 +711,68 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    # fixed hash shards of the (band, band_bits) bucket space (bucket
+    # groups are O(docs); per-group Python is the wrong granularity)
+    shards = 64
 
-    def verify(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, h = ids[order], h[order]
-        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
-        ids, h = ids[keep_first], h[keep_first]
-        if len(ids) > group_cap:
-            logger.warning(
-                "simhash_pairs: hot band bucket of %d docs capped to %d",
-                len(ids), group_cap,
-            )
-            ids, h = ids[:group_cap], h[:group_cap]
-        if len(ids) < 2:
+    def add_shard(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bits = batch["band_bits"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hsh = (bits * np.uint64(0x9E3779B97F4A7C15)) ^ band
+        return batch.append_column(
+            "shard", pa.array((hsh % shards).astype(np.int32), type=pa.int32())
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_shard, batch_format="pyarrow"
+    )
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def verify_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return _EMPTY_PAIRS
-        a, b = np.triu_indices(len(ids), k=1)
-        x = h[a] ^ h[b]
-        # vectorized popcount via the 8-bit lookup on the raw bytes
-        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
-        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(1)
-        ok = ham <= max_hamming
+        band = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = g["band_bits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((docs, bits, band))
+        band, bits, docs, hs = band[order], bits[order], docs[order], hs[order]
+        new = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (bits[1:] != bits[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(docs))
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            ids = docs[st:en]
+            h = hs[st:en]
+            keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+            ids, h = ids[keep_first], h[keep_first]
+            if len(ids) > group_cap:
+                logger.warning(
+                    "simhash_pairs: hot band bucket of %d docs capped to %d",
+                    len(ids), group_cap,
+                )
+                ids, h = ids[:group_cap], h[:group_cap]
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            x = h[a] ^ h[b]
+            ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(1)
+            ok = ham <= max_hamming
+            out_a.append(ids[a[ok]])
+            out_b.append(ids[b[ok]])
+        if not out_a:
+            return _EMPTY_PAIRS
         return pa.table(
             {
-                "doc_a": pa.array(ids[a[ok]], type=pa.int64()),
-                "doc_b": pa.array(ids[b[ok]], type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
             }
         )
 
-    cand = exploded.groupby(["band", "band_bits"]).map_groups(
-        verify, batch_format="pyarrow"
+    cand = exploded.groupby("shard").map_groups(
+        verify_shard, batch_format="pyarrow"
     )
     return _distinct_pairs(cand, ["doc_a", "doc_b"])

@@ -45,28 +45,41 @@ def tumbling_window_partial(
     )
 
 
+def _fold_window_partials(partial, key_col: str):
+    """Built-in Sum aggregates over the tiny partial rows — (key, window)
+    group counts are O(keys x windows), so the fold must not run Python
+    per group — then one vectorized rounding map."""
+    from ray.data.aggregate import Sum
+
+    agg = partial.groupby([key_col, "window_start"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "window_start": batch["window_start"],
+                "n": pc.cast(batch["n"], pa.int64()),
+                "sum_value": pa.array(
+                    round_half_away(
+                        batch["sum_value"].to_numpy(zero_copy_only=False), 6
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+
+
 def tumbling_window(ds, key_col="event_type", ts_col="ts", value_col="value", unit="hour"):
     """(key, window_start, n, sum_value) with sum_value rounded to 6."""
-    import pandas as pd
-
     partial = ds.map_batches(
         lambda b: tumbling_window_partial(b, key_col, ts_col, value_col, unit),
         batch_format="pyarrow",
     )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n": [np.int64(g["n"].sum())],
-                "sum_value": [float(round_half_away(g["sum_value"].sum(), 6))],
-            }
-        )
-
-    return partial.groupby([key_col, "window_start"]).map_groups(
-        final, batch_format="pandas"
-    )
+    return _fold_window_partials(partial, key_col)
 
 
 def hopping_window(ds, key_col="event_type", ts_col="ts", value_col="value",
@@ -120,56 +133,79 @@ def hopping_window(ds, key_col="event_type", ts_col="ts", value_col="value",
         )
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n": [np.int64(g["n"].sum())],
-                "sum_value": [float(round_half_away(g["sum_value"].sum(), 6))],
-            }
-        )
-
-    return part.groupby([key_col, "window_start"]).map_groups(
-        final, batch_format="pandas"
-    )
+    return _fold_window_partials(part, key_col)
 
 
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30):
+               gap_minutes: int = 30, shards: int = 64):
     """Gap-based session windows per key: a new session starts whenever the
     gap to the previous event of the same key exceeds ``gap_minutes``.
 
-    One shuffle (groupby key); within a group everything is vectorized
-    (sort -> diff -> boundary cumsum). Emits one row per session:
-    (key, session_idx, start, end, n_events). The partitioning assumption is
-    per-key locality — a key's events must co-locate, which the groupby
-    provides; skewed keys are bounded by per-user event counts, not corpus
-    size.
+    One shuffle — but over FIXED hash shards of the key space, not one
+    group per key (key groups are O(users), and per-group Python calls
+    were measured at ~0.5 ms each): every shard processes ALL of its keys
+    in one vectorized pass — lexsort by (key, ts), boundary mask (new key
+    OR gap), cumsum session ids, reduceat-style segment extraction. Emits
+    one row per session: (key, session_idx, start, end, n_events). The
+    partitioning assumption is per-key locality, which the shard hash
+    preserves.
     """
-    import pandas as pd
-
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new) - 1
-        out = (
-            pd.DataFrame({"sid": sid, "ts": ts})
-            .groupby("sid")
-            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
-                 n_events=("ts", "size"))
-            .reset_index()
-        )
-        out[key_col] = g[key_col].iloc[0]
-        out["session_idx"] = out["sid"].astype(np.int64)
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-        return out[[key_col, "session_idx", "session_start", "session_end", "n_events"]]
+    def add_shard(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(keys.astype(object)) % shards
+        return batch.append_column("shard", pa.array(h.astype(np.int32)))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], type=g[key_col].type),
+                "session_idx": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "session_end": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        ts = (
+            g[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((ts, codes))
+        u, t = codes[order], ts[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        new = new_user | np.concatenate([[True], (t[1:] - t[:-1]) > gap_us])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(t))
+        sid = np.cumsum(new) - 1
+        uidx_row = np.cumsum(new_user) - 1
+        first_sid_of_user = sid[np.flatnonzero(new_user)]
+        sess_uidx = uidx_row[starts]
+        session_idx = sid[starts] - first_sid_of_user[sess_uidx]
+        return pa.table(
+            {
+                key_col: pc.take(enc.dictionary, pa.array(u[starts])),
+                "session_idx": pa.array(session_idx, type=pa.int64()),
+                "session_start": pa.array(
+                    t[starts].astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    t[ends - 1].astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+            }
+        )
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(per_shard, batch_format="pyarrow")
