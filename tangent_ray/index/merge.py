@@ -84,8 +84,42 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
     )
     ds = ray.data.read_parquet(term_files)
     bs = cfg.block_size
-    ds.groupby("term").map_groups(
-        lambda g: _merge_term_group(g, bs), batch_format="pyarrow"
+    # shuffle on a FIXED hash shard of the term, not the term itself: term
+    # groups are O(vocabulary) (math-tuple vocabularies reach 10^8) and a
+    # per-group Python call costs ~0.5 ms; each shard merges all its term
+    # runs in one pass
+    shards = 64
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            batch["term"].to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column(
+            "shard", pa.array((h % shards).astype(np.int32), type=pa.int32())
+        )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["shard"])
+        if g.num_rows == 0:
+            return SEGMENT_SCHEMA.empty_table()
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        g = g.take(pa.array(order))
+        terms = terms[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], terms[1:] != terms[:-1]])
+        )
+        ends = np.append(starts[1:], len(terms))
+        parts = [
+            _merge_term_group(g.slice(st, en - st), bs)
+            for st, en in zip(starts, ends)
+        ]
+        return pa.concat_tables(parts)
+
+    ds.map_batches(add_shard, batch_format="pyarrow").groupby("shard").map_groups(
+        merge_shard, batch_format="pyarrow"
     ).write_parquet(os.path.join(tmp, "terms"))
 
     # carry the docmap sidecars along (pure byte copy — docids are disjoint
