@@ -233,31 +233,43 @@ def _verify_batch(t: pa.Table) -> pa.Table:
     return pa.Table.from_pylist([totals])
 
 
-def _verify_term_group(g: pa.Table) -> pa.Table:
-    """Cross-run docid uniqueness for ONE term (all its runs, all partials).
+def _verify_term_shard(g: pa.Table) -> pa.Table:
+    """Cross-run docid uniqueness for every term of ONE hash shard.
 
     Salted runs within a partial cover disjoint docid ranges by
     construction; re-ingesting the same documents as a new increment
     produces the same hashed docids in another partial — exactly what this
     catches (it would silently double-count df/cf in scoring otherwise).
-    """
+    One shard call checks all its terms (term groups are O(vocabulary);
+    per-group Python calls are the wrong granularity)."""
     from tangent_ray.index.codec import decode_postings
 
-    if g.num_rows == 1:
+    if g.num_rows == 0:
         return pa.table({"dup_terms": pa.array([0], type=pa.int64())})
-    docs = np.concatenate(
-        [
-            decode_postings(g["postings"][i].as_py(), g["skips"][i].as_py())[0]
-            for i in range(g.num_rows)
-        ]
-    )
-    docs.sort()
-    if len(docs) > 1 and (docs[1:] == docs[:-1]).any():
-        term = g["term"][0].as_py()
-        raise AssertionError(
-            f"duplicate docid across runs for term {term!r} "
-            "(same documents ingested in more than one increment?)"
+    terms = g["term"].to_numpy(zero_copy_only=False)
+    order = np.argsort(terms, kind="stable")
+    terms = terms[order]
+    starts = np.flatnonzero(np.concatenate([[True], terms[1:] != terms[:-1]]))
+    ends = np.append(starts[1:], len(terms))
+    posts = g["postings"]
+    skips = g["skips"]
+    for st, en in zip(starts, ends):
+        if en - st == 1:
+            continue
+        docs = np.concatenate(
+            [
+                decode_postings(
+                    posts[int(order[i])].as_py(), skips[int(order[i])].as_py()
+                )[0]
+                for i in range(st, en)
+            ]
         )
+        docs.sort()
+        if len(docs) > 1 and (docs[1:] == docs[:-1]).any():
+            raise AssertionError(
+                f"duplicate docid across runs for term {terms[st]!r} "
+                "(same documents ingested in more than one increment?)"
+            )
     return pa.table({"dup_terms": pa.array([0], type=pa.int64())})
 
 
@@ -293,7 +305,17 @@ def verify_index(out_dir: str, check_unique: bool = True) -> dict:
     for k, v in totals.items():
         assert v == g[k], f"{k}: recomputed {v} != manifest {g[k]}"
     if check_unique:
-        ray.data.read_parquet(files).groupby("term").map_groups(
-            _verify_term_group, batch_format="pyarrow"
+        import pandas as pd
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(batch["term"].to_numpy(zero_copy_only=False))
+            return batch.append_column(
+                "shard", pa.array((h % 64).astype(np.int32), type=pa.int32())
+            )
+
+        ray.data.read_parquet(files).map_batches(
+            add_shard, batch_format="pyarrow"
+        ).groupby("shard").map_groups(
+            _verify_term_shard, batch_format="pyarrow"
         ).count()  # consume: raises inside workers on violation
     return totals

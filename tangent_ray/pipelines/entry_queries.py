@@ -269,13 +269,27 @@ def q_clean_corpus(sf_dir: str):
             "content_hash", pa.array(h.astype(np.int64), type=pa.int64())
         )
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+    def shard_of(batch: pa.Table) -> pa.Table:
+        h = batch["content_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "shard", pa.array((h % 64).astype(np.int32), type=pa.int32())
+        )
+
+    def first_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a content hash land in one shard; one vectorized
+        # sort + drop_duplicates picks every hash's min-doc_id row (content
+        # groups are O(corpus) — never one Python call per group)
+        return (
+            g.sort_values(["content_hash", "doc_id"], kind="stable")
+            .drop_duplicates("content_hash")
+            .drop(columns=["shard"])
+        )
 
     kept = (
         ds.map_batches(gate, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(first_row, batch_format="pandas")
+        .map_batches(shard_of, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(first_rows, batch_format="pandas")
     )
     partial = kept.map_batches(token_count_partial, batch_format="pyarrow")
     out = partial.groupby("source").aggregate(
