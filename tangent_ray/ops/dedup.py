@@ -13,7 +13,6 @@ generalize it to the operations a training-data pipeline needs at 100 TB.
 
 from __future__ import annotations
 
-import hashlib
 import logging
 
 import numpy as np
@@ -28,13 +27,6 @@ logger = logging.getLogger(__name__)
 # shared by 100k docs) would otherwise explode the pipeline's biggest
 # intermediate. Truncation is logged, never silent.
 PAIR_GROUP_CAP = 1024
-
-# deterministic 64-bit hash of a string (unsalted, cross-process stable)
-
-
-def _h64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-
 
 def _capped_unique_ids(ids: np.ndarray, cap: int, what: str) -> np.ndarray:
     """Sorted unique ids of one candidate group, capped with a logged drop."""
@@ -54,11 +46,15 @@ def _distinct_pairs(cand, id_cols: list[str]):
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    h = np.fromiter(
-        (_h64(t) if t is not None else 0 for t in batch[text_col].to_pylist()),
-        count=batch.num_rows,
-        dtype=np.uint64,
-    )
+    """64-bit content hash per row (vectorized C siphash with a fixed key —
+    deterministic across processes; the hash only ever keys equality
+    groupbys, so the function choice is free and per-row Python hashing of
+    full document bytes would dominate the dedup pipeline)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(
+        batch[text_col].to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
     return pa.table(
         {
             id_col: batch[id_col],

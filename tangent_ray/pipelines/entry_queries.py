@@ -246,7 +246,6 @@ def q_clean_corpus(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    from tangent_ray.ops.dedup import _h64
     from tangent_ray.ops.textstats import quality_batch, token_count_partial
 
     ds = ray.data.read_parquet(
@@ -261,10 +260,11 @@ def q_clean_corpus(sf_dir: str):
             q["n_words"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_WORDS
         ) & (q["alpha_ratio"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_ALPHA)
         out = batch.filter(pa.array(keep))
-        h = np.fromiter(
-            (_h64(t) for t in out["text"].to_pylist()),
-            count=out.num_rows, dtype=np.uint64,
-        )
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            out["text"].to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
         return out.append_column(
             "content_hash", pa.array(h.astype(np.int64), type=pa.int64())
         )
