@@ -35,6 +35,7 @@ import ray.data
 from tangent_ray.config import EngineConfig
 from tangent_ray.index.build import MANIFEST_NAME, SEGMENT_SCHEMA
 from tangent_ray.index.codec import decode_skips, merge_postings
+from tangent_ray.util import DEFAULT_SHARDS, shard_column
 
 
 def _merge_term_group(group: pa.Table, block_size: int) -> pa.Table:
@@ -64,7 +65,8 @@ def _merge_term_group(group: pa.Table, block_size: int) -> pa.Table:
     )
 
 
-def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
+def merge_partials(out_dir: str, names: list[str], merged_name: str,
+                   shards: int = DEFAULT_SHARDS) -> dict:
     """Merge the named partials of an index into one; atomic swap."""
     pdir = os.path.join(out_dir, "partials")
     dirs = [os.path.join(pdir, n) for n in names]
@@ -87,18 +89,10 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str) -> dict:
     # shuffle on a FIXED hash shard of the term, not the term itself: term
     # groups are O(vocabulary) (math-tuple vocabularies reach 10^8) and a
     # per-group Python call costs ~0.5 ms; each shard merges all its term
-    # runs in one pass
-    shards = 64
+    # runs in one pass (size ``shards`` so one shard's rows fit a worker)
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_array(
-            batch["term"].to_numpy(zero_copy_only=False)
-        )
-        return batch.append_column(
-            "shard", pa.array((h % shards).astype(np.int32), type=pa.int32())
-        )
+        return shard_column(batch, ["term"], shards)
 
     def merge_shard(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["shard"])
@@ -305,13 +299,8 @@ def verify_index(out_dir: str, check_unique: bool = True) -> dict:
     for k, v in totals.items():
         assert v == g[k], f"{k}: recomputed {v} != manifest {g[k]}"
     if check_unique:
-        import pandas as pd
-
         def add_shard(batch: pa.Table) -> pa.Table:
-            h = pd.util.hash_array(batch["term"].to_numpy(zero_copy_only=False))
-            return batch.append_column(
-                "shard", pa.array((h % 64).astype(np.int32), type=pa.int32())
-            )
+            return shard_column(batch, ["term"], DEFAULT_SHARDS)
 
         ray.data.read_parquet(files).map_batches(
             add_shard, batch_format="pyarrow"

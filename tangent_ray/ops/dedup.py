@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from tangent_ray.tokenize.text import split_tokens
+from tangent_ray.util import DEFAULT_SHARDS, shard_column
 
 logger = logging.getLogger(__name__)
 
@@ -159,21 +160,17 @@ _EMPTY_PAIRS = pa.table(
 
 
 def shingle_candidates(ds, n: int = 5, text_col: str = "text", id_col: str = "doc_id",
-                       group_cap: int = PAIR_GROUP_CAP, shards: int = 64):
+                       group_cap: int = PAIR_GROUP_CAP,
+                       shards: int = DEFAULT_SHARDS):
     """Distinct doc pairs (a < b) sharing at least one token n-gram.
 
     The shuffle key is a FIXED hash shard of the shingle, not the shingle
     itself: shingle groups are O(vocabulary) and a per-group Python call
     costs ~0.5 ms; each shard instead processes all its shingle runs in
     one sorted pass (the same shape as ``jaccard_pairs``)."""
-    import pandas as pd
-
     def shard_shingles(batch: pa.Table) -> pa.Table:
-        t = shingle_batch(batch, n, text_col, id_col)
-        h = pd.util.hash_array(t["shingle"].to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "shard", pa.array((h % shards).astype(np.int32), type=pa.int32())
-        )
+        return shard_column(shingle_batch(batch, n, text_col, id_col),
+                            ["shingle"], shards)
 
     sh = ds.map_batches(shard_shingles, batch_format="pyarrow")
 
@@ -309,7 +306,8 @@ class MinHashLSH:
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       group_cap: int = PAIR_GROUP_CAP):
+                       group_cap: int = PAIR_GROUP_CAP,
+                       shards: int = DEFAULT_SHARDS):
     """Candidate near-duplicate pairs via MinHash LSH banding."""
     sigs = ds.map_batches(
         MinHashLSH,
@@ -325,16 +323,9 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_n: int =
     # groups are O(docs x bands), so per-group Python calls are the wrong
     # granularity; each shard processes all its bucket runs in one sorted
     # vectorized pass
-    shards = 64
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ band
-        return batch.append_column(
-            "shard", pa.array((h % shards).astype(np.int32), type=pa.int32())
-        )
+        return shard_column(batch, ["band", "band_hash"], shards)
 
     def per_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -403,7 +394,8 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
 
 def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
                   text_col: str = "text", id_col: str = "doc_id",
-                  shards: int = 64, group_cap: int = PAIR_GROUP_CAP):
+                  shards: int = DEFAULT_SHARDS,
+                  group_cap: int = PAIR_GROUP_CAP):
     """Exact token n-gram Jaccard similarity for every doc pair sharing at
     least one shingle: |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingle sets.
 
@@ -674,7 +666,8 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
 
 def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
                   text_col: str = "text", id_col: str = "doc_id",
-                  group_cap: int = PAIR_GROUP_CAP):
+                  group_cap: int = PAIR_GROUP_CAP,
+                  shards: int = DEFAULT_SHARDS):
     """SimHash near-duplicate pairs: doc pairs whose 64-bit SimHash
     signatures differ in at most ``max_hamming`` bits.
 
@@ -709,16 +702,9 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
 
     # fixed hash shards of the (band, band_bits) bucket space (bucket
     # groups are O(docs); per-group Python is the wrong granularity)
-    shards = 64
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bits = batch["band_bits"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            hsh = (bits * np.uint64(0x9E3779B97F4A7C15)) ^ band
-        return batch.append_column(
-            "shard", pa.array((hsh % shards).astype(np.int32), type=pa.int32())
-        )
+        return shard_column(batch, ["band", "band_bits"], shards)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow").map_batches(
         add_shard, batch_format="pyarrow"

@@ -218,6 +218,8 @@ def image_dims(payload: bytes) -> tuple[str, int, int]:
             # the spec allows runs of 0xFF fill bytes before any marker
             while i + 1 < n and payload[i + 1] == 0xFF:
                 i += 1
+            if i + 1 >= n:  # payload ends inside a fill run
+                break
             marker = payload[i + 1]
             if marker == 0xD9:  # EOI: no SOF seen
                 break
@@ -331,13 +333,16 @@ def media_duration(payload: bytes) -> tuple[str, int]:
         while i + 8 <= n:
             size = struct.unpack(">I", payload[i : i + 4])[0]
             btype = payload[i + 4 : i + 8]
+            hdr = 8
             if size == 1 and i + 16 <= n:
-                # extended 64-bit box size (>4 GiB mdat)
+                # extended 64-bit box size (>4 GiB mdat); children start
+                # after the 16-byte header (size+type+largesize)
                 size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+                hdr = 16
             elif size == 0:
                 size = n - i  # box extends to end of file
             if btype == b"moov":
-                j, end = i + 8, min(i + size, n)
+                j, end = i + hdr, min(i + size, n)
                 while j + 8 <= end:
                     bsz = struct.unpack(">I", payload[j : j + 4])[0]
                     if payload[j + 4 : j + 8] == b"mvhd":

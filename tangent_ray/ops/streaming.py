@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tangent_ray.util import round_half_away
+from tangent_ray.util import DEFAULT_SHARDS, round_half_away, shard_column
 
 
 def tumbling_window_partial(
@@ -92,8 +92,6 @@ def hopping_window(ds, key_col="event_type", ts_col="ts", value_col="value",
     subtraction, no per-event Python), pre-aggregates, and the final
     groupby folds tiny partial rows only. ``size`` must be a multiple of
     ``hop``."""
-    import pandas as pd
-
     assert size_hours % hop_hours == 0
     k = size_hours // hop_hours
     hop_us = hop_hours * 3_600_000_000
@@ -137,7 +135,7 @@ def hopping_window(ds, key_col="event_type", ts_col="ts", value_col="value",
 
 
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30, shards: int = 64):
+               gap_minutes: int = 30, shards: int = DEFAULT_SHARDS):
     """Gap-based session windows per key: a new session starts whenever the
     gap to the previous event of the same key exceeds ``gap_minutes``.
 
@@ -153,11 +151,10 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
     gap_us = gap_minutes * 60 * 1_000_000
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        keys = batch[key_col].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(keys.astype(object)) % shards
-        return batch.append_column("shard", pa.array(h.astype(np.int32)))
+        # null keys have no session identity — drop them (the previous
+        # pandas-groupby implementation dropped them implicitly)
+        batch = batch.filter(pc.is_valid(batch[key_col]))
+        return shard_column(batch, [key_col], shards)
 
     def per_shard(g: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -270,10 +270,9 @@ def q_clean_corpus(sf_dir: str):
         )
 
     def shard_of(batch: pa.Table) -> pa.Table:
-        h = batch["content_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column(
-            "shard", pa.array((h % 64).astype(np.int32), type=pa.int32())
-        )
+        from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+        return shard_column(batch, ["content_hash"], DEFAULT_SHARDS)
 
     def first_rows(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of a content hash land in one shard; one vectorized
@@ -427,8 +426,9 @@ def q_shingle_candidates(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     """Duplicate clusters: connected components over the shingle candidate
-    graph (min-label propagation, two shuffles per round, no joins); every
-    document gets a cluster id (the component's min doc_id)."""
+    graph (min-label propagation; one hash join + one aggregate per round,
+    fully vectorized); every document gets a cluster id (the component's
+    min doc_id)."""
     import ray.data
 
     from tangent_ray.ops.dedup import connected_components, shingle_candidates

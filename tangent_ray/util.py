@@ -71,3 +71,33 @@ def stabilize_lazy_imports() -> None:
 
     mod.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = mod
+
+
+#: default shard count for bucket-key shuffles. Sizing rule: one shard's
+#: rows materialize as ONE in-memory table in a map_groups task, so pick
+#: shards ~ total_rows / rows-per-worker-heap (and >= cluster cores for
+#: parallelism). 256 keeps test-scale overhead negligible while bounding a
+#: shard to 1/256 of the input; pass an explicit value at larger scale.
+DEFAULT_SHARDS = 256
+
+
+def shard_column(batch, cols, shards: int = DEFAULT_SHARDS,
+                 name: str = "shard"):
+    """Append an int32 shard column: fixed-key vectorized hash of ``cols``.
+
+    The ONE shared definition of 'hash these key columns into a bounded
+    shard id' — a fixed-key C-loop siphash per column, folded FNV-style
+    across columns. Deterministic across processes and runs.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            arr = batch[c].to_numpy(zero_copy_only=False)
+            hc = pd.util.hash_array(arr).astype(np.uint64)
+            h = h * np.uint64(0x100000001B3) ^ hc
+    return batch.append_column(
+        name, pa.array((h % shards).astype(np.int32), type=pa.int32())
+    )

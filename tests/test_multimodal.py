@@ -151,3 +151,40 @@ def test_header_parser_spec_variants():
     m3 = (struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
           + struct.pack(">I", 0) + b"moov" + mvhd_box)
     assert media_duration(m3) == ("mp4", 7000)
+
+
+def test_header_parser_edge_bounds():
+    """Regressions from review: fill-run-terminated JPEG payloads must not
+    raise; extended-size moov children start after the 16-byte header."""
+    import struct
+
+    from tangent_ray.ops.multimodal import image_dims, media_duration
+
+    assert image_dims(b"\xff\xd8\xff\xff") == ("jpeg", -1, -1)
+    assert image_dims(b"\xff\xd8\xff\xff\xff") == ("jpeg", -1, -1)
+
+    mvhd = struct.pack(">B3xIIII", 0, 0, 0, 1000, 9000) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov_ext = (struct.pack(">I", 1) + b"moov"
+                + struct.pack(">Q", 16 + len(mvhd_box)) + mvhd_box)
+    m = (struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+         + moov_ext)
+    assert media_duration(m) == ("mp4", 9000)
+
+
+def test_sessionize_null_keys_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tangent_ray.ops.streaming import sessionize
+
+    t = pa.table(
+        {
+            "user_id": pa.array(["a", None, "a"], type=pa.string()),
+            "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                           type=pa.timestamp("us")),
+        }
+    )
+    got = sessionize(ray.data.from_arrow(t), gap_minutes=30).take_all()
+    assert {r["user_id"] for r in got} == {"a"}
+    assert sum(r["n_events"] for r in got) == 2
