@@ -204,13 +204,14 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     parents, tokens, pos = split_tokens(texts)
-    import zlib
+    import pandas as pd
 
-    tok_h = np.fromiter(
-        (zlib.crc32(t.encode()) for t in tokens.to_pylist()),
-        count=len(parents),
-        dtype=np.uint64,
-    )
+    # vectorized C-loop token hashing (per-token Python crc32 was the last
+    # row-at-a-time hot-path loop here); the hash choice only needs to be
+    # deterministic — fingerprints are self-consistent, not cross-system
+    tok_h = pd.util.hash_array(
+        tokens.to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
     out = np.zeros(len(texts), dtype=np.uint64)
     B = np.uint64(1000003)
     if len(parents):

@@ -38,9 +38,9 @@ def test_empty_batch():
 
 def test_fingerprint_vectorized_matches_sequential_horner():
     import re
-    import zlib
 
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
 
     from tangent_ray.ops.textstats import fingerprint_batch
@@ -59,7 +59,8 @@ def test_fingerprint_vectorized_matches_sequential_horner():
         h = np.uint64(0)
         with np.errstate(over="ignore"):
             for w in toks:
-                h = h * B + np.uint64(zlib.crc32(w.encode()))
+                th = pd.util.hash_array(np.array([w], dtype=object))[0]
+                h = h * B + np.uint64(th)
         assert np.int64(h) == got[i]
 
 
