@@ -38,6 +38,7 @@ distributed):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -49,6 +50,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 from tangent_ray.config import EngineConfig
 from tangent_ray.index.codec import encode_postings_multi
@@ -364,8 +367,26 @@ def build_index(
     os.makedirs(os.path.join(out_dir, "partials"), exist_ok=True)
     for i, pfiles in enumerate(parts):
         pdir = os.path.join(out_dir, "partials", f"p{i:05d}")
-        if resume and os.path.exists(os.path.join(pdir, MANIFEST_NAME)):
-            continue
+        mpath = os.path.join(pdir, MANIFEST_NAME)
+        if resume and os.path.exists(mpath):
+            # a finished partition resumes ONLY if its lineage matches the
+            # current plan: with new input files or a changed config, the
+            # planned file->partition mapping shifts and skipping would
+            # silently drop (or double-index) documents / mix tokenizer
+            # configs within one index
+            with open(mpath) as f:
+                m = json.load(f)
+            if (
+                sorted(m.get("input_files", [])) == sorted(pfiles)
+                and m.get("config") == cfg.to_json()
+            ):
+                continue
+            logger.warning(
+                "build_index: partition %s exists but its lineage does not "
+                "match the current plan (inputs or config changed) — "
+                "rebuilding it",
+                f"p{i:05d}",
+            )
         build_partition(
             pfiles,
             pdir,
@@ -383,7 +404,13 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
     """Aggregate partial manifests into the global manifest + invariants."""
     pdir = os.path.join(out_dir, "partials")
     partials = sorted(
-        d for d in os.listdir(pdir) if os.path.exists(os.path.join(pdir, d, MANIFEST_NAME))
+        d
+        for d in os.listdir(pdir)
+        # a crashed build can leave a fully-manifested "*__tmp" dir (the
+        # manifest is written BEFORE the atomic rename); counting it as a
+        # completed partial would double-index its docs on retry
+        if not d.endswith("__tmp")
+        and os.path.exists(os.path.join(pdir, d, MANIFEST_NAME))
     )
     manifests = []
     for d in partials:

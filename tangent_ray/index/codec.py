@@ -111,6 +111,13 @@ def encode_postings(
     vals[idx + 3 * nsb] = pos1s.astype(np.uint64)
     enc, nbytes = _varint_encode_with_lengths(vals)
     byte_ends = np.cumsum(nbytes)
+    if int(byte_ends[-1]) >= 1 << 32:
+        # skip offsets are u4: a >=4GiB single run would silently wrap.
+        # A hot term at this size needs more salt buckets (smaller runs).
+        raise ValueError(
+            "posting run exceeds 4 GiB encoded; raise salt_buckets so hot "
+            "terms split into smaller per-bucket runs"
+        )
     skips = np.zeros(n_blocks, dtype=SKIP_DTYPE)
     last_idx = estarts + ns - 1
     skips["last"] = docids[last_idx]
@@ -212,6 +219,11 @@ def encode_postings_multi(
     block_byte_start = dst_starts[:, 0]
     run_byte_start = block_byte_start[bstart_of_run]
     run_byte_end = np.concatenate([run_byte_start[1:], [int(flat_ends[-1])]])
+    if int((run_byte_end - run_byte_start).max()) >= 1 << 32:
+        raise ValueError(
+            "posting run exceeds 4 GiB encoded; raise salt_buckets so hot "
+            "terms split into smaller per-bucket runs"
+        )
     skips = np.zeros(total_blocks, dtype=SKIP_DTYPE)
     skips["last"] = docids[estarts + ns - 1]
     skips["off"] = block_byte_start - run_byte_start[run_of_block]
@@ -330,28 +342,39 @@ def concat_runs(runs: list[tuple[bytes, bytes]]) -> tuple[bytes, bytes]:
     out_post: list[bytes] = []
     out_skips: list[np.ndarray] = []
     prev_last = np.uint64(0)
+    has_prev = False
     byte_off = 0
     for post, sk in runs:
         skips = decode_skips(sk).copy()
-        if prev_last > 0:
+        if has_prev:
+            # overlap must be checked against EVERY previous run, including
+            # one whose last docid is 0 (docid 0 is reachable); only the
+            # delta rewrite is a no-op when prev_last == 0
             first = varint_decode(np.frombuffer(post[:10], dtype=np.uint8)[: _first_len(post)])[0]
             if first <= prev_last:
                 raise ValueError("concat_runs: runs overlap; use merge_postings")
-            old = varint_encode(np.array([first], dtype=np.uint64))
-            new = varint_encode(np.array([first - prev_last], dtype=np.uint64))
-            post = new.tobytes() + post[len(old) :]
-            # The delta-varint rewrite changes the run's byte length; shift
-            # only blocks 1+ — block 0's in-run offset must stay 0.
-            shift = len(new) - len(old)
-            if shift and len(skips) > 1:
-                skips["off"][1:] = (
-                    skips["off"][1:].astype(np.int64) + shift
-                ).astype(np.uint32)
+            if prev_last > 0:
+                old = varint_encode(np.array([first], dtype=np.uint64))
+                new = varint_encode(np.array([first - prev_last], dtype=np.uint64))
+                post = new.tobytes() + post[len(old) :]
+                # The delta-varint rewrite changes the run's byte length;
+                # shift only blocks 1+ — block 0's in-run offset must stay 0.
+                shift = len(new) - len(old)
+                if shift and len(skips) > 1:
+                    skips["off"][1:] = (
+                        skips["off"][1:].astype(np.int64) + shift
+                    ).astype(np.uint32)
+        if byte_off + len(post) >= 1 << 32:
+            raise ValueError(
+                "concatenated posting run exceeds 4 GiB; compact with "
+                "merge_postings (re-encode) or raise salt_buckets"
+            )
         skips["off"] += np.uint32(byte_off)
         out_post.append(post)
         out_skips.append(skips)
         byte_off += len(post)
         prev_last = skips["last"][-1]
+        has_prev = True
     return b"".join(out_post), np.concatenate(out_skips).tobytes()
 
 

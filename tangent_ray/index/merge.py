@@ -179,7 +179,10 @@ def compact_index(out_dir: str, max_partials: int = 4, fanin: int = 8) -> list[s
         names = sorted(
             d
             for d in os.listdir(pdir)
-            if os.path.exists(os.path.join(pdir, d, MANIFEST_NAME))
+            # never fold crash-leftover "*__tmp" dirs (manifest precedes
+            # the atomic rename; see finalize_index)
+            if not d.endswith("__tmp")
+            and os.path.exists(os.path.join(pdir, d, MANIFEST_NAME))
         )
         if len(names) <= max_partials:
             break

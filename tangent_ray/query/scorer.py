@@ -156,24 +156,38 @@ class IndexReader:
         )
 
     def global_df(self, term: str) -> int:
-        if self._is_subset or os.path.exists(self._stats_path):
-            if self._stats is None:
-                if not os.path.exists(self._stats_path):
-                    raise FileNotFoundError(
-                        "sharded serving needs the term_stats.parquet sidecar "
-                        "(re-run finalize_index)"
-                    )
-                t = pq.read_table(self._stats_path, columns=["term", "df"])
-                self._stats = dict(
-                    zip(t["term"].to_pylist(),
-                        t["df"].to_numpy(zero_copy_only=False).tolist())
+        # a full reader computes exact global df from its own segments; the
+        # sidecar is needed ONLY for sharded serving (subset readers), and
+        # even then just its kind==0 (text) rows — global_df is a BM25-only
+        # lookup, and pulling the math-tuple vocabulary (up to 1e8 terms)
+        # into every actor would defeat the sharded memory bound
+        if not self._is_subset:
+            return sum(
+                int(s.df[r])
+                for s in self.segments
+                for r in s.lookup.get(term, ())
+            )
+        if self._stats is None:
+            if not os.path.exists(self._stats_path):
+                raise FileNotFoundError(
+                    "sharded serving needs the term_stats.parquet sidecar "
+                    "(re-run finalize_index)"
                 )
-            return self._stats.get(term, 0)
-        return sum(
-            int(s.df[r])
-            for s in self.segments
-            for r in s.lookup.get(term, ())
-        )
+            import pyarrow.compute as pc_
+
+            t = pq.read_table(self._stats_path, columns=["term", "kind", "df"])
+            t = t.filter(pc_.equal(t["kind"], 0)).combine_chunks()
+            order = pc_.sort_indices(t["term"])
+            terms = (
+                t["term"].take(order).to_numpy(zero_copy_only=False)
+            )  # sorted; searchsorted replaces a per-term Python dict
+            dfs = t["df"].take(order).to_numpy(zero_copy_only=False)
+            self._stats = (terms, dfs)
+        terms, dfs = self._stats
+        i = int(np.searchsorted(terms, term))
+        if i < len(dfs) and terms[i] == term:
+            return int(dfs[i])
+        return 0
 
     def dockey_of(self, docids: np.ndarray) -> list[str]:
         if self.manifest["corpus"] != "transcripts":
@@ -543,6 +557,7 @@ class QueryScorer:
             for pos, (idf, seg, row) in enumerate(plan)
         ]
         its = [it for it in its if it.cur != _BMW_END]
+        all_its = list(its)  # instrumentation: exhausted iterators included
         # candidates tied with the k-th score must survive pruning for the
         # docid-asc tie-break, so the heap stores (score, -docid) and the
         # prune condition is strictly-less-than the k-th *score*
@@ -613,6 +628,9 @@ class QueryScorer:
             its = [it for it in its if it.cur != _BMW_END]
             if not its:
                 break
+        # postings actually visited (the reference's `I post` counter; the
+        # bailout path doesn't reach here — TAAT counts its own full pass)
+        self.last_stats["postings"] += sum(it.progress() for it in all_its)
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         docids = np.array([-d for _, d in out], dtype=np.int64)
         scores = np.array([s for s, _ in out], dtype=np.float64)
@@ -654,28 +672,55 @@ class QueryScorer:
                 # ANY semantics, vectorized: each var occurrence contributes
                 # max over its expansion set of min(times, remaining tf)
                 # per doc (IDIterANY/IDIterIND, mathindexmid.h:134-167).
-                vdocs: list[np.ndarray] = []
-                vavail: list[np.ndarray] = []
-                vdls: list[np.ndarray] = []
+                # The winning row's tf is CONSUMED (the reference's shared
+                # IDIterPL.rem decrement) so a later pattern expanding to
+                # the same row sees the reduced remainder — without this a
+                # doc tuple matched by two wildcard patterns double-counts
+                # and F exceeds its bound of 1. Rows process in sorted-term
+                # order with a strict max, so the winner is deterministic.
+                rows = sorted(rows, key=lambda rw: seg.terms[rw])
+                per_row: list[tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
                 for row in rows:
                     docs, tfs, dls, _ = seg.postings(row)
                     rem = tfs.astype(np.float64) - used.get((si, row), 0.0)
                     avail = np.minimum(times, rem)
                     m = avail > 0
-                    vdocs.append(docs[m].astype(np.int64))
-                    vavail.append(avail[m])
-                    vdls.append(dls[m].astype(np.float64))
-                dcat = np.concatenate(vdocs)
-                if len(dcat):
-                    uniq, inv = np.unique(dcat, return_inverse=True)
-                    mx = np.zeros(len(uniq))
-                    np.maximum.at(mx, inv, np.concatenate(vavail))
-                    dlm = np.zeros(len(uniq))
-                    np.maximum.at(dlm, inv, np.concatenate(vdls))
-                    cand.append(uniq)
-                    cc.append(mx)
-                    dtc_d.append(uniq)
-                    dtc_v.append(dlm)
+                    if m.any():
+                        per_row.append(
+                            (row, docs[m].astype(np.int64), avail[m],
+                             dls[m].astype(np.float64), np.flatnonzero(m))
+                        )
+                if not per_row:
+                    continue
+                uniq = np.unique(np.concatenate([p[1] for p in per_row]))
+                best = np.zeros(len(uniq))
+                best_ri = np.full(len(uniq), -1, dtype=np.int64)
+                best_pos = np.zeros(len(uniq), dtype=np.int64)
+                dlm = np.zeros(len(uniq))
+                for ri, (row, docs_m, avail_m, dls_m, pidx) in enumerate(per_row):
+                    idx = np.searchsorted(uniq, docs_m)
+                    upd = avail_m > best[idx]
+                    ui = idx[upd]
+                    best[ui] = avail_m[upd]
+                    best_ri[ui] = ri
+                    best_pos[ui] = pidx[upd]
+                    np.maximum.at(dlm, idx, dls_m)
+                for ri, (row, _d, _a, _dl, _p) in enumerate(per_row):
+                    sel = best_ri == ri
+                    if not sel.any():
+                        continue
+                    u = used.get((si, row))
+                    if u is None:
+                        n_post = len(seg.postings(row)[0])
+                        u = used[(si, row)] = np.zeros(n_post)
+                    elif np.isscalar(u) or u.ndim == 0:
+                        n_post = len(seg.postings(row)[0])
+                        u = used[(si, row)] = np.full(n_post, float(u))
+                    np.add.at(u, best_pos[sel], best[sel])
+                cand.append(uniq)
+                cc.append(best)
+                dtc_d.append(uniq)
+                dtc_v.append(dlm)
         docs, ccs = _accumulate(cand, cc)
         if len(docs) == 0:
             return docs, ccs

@@ -122,8 +122,10 @@ class OracleIndex:
                 used[(t, d)] = m
         for pat, times in varpats:
             _, fr, to, rel = pat
-            per_doc: dict[int, float] = {}
-            for t, post in self.math_post.items():
+            # per doc keep (best avail, winning term) — sorted-term order,
+            # strict max, so the winner matches the engine deterministically
+            per_doc: dict[int, tuple[float, str]] = {}
+            for t in sorted(self.math_post):
                 tfr, tto, trel = parse_tuple_term(t)
                 if trel != rel:
                     continue
@@ -133,12 +135,15 @@ class OracleIndex:
                     continue
                 if fr is not None and to is not None:
                     continue
-                for d, tf in post.items():
+                for d, tf in self.math_post[t].items():
                     avail = min(times, tf - used.get((t, d), 0))
-                    if avail > 0:
-                        per_doc[d] = max(per_doc.get(d, 0), avail)
-            for d, v in per_doc.items():
+                    if avail > 0 and avail > per_doc.get(d, (0, ""))[0]:
+                        per_doc[d] = (avail, t)
+            for d, (v, t) in per_doc.items():
                 cc[d] += v
+                # consume the winner's tf (the reference's shared
+                # IDIterPL.rem decrement across IND iterators)
+                used[(t, d)] = used.get((t, d), 0) + v
         return {d: 2.0 * v / (self.mdl[d] + qtc) for d, v in cc.items() if v > 0}
 
     def parse_query(self, text: str):

@@ -208,3 +208,38 @@ def test_sharded_search_identity(built_index):
     assert set(f) == set(s)
     for qid in f:
         assert f[qid] == s[qid], qid
+
+
+def test_wildcard_patterns_share_tf_consumption(ray_session, tmp_path):
+    """Two wildcard patterns expanding to the SAME doc tuple must share its
+    tf (the reference's IDIterPL.rem decrement across IND iterators): a doc
+    with one tuple scores F = 2*1/(1+2), never 2*2/(1+2) > 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.index.build import build_index
+    from tangent_ray.query.scorer import QueryScorer
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    data = str(tmp_path / "c")
+    os.makedirs(data)
+    t = pa.table(
+        {
+            "conv_id": ["c0"],
+            "turn_idx": pa.array([0], type=pa.int32()),
+            "role": ["assistant"],
+            "text": ["one formula $[V!y[V!x]]$ here"],
+            "tool": [""],
+            "ts": pa.array([0], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, os.path.join(data, "d.parquet"))
+    idx = str(tmp_path / "i")
+    build_index(data, idx, EngineConfig(window=1, eol="none"), TranscriptsCorpus())
+    s = QueryScorer(idx)
+    # two wildcard tuples: (?v -> V!x) and (V!y -> ?w); qtc = 2
+    docs, scores = s.score_query("$[?v[V!x]]$ $[V!y[?w]]$", "math", 10)
+    assert len(docs) == 1
+    assert scores[0] <= 1.0 + 1e-12
+    assert abs(scores[0] - 2.0 * 1.0 / (1 + 2)) < 1e-12

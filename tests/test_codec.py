@@ -154,3 +154,31 @@ def test_encode_postings_multi_matches_single():
         ref_p, ref_s = encode_postings(docids[s:e], tfs[s:e], dls[s:e], pos[s:e], block_size=16)
         assert posts[i] == ref_p, f"run {i} postings differ"
         assert skips[i] == ref_s, f"run {i} skips differ"
+
+
+def test_concat_runs_rejects_docid_zero_overlap():
+    """Docid 0 is reachable; two runs both containing it must raise through
+    merge_postings' documented duplicate check, not silently concatenate."""
+    import numpy as np
+    import pytest
+
+    from tangent_ray.index.codec import encode_postings, concat_runs, merge_postings
+
+    one = lambda ids: encode_postings(
+        np.array(ids, dtype=np.uint64),
+        np.ones(len(ids), dtype=np.uint32),
+        np.ones(len(ids), dtype=np.uint32),
+        np.ones(len(ids), dtype=np.uint32),
+    )
+    r0 = one([0])
+    r1 = one([0, 7])
+    with pytest.raises(ValueError):
+        concat_runs([r0, r1])
+    with pytest.raises(ValueError, match="duplicate docid"):
+        merge_postings([r0, r1])
+    # non-overlapping after a docid-0 run still concatenates fine
+    from tangent_ray.index.codec import decode_postings
+
+    post, sk = concat_runs([one([0]), one([3, 7])])
+    d, *_ = decode_postings(post, sk)
+    assert d.tolist() == [0, 3, 7]

@@ -190,3 +190,59 @@ def test_compact_index_refinalizes_global_manifest(ray_session, tmp_path):
     assert before[cols].sort_values(cols).reset_index(drop=True).equals(
         after[cols].sort_values(cols).reset_index(drop=True)
     )
+
+
+def test_crash_leftover_tmp_dir_is_not_a_partial(ray_session, tmp_path):
+    """A '*__tmp' dir with a manifest (crash between manifest write and the
+    atomic rename) must not be counted by finalize_index or compaction."""
+    import json
+    import shutil
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.fixtures import write_transcripts
+    from tangent_ray.index.build import build_index, finalize_index
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    data = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_transcripts(data, 10, files=2)
+    cfg = EngineConfig(window=1, eol="none", partitions=1)
+    m = build_index(data, idx, cfg, TranscriptsCorpus())
+    # simulate the crash window: a fully-manifested tmp copy of the partial
+    src = os.path.join(idx, "partials", m["partials"][0])
+    shutil.copytree(src, src + "__tmp")
+    g = finalize_index(idx, cfg, TranscriptsCorpus())
+    assert g["partials"] == m["partials"]  # tmp dir NOT included
+    assert g["n_docs"] == m["n_docs"]  # docs not double-counted
+
+
+def test_resume_rebuilds_on_lineage_mismatch(ray_session, tmp_path):
+    """Resume skips a partition only when its recorded inputs + config match
+    the current plan; adding input files forces the remap to rebuild."""
+    import pyarrow.parquet as pq
+
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.fixtures import generate_conv_range, write_transcripts
+    from tangent_ray.index.build import build_index
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    data = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_transcripts(data, 12, files=3)
+    cfg = EngineConfig(window=1, eol="none", partitions=3)
+    m1 = build_index(data, idx, cfg, TranscriptsCorpus())
+    # new input file shifts the file->partition mapping
+    pq.write_table(generate_conv_range(12, 16), os.path.join(data, "zz_new.parquet"))
+    m2 = build_index(data, idx, cfg, TranscriptsCorpus())
+    assert m2["n_docs"] > m1["n_docs"]
+    # every planned file is covered exactly once across partials
+    import glob as _glob
+    import json
+
+    covered = []
+    for p in m2["partials"]:
+        with open(os.path.join(idx, "partials", p, "_MANIFEST.json")) as f:
+            covered += json.load(f)["input_files"]
+    assert sorted(covered) == sorted(
+        _glob.glob(os.path.join(data, "*.parquet"))
+    )
