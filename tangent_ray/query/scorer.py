@@ -643,8 +643,7 @@ class QueryScorer:
         r = self.reader
         cand: list[np.ndarray] = []
         cc: list[np.ndarray] = []
-        dtc_d: list[np.ndarray] = []
-        dtc_v: list[np.ndarray] = []
+        dtc_v: list[np.ndarray] = []  # element-wise parallel to cand
         used: dict[tuple[int, int], np.ndarray] = {}  # (seg, row) -> used tf per posting
         concrete = sorted((t, c) for t, c in bag.items() if not isinstance(t, tuple))
         varpats = sorted(
@@ -661,7 +660,6 @@ class QueryScorer:
                     used[(si, row)] = m
                     cand.append(docs.astype(np.int64))
                     cc.append(m)
-                    dtc_d.append(docs.astype(np.int64))
                     dtc_v.append(dls.astype(np.float64))
         for pat, times in varpats:
             _, fr, to, rel = pat
@@ -719,17 +717,22 @@ class QueryScorer:
                     np.add.at(u, best_pos[sel], best[sel])
                 cand.append(uniq)
                 cc.append(best)
-                dtc_d.append(uniq)
                 dtc_v.append(dlm)
-        docs, ccs = _accumulate(cand, cc)
-        if len(docs) == 0:
-            return docs, ccs
-        # dtc per candidate: max over matched postings' dl (all equal per doc)
-        ddocs, dtc = _accumulate_max(dtc_d, dtc_v)
-        pos = np.searchsorted(ddocs, docs)
-        dtc_of = dtc[pos]
+        if not cand:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        # dtc_v mirrors cand element-wise, so ONE unique decomposition
+        # drives both the cc sum and the dtc max (dtc = the doc's tuple
+        # count, equal on every matched posting of a doc)
+        dcat = np.concatenate(cand)
+        uniq, inv = np.unique(dcat, return_inverse=True)
+        if len(uniq) == 0:
+            return uniq, np.empty(0, dtype=np.float64)
+        ccs = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(ccs, inv, np.concatenate(cc))
+        dtc_of = np.zeros(len(uniq), dtype=np.float64)
+        np.maximum.at(dtc_of, inv, np.concatenate(dtc_v))
         scores = 2.0 * ccs / (dtc_of + qtc)
-        return docs, scores
+        return uniq, scores
 
     def _score_mixed(
         self, terms: list[str], bag: Counter, qtc: int, n_formulae: int
@@ -764,17 +767,6 @@ def _accumulate(cand: list[np.ndarray], contrib: list[np.ndarray]):
     uniq, inv = np.unique(docs, return_inverse=True)
     out = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(out, inv, vals)
-    return uniq, out
-
-
-def _accumulate_max(cand: list[np.ndarray], contrib: list[np.ndarray]):
-    if not cand:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    docs = np.concatenate(cand)
-    vals = np.concatenate(contrib)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    out = np.zeros(len(uniq), dtype=np.float64)
-    np.maximum.at(out, inv, vals)
     return uniq, out
 
 
