@@ -256,15 +256,13 @@ class MinHashLSH:
         return (h >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        from tangent_ray.tokenize.text import md5_u64
 
         sh = shingle_batch(batch, self.shingle_n, self.text_col, self.id_col)
         ids = sh[self.id_col].to_numpy(zero_copy_only=False)
-        # deterministic vectorized string hash (pandas siphash with a fixed
-        # key, C loop) — no per-shingle Python hashing
-        hashes = pd.util.hash_array(
-            sh["shingle"].to_numpy(zero_copy_only=False)
-        ).astype(np.uint64)
+        # portable shingle hash (= DuckDB md5_number_lower; unique values
+        # only) so signatures are engine-independent and SQL-twinnable
+        hashes = md5_u64(sh["shingle"])
         if len(ids) == 0:
             return pa.table(
                 {
@@ -374,12 +372,12 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    import pandas as pd
+    from tangent_ray.tokenize.text import md5_u64
 
     parents, tokens, _ = split_tokens(texts)
-    th = pd.util.hash_array(
-        tokens.to_numpy(zero_copy_only=False)
-    ).astype(np.uint64)
+    # portable token hash (= DuckDB md5_number_lower; see md5_u64) so the
+    # signature has an exact SQL oracle twin and survives engine swaps
+    th = md5_u64(tokens)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     votes = np.zeros((len(texts), 64), dtype=np.int64)
     np.add.at(votes, parents, 2 * bits - 1)

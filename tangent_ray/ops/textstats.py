@@ -204,14 +204,13 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     parents, tokens, pos = split_tokens(texts)
-    import pandas as pd
+    from tangent_ray.tokenize.text import md5_u64
 
-    # vectorized C-loop token hashing (per-token Python crc32 was the last
-    # row-at-a-time hot-path loop here); the hash choice only needs to be
-    # deterministic — fingerprints are self-consistent, not cross-system
-    tok_h = pd.util.hash_array(
-        tokens.to_numpy(zero_copy_only=False)
-    ).astype(np.uint64)
+    # engine-independent token hash (md5 bytes [8:16], little-endian =
+    # DuckDB md5_number_lower) hashed once per UNIQUE token per batch —
+    # fingerprints must be reproducible across engines and versions, and
+    # the DuckDB oracle twin recomputes them exactly
+    tok_h = md5_u64(tokens)
     out = np.zeros(len(texts), dtype=np.uint64)
     B = np.uint64(1000003)
     if len(parents):

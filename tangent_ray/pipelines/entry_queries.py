@@ -1188,6 +1188,103 @@ ORACLE_SQL["bpe_token_count"] = ORACLE_SQL["bpe_token_count"].replace(
     "__BPE_RE__", _bpe_sql_pattern()
 )
 
+
+def _langid_sql() -> str:
+    """DuckDB twin of ops.textstats.LangId: per-token stopword-set votes,
+    argmax language with (count desc, lang asc) tie-break, 'und' on zero."""
+    from tangent_ray.ops.textstats import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH toks AS (SELECT * FROM {TOKS} WHERE term <> ''),
+        sw(lang, term) AS (VALUES {rows}),
+        cnt AS (
+          SELECT toks.doc_id, sw.lang, count(*) AS c
+          FROM toks JOIN sw USING (term) GROUP BY 1, 2
+        ), best AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, lang) AS rn
+            FROM cnt) WHERE rn = 1
+        )
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+        FROM documents d LEFT JOIN best b USING (doc_id)
+    """
+
+
+ORACLE_SQL["lang_id"] = _langid_sql()
+
+# Signed reinterpretation of a [0, 2^64) HUGEINT as the ops' int64 output.
+_I64 = (
+    "(CASE WHEN {v} >= 9223372036854775808::HUGEINT"
+    " THEN {v} - 18446744073709551616::HUGEINT ELSE {v} END)::BIGINT"
+)
+
+# Twin of ops.textstats.fingerprint_batch: Horner rolling hash mod 2^64 over
+# md5_number_lower token hashes in document order (empty doc -> 0).
+ORACLE_SQL["fingerprints"] = f"""
+    WITH raw AS (
+      SELECT doc_id, ts[i] AS term, i
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+    ), tok AS (
+      SELECT doc_id, md5_number_lower(term)::HUGEINT AS th, i
+      FROM raw WHERE term <> ''
+    ), lists AS (
+      SELECT doc_id, list(th ORDER BY i) AS ths FROM tok GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id,
+             list_reduce(ths,
+               (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT) AS h
+      FROM lists
+    )
+    SELECT d.doc_id, {_I64.format(v="coalesce(fp.h, 0)")} AS fingerprint
+    FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+# Twin of ops.dedup.simhash_batch: tf-weighted per-bit votes over
+# md5_number_lower token hashes, sign bit per position (empty doc -> 0).
+_SIMHASH_CTE = """
+    tok AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    ), votes AS (
+      SELECT doc_id, b.b,
+             sum(tf * (2 * ((md5_number_lower(term) >> b.b) & 1)::BIGINT - 1)) AS v
+      FROM tok, (SELECT unnest(generate_series(0, 63)) AS b) b
+      GROUP BY doc_id, b.b
+    ), sim AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS s
+      FROM votes GROUP BY doc_id
+    ), allsim AS (
+      SELECT d.doc_id, coalesce(sim.s, 0) AS s
+      FROM documents d LEFT JOIN sim USING (doc_id)
+    )
+"""
+
+ORACLE_SQL["simhash"] = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, {_I64.format(v="s")} AS simhash FROM allsim
+"""
+
+# Twin of ops.dedup.simhash_pairs (banding is exact for hamming < n_bands,
+# so the oracle is the plain all-pairs XOR-popcount definition).
+ORACLE_SQL["simhash_pairs"] = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s::UBIGINT, b.s::UBIGINT)) <= 3
+"""
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,

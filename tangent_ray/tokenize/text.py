@@ -97,3 +97,37 @@ def tokenize_text(
         agg["pos_min"].to_numpy(zero_copy_only=False).astype(np.int32),
         dl,
     )
+
+
+def md5_u64(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Portable 64-bit string hash: little-endian uint64 of md5 bytes [8:16].
+
+    This is exactly DuckDB's ``md5_number_lower``, so every operator built
+    on it (fingerprints, SimHash, MinHash) has an EXACT SQL oracle twin —
+    unlike ``pd.util.hash_array``, whose values are a pandas implementation
+    detail. Engine-independent hashes are what a production corpus pipeline
+    needs anyway: fingerprints written this year must match fingerprints
+    recomputed next year on a different stack.
+
+    Cost shape: md5 runs only over the batch's UNIQUE strings (dictionary
+    encoding first), then the per-occurrence values are a numpy gather —
+    per-batch Python work is O(vocabulary), not O(tokens).
+    """
+    import hashlib
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    d = pc.dictionary_encode(strings)
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    uniq = d.dictionary.to_pylist()
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[8:16], "little")
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hv[codes]

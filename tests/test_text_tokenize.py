@@ -37,10 +37,10 @@ def test_empty_batch():
 
 
 def test_fingerprint_vectorized_matches_sequential_horner():
+    import hashlib
     import re
 
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
     from tangent_ray.ops.textstats import fingerprint_batch
@@ -59,9 +59,25 @@ def test_fingerprint_vectorized_matches_sequential_horner():
         h = np.uint64(0)
         with np.errstate(over="ignore"):
             for w in toks:
-                th = pd.util.hash_array(np.array([w], dtype=object))[0]
+                # the op's token hash: md5 bytes [8:16], little-endian
+                # (= DuckDB md5_number_lower)
+                th = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
                 h = h * B + np.uint64(th)
         assert np.int64(h) == got[i]
+
+
+def test_md5_u64_matches_hashlib():
+    import hashlib
+
+    import pyarrow as pa
+
+    from tangent_ray.tokenize.text import md5_u64
+
+    strs = ["", "a", "hello world", "日本語", "x" * 500, "a"]
+    got = md5_u64(pa.chunked_array([pa.array(strs[:3]), pa.array(strs[3:])]))
+    for s, g in zip(strs, got):
+        assert int(g) == int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    assert len(md5_u64(pa.array([], type=pa.string()))) == 0
 
 
 def test_bpe_token_count_partial():
