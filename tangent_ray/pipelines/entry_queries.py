@@ -1276,6 +1276,55 @@ ORACLE_SQL["simhash"] = f"""
     SELECT doc_id, {_I64.format(v="s")} AS simhash FROM allsim
 """
 
+def _minhash_sql() -> str:
+    """DuckDB twin of ops.dedup.minhash_candidates (64 perms, 16 bands,
+    3-token shingles): per-perm min of (a*md5+b mod 2^64) >> 1, FNV-1a band
+    hash over each 4-perm row group, pairs sharing any (band, band_hash).
+    The permutation constants come from the op itself so they cannot drift."""
+    from tangent_ray.ops.dedup import MinHashLSH
+
+    lsh = MinHashLSH()
+    vals = ", ".join(
+        f"({j}, {int(lsh.a[j])}::HUGEINT, {int(lsh.b[j])}::HUGEINT)"
+        for j in range(lsh.num_perm)
+    )
+    r = lsh.rows_per_band
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g
+        ), perms(j, a, b) AS (VALUES {vals}),
+        sig AS (
+          SELECT doc_id, j,
+                 (min((a * md5_number_lower(shingle)::HUGEINT + b)
+                      % 18446744073709551616::HUGEINT) >> 1) AS u
+          FROM sh, perms GROUP BY doc_id, j
+        ), bands AS (
+          SELECT doc_id, j // {r} AS band,
+                 list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                                list(u ORDER BY j)),
+                   (acc, x) -> (xor(acc::UBIGINT, x::UBIGINT)::HUGEINT
+                                * 1099511628211)
+                               % 18446744073709551616::HUGEINT) >> 1 AS band_hash
+          FROM sig GROUP BY doc_id, j // {r}
+        )
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    """
+
+
+ORACLE_SQL["minhash_candidates"] = _minhash_sql()
+
 # Twin of ops.dedup.simhash_pairs (banding is exact for hamming < n_bands,
 # so the oracle is the plain all-pairs XOR-popcount definition).
 ORACLE_SQL["simhash_pairs"] = f"""
