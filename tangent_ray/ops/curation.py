@@ -1,0 +1,269 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+benchmark decontamination, deterministic stratified sampling, and sequence
+packing.
+
+All hot paths are vectorized Arrow kernels inside ``map_batches`` stages;
+every operator is deterministic and engine-independent (RE2 regexes, md5
+hashes), so each has an exact DuckDB oracle twin in
+``pipelines/entry_queries.py``.
+
+Scale notes (100 TB corpus):
+- PII redaction and sampling are stateless per-batch maps — no shuffle.
+- Decontamination broadcasts the HOLDOUT side (a benchmark set: unique
+  shingle hashes, MBs) via ``ray.put`` and streams the train side through a
+  membership filter — the corpus never shuffles.
+- Sequence packing needs a per-stream prefix sum, so it shuffles once on the
+  stream key (``source``); at scale a pipeline shards each source into
+  independent packing streams by doc-id range and packs each shard
+  separately (the op packs whatever key it is given).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.tokenize.text import md5_u64, split_tokens
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+#: (name, RE2 pattern, replacement) applied SEQUENTIALLY in this order; both
+#: Arrow and DuckDB use RE2, so the DuckDB twin replays the same passes.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Redact emails / phone numbers / IPv4 addresses from ``text_col``.
+
+    Counts each category on the text as it stands when that pass runs (the
+    passes compose sequentially), then replaces matches with the category
+    token. Pure RE2 kernels (`count_substring_regex`,
+    `replace_substring_regex`) — no Python touches a string.
+    """
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {id_col: batch[id_col]}
+    for name, pat, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(texts, pat), pa.int64()
+        )
+        texts = pc.replace_substring_regex(texts, pat, repl)
+    cols["redacted"] = texts
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+
+DECONTAM_N = 5  # shingle width shared with the DuckDB twin
+
+
+def _doc_shingle_hashes(
+    batch: pa.Table, n: int, text_col: str, id_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(parent_row, shingle_md5) pairs, DISTINCT within each document."""
+    from tangent_ray.ops.dedup import shingle_batch
+
+    rows = pa.table(
+        {id_col: pa.array(np.arange(batch.num_rows), type=pa.int64()),
+         text_col: batch[text_col]}
+    )
+    sh = shingle_batch(rows, n, text_col, id_col)
+    parents = sh[id_col].to_numpy(zero_copy_only=False)
+    hashes = md5_u64(sh["shingle"])
+    if len(parents) == 0:
+        return parents.astype(np.int64), hashes
+    # per-doc distinct: sort (parent, hash), drop adjacent duplicates
+    order = np.lexsort((hashes, parents))
+    p, h = parents[order], hashes[order]
+    keep = np.concatenate([[True], (p[1:] != p[:-1]) | (h[1:] != h[:-1])])
+    return p[keep].astype(np.int64), h[keep]
+
+
+def holdout_shingle_hashes(ds, n: int = DECONTAM_N, text_col: str = "text") -> np.ndarray:
+    """Sorted unique shingle md5 hashes of the holdout/benchmark dataset.
+
+    The per-batch map emits each batch's UNIQUE hashes only; the driver
+    merges those small arrays. Driver memory is O(unique holdout shingles)
+    — the holdout is a benchmark set (MBs), never the corpus.
+    """
+    def uniq_batch(batch: pa.Table) -> pa.Table:
+        _, h = _doc_shingle_hashes(batch, n, text_col, "doc_id")
+        return pa.table({"h": pa.array(np.unique(h).astype(np.int64), type=pa.int64())})
+
+    parts = ds.map_batches(uniq_batch, batch_format="pyarrow")
+    import ray
+
+    # zero-row upstream blocks can surface unmapped with their old schema
+    arrs = [
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in ray.get(parts.to_arrow_refs())
+        if t.num_rows and "h" in t.schema.names
+    ]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs)).astype(np.uint64)
+
+
+class Decontaminate:
+    """Actor-pool stage: flag train docs sharing any ``n``-gram with the
+    broadcast holdout set. ``holdout_ref`` is a ``ray.put`` handle to the
+    sorted hash array — shipped once per actor, not per batch."""
+
+    def __init__(self, holdout_ref, n: int = DECONTAM_N,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        h = ray.get(holdout_ref) if not isinstance(holdout_ref, np.ndarray) else holdout_ref
+        self.holdout = np.sort(np.asarray(h, dtype=np.uint64))
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, hashes = _doc_shingle_hashes(
+            batch, self.n, self.text_col, self.id_col
+        )
+        n_bad = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(parents) and len(self.holdout):
+            idx = np.searchsorted(self.holdout, hashes)
+            idx[idx == len(self.holdout)] = 0
+            hit = self.holdout[idx] == hashes
+            np.add.at(n_bad, parents[hit], 1)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_bad": pa.array(n_bad, type=pa.int64()),
+                "contaminated": pa.array(n_bad > 0, type=pa.bool_()),
+            }
+        )
+
+
+def decontaminate(train_ds, holdout_ds, n: int = DECONTAM_N,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=(1, 4)):
+    """Per-train-doc count of DISTINCT shingles that also occur anywhere in
+    ``holdout_ds`` (classic benchmark-decontamination flagging)."""
+    import ray
+
+    ref = ray.put(holdout_shingle_hashes(holdout_ds, n, text_col))
+    return train_ds.map_batches(
+        Decontaminate,
+        fn_constructor_kwargs=dict(
+            holdout_ref=ref, n=n, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_bucket(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-id sample bucket in [0, 1e6): first 8 hex digits of
+    ``md5('s:' + str(id))`` mod 1e6. The ``s:`` salt decorrelates it from
+    the holdout-split hash (`textstats.split_assign_batch`), so sampling is
+    independent of split assignment. Engine-stable (DuckDB twin computes
+    the identical bucket); id-only, so cost is metadata-rate."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"s:{int(i)}".encode()).hexdigest()[:8], 16)
+            % SAMPLE_BUCKETS
+            for i in ids
+        ),
+        count=len(ids),
+        dtype=np.int64,
+    )
+
+
+def stratified_sample_batch(
+    batch: pa.Table,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Keep each row iff ``bucket < rate[stratum] * 1e6`` — a deterministic
+    per-stratum Bernoulli sample with the subset property (the rate-0.1
+    sample is contained in the rate-0.5 sample), so sample sizes can be
+    re-negotiated without reshuffling data. Returns the kept rows of the
+    batch unchanged plus the bucket column."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    buckets = sample_bucket(ids)
+    strata = batch[strata_col].to_numpy(zero_copy_only=False)
+    thr = np.fromiter(
+        (int(rates.get(s, default_rate) * SAMPLE_BUCKETS) for s in strata),
+        count=len(strata),
+        dtype=np.int64,
+    )
+    keep = buckets < thr
+    out = batch.filter(pa.array(keep))
+    return out.append_column("bucket", pa.array(buckets[keep], type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+
+PACK_SEQ_LEN = 256
+
+
+def pack_group(group: pa.Table, seq_len: int = PACK_SEQ_LEN,
+               text_col: str = "text", id_col: str = "doc_id",
+               key_col: str = "source") -> pa.Table:
+    """Pack one stream's documents (ordered by id) into fixed-length token
+    sequences, concatenation-style: the token streams of consecutive docs
+    are laid end to end and cut every ``seq_len`` tokens, so a document may
+    span sequences (`seq_first`..`seq_last`) starting at ``seq_offset``
+    within its first sequence. One vectorized pass: tokenize, cumsum,
+    integer divide."""
+    order = pc.sort_indices(group[id_col])
+    group = group.take(order)
+    texts = group[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, _, _ = split_tokens(texts)
+    n_tok = np.zeros(group.num_rows, dtype=np.int64)
+    if len(parents):
+        np.add.at(n_tok, parents, 1)
+    cum = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    seq_first = cum // seq_len
+    last_tok = cum + np.maximum(n_tok, 1) - 1  # empty docs stay in seq_first
+    return pa.table(
+        {
+            id_col: group[id_col],
+            key_col: group[key_col],
+            "n_tok": pa.array(n_tok, type=pa.int64()),
+            "seq_first": pa.array(seq_first, type=pa.int64()),
+            "seq_last": pa.array(last_tok // seq_len, type=pa.int64()),
+            "seq_offset": pa.array(cum % seq_len, type=pa.int64()),
+        }
+    )
+
+
+def pack_sequences(ds, seq_len: int = PACK_SEQ_LEN, text_col: str = "text",
+                   id_col: str = "doc_id", key_col: str = "source"):
+    """Per-``key_col`` sequence packing: ONE shuffle on the stream key, then
+    a vectorized in-group pass. Shard huge streams into doc-id ranges
+    upstream if one key's token stream must be packed by many workers."""
+    import functools
+
+    fn = functools.partial(
+        pack_group, seq_len=seq_len, text_col=text_col,
+        id_col=id_col, key_col=key_col,
+    )
+    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")

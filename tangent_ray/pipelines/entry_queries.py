@@ -894,6 +894,85 @@ def q_image_dims(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation queries (ops/curation.py)
+
+SAMPLE_RATES = {"src0": 0.1, "src1": 0.9}
+SAMPLE_DEFAULT_RATE = 0.5
+
+
+def q_pii_redact(sf_dir: str):
+    """Sequential RE2 redaction passes (email -> phone -> IPv4) with
+    per-category match counts."""
+    import ray.data
+
+    from tangent_ray.ops.curation import pii_redact_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(pii_redact_batch, batch_format="pyarrow"))
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination: train docs (holdout split 'train') flagged
+    by DISTINCT 5-gram overlap with the 'test' split, holdout side broadcast
+    as a sorted hash array."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tangent_ray.ops.curation import decontaminate
+    from tangent_ray.ops.textstats import SPLIT_TEST, SPLIT_VAL, split_assign_batch
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", split_assign_batch(batch)["bucket"]
+        )
+
+    def keep(lo: int | None, hi: int | None):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch["bucket"]
+            mask = pc.less(b, hi) if lo is None else pc.greater_equal(b, lo)
+            return batch.filter(mask).drop_columns(["bucket"])
+
+        return f
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    train = tagged.map_batches(keep(SPLIT_VAL, None), batch_format="pyarrow")
+    holdout = tagged.map_batches(keep(None, SPLIT_TEST), batch_format="pyarrow")
+    return _collect(decontaminate(train, holdout))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source Bernoulli sample (subset property holds
+    across rates); fixed per-source rates shared with the SQL twin."""
+    import functools
+
+    import ray.data
+
+    from tangent_ray.ops.curation import stratified_sample_batch
+
+    fn = functools.partial(
+        stratified_sample_batch,
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "source"])
+    return _collect(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concatenation-style sequence packing per source stream (seq_len=256):
+    each doc's (seq_first, seq_last, seq_offset) in the packed token grid."""
+    import ray.data
+
+    from tangent_ray.ops.curation import pack_sequences
+
+    ds = ray.data.read_parquet(
+        _doc_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+    return _collect(pack_sequences(ds))
+
+
+# ---------------------------------------------------------------------------
 
 TOKS = (
     "(SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term "
@@ -1334,6 +1413,105 @@ ORACLE_SQL["simhash_pairs"] = f"""
     WHERE bit_count(xor(a.s::UBIGINT, b.s::UBIGINT)) <= 3
 """
 
+def _pii_sql() -> str:
+    """DuckDB twin of ops.curation.pii_redact_batch: the same RE2 patterns
+    replayed as sequential regexp_replace passes, counting before each."""
+    from tangent_ray.ops.curation import PII_PATTERNS
+
+    sql = "WITH r0 AS (SELECT doc_id, text AS t FROM documents)"
+    prev = "r0"
+    counts = []
+    for k, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        counts.append(f"n_{name}")
+        sql += f""",
+        r{k} AS (
+          SELECT doc_id, {", ".join(counts[:-1]) + "," if counts[:-1] else ""}
+                 len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name},
+                 regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+          FROM {prev}
+        )"""
+        prev = f"r{k}"
+    return sql + f"\nSELECT doc_id, {', '.join(counts)}, t AS redacted FROM {prev}"
+
+
+ORACLE_SQL["pii_redact"] = _pii_sql()
+
+# Twin of q_decontam: same split buckets, 5-gram md5 hashes, distinct-per-doc
+# semi-join of the train side against the holdout ('test') shingle set.
+ORACLE_SQL["decontam"] = """
+    WITH split AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                 % 1000 AS bucket
+      FROM documents
+    ), toks AS (
+      SELECT d.doc_id, s.bucket,
+             list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents d JOIN split s USING (doc_id)
+    ), sh AS (
+      SELECT doc_id, bucket,
+             md5_number_lower(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              || ' ' || ts[i+3] || ' ' || ts[i+4]) AS h
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g
+    ), ho AS (SELECT DISTINCT h FROM sh WHERE bucket < 10),
+    tr AS (SELECT DISTINCT doc_id, h FROM sh WHERE bucket >= 60),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bad
+      FROM tr JOIN ho USING (h) GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(n_bad, 0)::BIGINT AS n_bad,
+           coalesce(n_bad, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM split WHERE bucket >= 60) t
+    LEFT JOIN hits USING (doc_id)
+"""
+
+
+def _sample_sql() -> str:
+    from tangent_ray.ops.curation import SAMPLE_BUCKETS
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * SAMPLE_BUCKETS)}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5('s:' || doc_id::VARCHAR), 1, 8))
+                      AS BIGINT) % {SAMPLE_BUCKETS} AS bucket
+          FROM documents
+        )
+        SELECT doc_id, source, bucket FROM b
+        WHERE bucket < CASE source {cases}
+                       ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END
+    """
+
+
+ORACLE_SQL["stratified_sample"] = _sample_sql()
+
+# Twin of q_pack_sequences: window cumsum of token counts per source stream
+# ordered by doc_id, cut every 256 tokens (empty docs stay in seq_first).
+ORACLE_SQL["pack_sequences"] = """
+    WITH dl AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+      FROM dl
+    )
+    SELECT doc_id, source, n_tok,
+           cum // 256 AS seq_first,
+           (cum + greatest(n_tok, 1) - 1) // 256 AS seq_last,
+           cum % 256 AS seq_offset
+    FROM c
+"""
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -1348,6 +1526,10 @@ QUERIES = {
     "lexical_stats": q_lexical_stats,
     "clean_corpus": q_clean_corpus,
     "split_assign": q_split_assign,
+    "pii_redact": q_pii_redact,
+    "decontam": q_decontam,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,
