@@ -378,9 +378,17 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     # portable token hash (= DuckDB md5_number_lower; see md5_u64) so the
     # signature has an exact SQL oracle twin and survives engine swaps
     th = md5_u64(tokens)
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     votes = np.zeros((len(texts), 64), dtype=np.int64)
-    np.add.at(votes, parents, 2 * bits - 1)
+    if len(parents):
+        # parents is doc-ordered (split_tokens), so per-doc vote sums are
+        # one reduceat over contiguous runs — no np.add.at scatter
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], parents[1:] != parents[:-1]])
+        )
+        ones = np.add.reduceat(bits, starts, axis=0)
+        cnt = np.diff(np.append(starts, len(parents)))
+        votes[parents[starts]] = 2 * ones - cnt[:, None]
     sim = (votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
     return pa.table(
         {

@@ -1,0 +1,161 @@
+"""Scale soak for the training-data ops: time each curation / dedup /
+text-analysis operator over a deterministic synthetic documents corpus
+(default 200k docs, ~80 tokens each, ~5k-word vocabulary) with injected
+exact and near duplicates, and print ONE JSON line of per-op throughput.
+
+The corpus is a pure function of doc index (same property as the
+transcripts fixtures): doc k copies doc k-1 exactly when k % 97 == 0 and
+with one token substituted when k % 40 == 0, so the dedup ops have real
+work to find at every scale.
+
+Usage: python tools/bench_ops.py [n_docs] [num_cpus]
+Results are consumed with .count() (streaming) — nothing large lands on
+the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def gen_docs(lo: int, hi: int) -> pa.Table:
+    from tangent_ray.fixtures import vocab
+
+    words = np.array(vocab())
+    nv = len(words)
+    texts: list[str] = []
+    for k in range(lo, hi):
+        n = 60 + (k * 7919) % 40
+        # splitmix-style per-(doc, pos) mix so docs are uncorrelated (a
+        # plain arithmetic progression makes every doc a rotation of one
+        # cyclic stream -> pathological shingle collisions)
+        with np.errstate(over="ignore"):
+            h = (np.uint64(k * 0x9E3779B97F4A7C15 % 2**64)
+                 ^ (np.arange(n, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)))
+            h ^= h >> np.uint64(31)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(29)
+        idx = (h % np.uint64(nv)).astype(np.int64)
+        toks = words[idx]
+        if k % 97 == 0 and k > lo:
+            texts.append(texts[-1])  # exact duplicate of previous doc
+        elif k % 40 == 0 and k > lo:
+            prev = texts[-1].split()
+            prev[len(prev) // 2] = "mutated"
+            texts.append(" ".join(prev))  # near duplicate
+        else:
+            texts.append(" ".join(toks.tolist()))
+    ids = np.arange(lo, hi, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array([f"src{int(i) % 20}" for i in ids]),
+        }
+    )
+
+
+def write_corpus(out_dir: str, n_docs: int, files: int = 32) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    step = (n_docs + files - 1) // files
+    for f in range(files):
+        path = os.path.join(out_dir, f"part-{f:04d}.parquet")
+        if os.path.exists(path):
+            continue
+        lo, hi = f * step, min((f + 1) * step, n_docs)
+        tmp = path + ".tmp"
+        pq.write_table(gen_docs(lo, hi), tmp)
+        os.replace(tmp, path)
+    return out_dir
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("RAY_GRAFT_CPUS", "32")
+    )
+
+    import logging
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    corpus = write_corpus(f"/tmp/tangent_ray_cache/opsbench-{n_docs}", n_docs)
+
+    def ds():
+        return ray.data.read_parquet(corpus, columns=["doc_id", "text", "source"])
+
+    from tangent_ray.ops.curation import (
+        decontaminate,
+        pack_sequences,
+        pii_redact_batch,
+        stratified_sample_batch,
+    )
+    from tangent_ray.ops.dedup import (
+        exact_dedup,
+        minhash_candidates,
+        simhash_batch,
+        simhash_pairs,
+    )
+    from tangent_ray.ops.textstats import LangId, fingerprint_batch
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        dt = time.perf_counter() - t0
+        return name, {"sec": round(dt, 2), "rows": n,
+                      "docs_per_sec": round(n_docs / dt)}
+
+    import functools
+
+    sample_fn = functools.partial(
+        stratified_sample_batch, rates={}, default_rate=0.5
+    )
+    jobs = [
+        ("exact_dedup", lambda: exact_dedup(ds())),
+        ("minhash_candidates", lambda: minhash_candidates(ds())),
+        ("simhash", lambda: ds().map_batches(simhash_batch, batch_format="pyarrow")),
+        ("simhash_pairs", lambda: simhash_pairs(ds())),
+        ("fingerprints", lambda: ds().map_batches(fingerprint_batch, batch_format="pyarrow")),
+        ("pii_redact", lambda: ds().map_batches(pii_redact_batch, batch_format="pyarrow")),
+        ("lang_id", lambda: ds().map_batches(LangId, batch_format="pyarrow", concurrency=(1, num_cpus // 2))),
+        ("stratified_sample", lambda: ds().map_batches(sample_fn, batch_format="pyarrow")),
+        ("pack_sequences", lambda: pack_sequences(ds())),
+        # decontam: hold out every 512th doc as the "benchmark" set
+        ("decontam", lambda: decontaminate(
+            ds(), ds().map_batches(
+                lambda b: b.filter(
+                    pa.compute.equal(pa.compute.bit_wise_and(b["doc_id"], 511), 0)
+                ),
+                batch_format="pyarrow",
+            ),
+        )),
+    ]
+    out = {}
+    for name, fn in jobs:
+        out[name] = run(name, fn)[1]
+    print(json.dumps({"n_docs": n_docs, "num_cpus": num_cpus, "ops": out}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
