@@ -20,8 +20,6 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -113,7 +111,9 @@ def holdout_shingle_hashes(ds, n: int = DECONTAM_N, text_col: str = "text") -> n
     ]
     if not arrs:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(arrs)).astype(np.uint64)
+    # unique in the UINT64 domain (the int64 transport wraps large values
+    # negative, so int64-order unique would not be sorted for searchsorted)
+    return np.unique(np.concatenate(arrs).astype(np.uint64))
 
 
 class Decontaminate:
@@ -180,15 +180,9 @@ def sample_bucket(ids: np.ndarray) -> np.ndarray:
     the holdout-split hash (`textstats.split_assign_batch`), so sampling is
     independent of split assignment. Engine-stable (DuckDB twin computes
     the identical bucket); id-only, so cost is metadata-rate."""
-    return np.fromiter(
-        (
-            int(hashlib.md5(f"s:{int(i)}".encode()).hexdigest()[:8], 16)
-            % SAMPLE_BUCKETS
-            for i in ids
-        ),
-        count=len(ids),
-        dtype=np.int64,
-    )
+    from tangent_ray.tokenize.text import md5_bucket
+
+    return md5_bucket(ids, SAMPLE_BUCKETS, prefix="s:")
 
 
 def stratified_sample_batch(
@@ -231,6 +225,17 @@ def pack_group(group: pa.Table, seq_len: int = PACK_SEQ_LEN,
     span sequences (`seq_first`..`seq_last`) starting at ``seq_offset``
     within its first sequence. One vectorized pass: tokenize, cumsum,
     integer divide."""
+    if group.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                key_col: pa.array([], type=pa.string()),
+                "n_tok": pa.array([], type=pa.int64()),
+                "seq_first": pa.array([], type=pa.int64()),
+                "seq_last": pa.array([], type=pa.int64()),
+                "seq_offset": pa.array([], type=pa.int64()),
+            }
+        )
     order = pc.sort_indices(group[id_col])
     group = group.take(order)
     texts = group[text_col]

@@ -253,18 +253,10 @@ def split_assign_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     Stable across runs, machines and engines (md5 of the DECIMAL id
     string — the DuckDB twin computes the identical bucket). Hashing
     touches only the id column — metadata-rate, not payload-rate."""
-    import hashlib
+    from tangent_ray.tokenize.text import md5_bucket
 
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    buckets = np.fromiter(
-        (
-            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
-            % SPLIT_BUCKETS
-            for i in ids
-        ),
-        count=len(ids),
-        dtype=np.int64,
-    )
+    buckets = md5_bucket(ids, SPLIT_BUCKETS)
     split = np.where(
         buckets < SPLIT_TEST, "test", np.where(buckets < SPLIT_VAL, "val", "train")
     )

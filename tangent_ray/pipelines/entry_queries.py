@@ -935,6 +935,10 @@ def q_decontam(sf_dir: str):
         return f
 
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    # each branch re-executes read->tag over the corpus (two streaming
+    # passes total: one to derive the holdout hash set, one to flag the
+    # train side) — the minimum without pinning the whole tagged corpus in
+    # the object store, which is the worse trade at scale
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     train = tagged.map_batches(keep(SPLIT_VAL, None), batch_format="pyarrow")
     holdout = tagged.map_batches(keep(None, SPLIT_TEST), batch_format="pyarrow")
@@ -1436,36 +1440,46 @@ def _pii_sql() -> str:
 
 ORACLE_SQL["pii_redact"] = _pii_sql()
 
-# Twin of q_decontam: same split buckets, 5-gram md5 hashes, distinct-per-doc
-# semi-join of the train side against the holdout ('test') shingle set.
-ORACLE_SQL["decontam"] = """
-    WITH split AS (
-      SELECT doc_id,
-             CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
-                 % 1000 AS bucket
-      FROM documents
-    ), toks AS (
-      SELECT d.doc_id, s.bucket,
-             list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
-                         x -> x <> '') AS ts
-      FROM documents d JOIN split s USING (doc_id)
-    ), sh AS (
-      SELECT doc_id, bucket,
-             md5_number_lower(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                              || ' ' || ts[i+3] || ' ' || ts[i+4]) AS h
-      FROM toks,
-           LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g
-    ), ho AS (SELECT DISTINCT h FROM sh WHERE bucket < 10),
-    tr AS (SELECT DISTINCT doc_id, h FROM sh WHERE bucket >= 60),
-    hits AS (
-      SELECT doc_id, count(*)::BIGINT AS n_bad
-      FROM tr JOIN ho USING (h) GROUP BY doc_id
+def _decontam_sql() -> str:
+    """Twin of q_decontam: same split buckets, DECONTAM_N-gram md5 hashes,
+    distinct-per-doc semi-join of the train side against the holdout
+    ('test') shingle set. Constants come from the ops so they cannot drift."""
+    from tangent_ray.ops.curation import DECONTAM_N
+    from tangent_ray.ops.textstats import SPLIT_BUCKETS, SPLIT_TEST, SPLIT_VAL
+
+    gram = " || ' ' || ".join(
+        f"ts[i+{j}]" if j else "ts[i]" for j in range(DECONTAM_N)
     )
-    SELECT t.doc_id, coalesce(n_bad, 0)::BIGINT AS n_bad,
-           coalesce(n_bad, 0) > 0 AS contaminated
-    FROM (SELECT doc_id FROM split WHERE bucket >= 60) t
-    LEFT JOIN hits USING (doc_id)
-"""
+    return f"""
+        WITH split AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                     % {SPLIT_BUCKETS} AS bucket
+          FROM documents
+        ), toks AS (
+          SELECT d.doc_id, s.bucket,
+                 list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents d JOIN split s USING (doc_id)
+        ), sh AS (
+          SELECT doc_id, bucket, md5_number_lower({gram}) AS h
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ts) - {DECONTAM_N - 1}))
+                        AS i) g
+        ), ho AS (SELECT DISTINCT h FROM sh WHERE bucket < {SPLIT_TEST}),
+        tr AS (SELECT DISTINCT doc_id, h FROM sh WHERE bucket >= {SPLIT_VAL}),
+        hits AS (
+          SELECT doc_id, count(*)::BIGINT AS n_bad
+          FROM tr JOIN ho USING (h) GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(n_bad, 0)::BIGINT AS n_bad,
+               coalesce(n_bad, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM split WHERE bucket >= {SPLIT_VAL}) t
+        LEFT JOIN hits USING (doc_id)
+    """
+
+
+ORACLE_SQL["decontam"] = _decontam_sql()
 
 
 def _sample_sql() -> str:

@@ -99,6 +99,26 @@ def tokenize_text(
     )
 
 
+def md5_bucket(ids, n_buckets: int, prefix: str = "") -> np.ndarray:
+    """Deterministic id bucket: ``int(md5(prefix + str(id))[:8], 16) %
+    n_buckets`` — the one definition shared by the holdout split
+    (`ops.textstats.split_assign_batch`) and stratified sampling
+    (`ops.curation.sample_bucket`) and replayed verbatim by their DuckDB
+    twins. Id-only, so the Python md5 loop runs at metadata rate (~1M
+    ids/s/core), never at payload rate."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"{prefix}{int(i)}".encode()).hexdigest()[:8], 16)
+            % n_buckets
+            for i in ids
+        ),
+        count=len(ids),
+        dtype=np.int64,
+    )
+
+
 def md5_u64(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Portable 64-bit string hash: little-endian uint64 of md5 bytes [8:16].
 

@@ -137,7 +137,7 @@ def main() -> None:
         ("simhash_pairs", lambda: simhash_pairs(ds())),
         ("fingerprints", lambda: ds().map_batches(fingerprint_batch, batch_format="pyarrow")),
         ("pii_redact", lambda: ds().map_batches(pii_redact_batch, batch_format="pyarrow")),
-        ("lang_id", lambda: ds().map_batches(LangId, batch_format="pyarrow", concurrency=(1, num_cpus // 2))),
+        ("lang_id", lambda: ds().map_batches(LangId, batch_format="pyarrow", concurrency=(1, max(1, num_cpus // 2)))),
         ("stratified_sample", lambda: ds().map_batches(sample_fn, batch_format="pyarrow")),
         ("pack_sequences", lambda: pack_sequences(ds())),
         # decontam: hold out every 512th doc as the "benchmark" set
