@@ -976,6 +976,54 @@ def q_pack_sequences(sf_dir: str):
     return _collect(pack_sequences(ds))
 
 
+def q_asof_attribution(sf_dir: str):
+    """Keyed as-of join: each purchase event matched to the latest click by
+    the same user at or before it (classic attribution)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tangent_ray.ops.joins import asof_join
+
+    def only(kind: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], kind))
+
+        return f
+
+    def ev():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+
+    purchases = ev().map_batches(only("purchase"), batch_format="pyarrow")
+    clicks = ev().map_batches(only("click"), batch_format="pyarrow")
+    return _collect(asof_join(purchases, clicks))
+
+
+def q_range_active_sessions(sf_dir: str):
+    """Interval range join: for every event, how many session windows (any
+    user) contain its timestamp — sessions from the sessionize op itself."""
+    import ray.data
+
+    from tangent_ray.ops.joins import range_count
+    from tangent_ray.ops.streaming import sessionize
+
+    def ev():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id"],
+        )
+
+    sessions = sessionize(ev(), gap_minutes=SESSION_GAP_MIN)
+    return _collect(
+        range_count(
+            ev(), sessions,
+            lo_col="session_start", hi_col="session_end",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 TOKS = (
@@ -1526,6 +1574,50 @@ ORACLE_SQL["pack_sequences"] = """
     FROM c
 """
 
+# Twin of q_asof_attribution via DuckDB's native ASOF JOIN; the right side
+# is pre-deduped to max(event_id) per (user, ts) — same tie rule as the op.
+ORACLE_SQL["asof_attribution"] = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, max(event_id) AS cid
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.cid AS matched_id, c.ts AS matched_ts,
+           (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# Twin of q_range_active_sessions: the sessions CTE (same as the sessions
+# oracle) range-joined back to events with an inclusive BETWEEN.
+ORACLE_SQL["range_active_sessions"] = f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {{gap}} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), sess AS (
+      SELECT min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT e.event_id, count(s.session_start)::BIGINT AS n_active
+    FROM events e
+    LEFT JOIN sess s ON e.ts BETWEEN s.session_start AND s.session_end
+    GROUP BY e.event_id
+""".replace("{gap}", str(SESSION_GAP_MIN))
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -1552,6 +1644,8 @@ QUERIES = {
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "sessions": q_sessions,
+    "asof_attribution": q_asof_attribution,
+    "range_active_sessions": q_range_active_sessions,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,

@@ -1,0 +1,116 @@
+"""Unit tests for ops/joins.py: keyed as-of join and interval range join,
+hand cases plus randomized brute-force comparison."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from tangent_ray.ops.joins import asof_join, range_count
+
+
+def _ts(us):
+    return pa.array(np.asarray(us, dtype="datetime64[us]"), type=pa.timestamp("us"))
+
+
+def _events(ids, keys, ts_us):
+    return pa.table(
+        {
+            "event_id": pa.array(ids, type=pa.int64()),
+            "user_id": pa.array(keys, type=pa.int64()),
+            "ts": _ts(ts_us),
+        }
+    )
+
+
+def test_asof_join_hand_case(ray_session):
+    # key 1: rights at 10, 20 (two ids at 20 -> max wins); lefts at 5, 20, 30
+    # key 2: no rights at all
+    left = _events([100, 101, 102, 103], [1, 1, 1, 2], [5, 20, 30, 50])
+    right = _events([7, 8, 9, 6], [1, 1, 1, 1], [10, 20, 20, 25])
+    out = (
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), shards=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [100, 101, 102, 103]
+    got = {
+        int(r.event_id): (None if r.matched_id != r.matched_id else int(r.matched_id))
+        for r in out.itertuples()
+    }
+    assert got[100] is None  # left before any right
+    assert got[101] == 9  # inclusive tie at ts=20, max id of the two rights
+    assert got[102] == 6  # latest right <= 30 is ts=25
+    assert got[103] is None  # key 2 has no rights (no cross-key leak)
+    lag = out.set_index("event_id")["lag_us"]
+    assert lag[102] == 5
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(7)
+    n_l, n_r = 300, 200
+    lk = rng.randint(0, 12, n_l)
+    rk = rng.randint(0, 12, n_r)
+    lt = rng.randint(0, 10_000, n_l)
+    rt = rng.randint(0, 10_000, n_r)
+    left = _events(np.arange(n_l), lk, lt)
+    right = _events(np.arange(1000, 1000 + n_r), rk, rt)
+    out = (
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), shards=8)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert len(out) == n_l
+    for i in range(n_l):
+        cand = [
+            (rt[j], 1000 + j) for j in range(n_r) if rk[j] == lk[i] and rt[j] <= lt[i]
+        ]
+        want = max(cand)[1] if cand else None
+        got = out.loc[i, "matched_id"]
+        got = None if got != got else int(got)
+        assert got == want, (i, got, want)
+
+
+def test_range_count_hand_case(ray_session):
+    # bucket width 100us; intervals: [50, 250] spans 3 buckets, [90, 95], [300, 300]
+    pts = _events([0, 1, 2, 3, 4], [0] * 5, [40, 92, 170, 250, 301])
+    iv = pa.table(
+        {
+            "lo": _ts([50, 90, 300]),
+            "hi": _ts([250, 95, 300]),
+        }
+    )
+    out = (
+        range_count(
+            ray.data.from_arrow(pts), ray.data.from_arrow(iv), bucket_us=100
+        )
+        .to_pandas()
+        .set_index("event_id")["n_active"]
+    )
+    assert out[0] == 0  # before everything
+    assert out[1] == 2  # inside both [50,250] and [90,95]
+    assert out[2] == 1  # middle bucket of the spanning interval
+    assert out[3] == 1  # inclusive upper bound
+    assert out[4] == 0  # 301 > 300
+
+
+def test_range_count_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(11)
+    n_p, n_i = 400, 120
+    pt = rng.randint(0, 50_000, n_p)
+    lo = rng.randint(0, 50_000, n_i)
+    ln = rng.randint(0, 3_000, n_i)
+    hi = lo + ln
+    pts = _events(np.arange(n_p), np.zeros(n_p, dtype=int), pt)
+    iv = pa.table({"lo": _ts(lo), "hi": _ts(hi)})
+    out = (
+        range_count(
+            ray.data.from_arrow(pts), ray.data.from_arrow(iv), bucket_us=1_000
+        )
+        .to_pandas()
+        .set_index("event_id")["n_active"]
+    )
+    want = ((lo[None, :] <= pt[:, None]) & (pt[:, None] <= hi[None, :])).sum(axis=1)
+    assert len(out) == n_p
+    for i in range(n_p):
+        assert out[i] == want[i], (i, out[i], want[i])
