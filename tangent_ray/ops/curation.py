@@ -150,6 +150,19 @@ class Decontaminate:
         )
 
 
+class DropContaminated(Decontaminate):
+    """Filtering variant of :class:`Decontaminate`: drops contaminated rows
+    and passes every input column through unchanged (for mid-pipeline use
+    where downstream stages still need the text/source columns)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flags = super().__call__(batch)
+        keep = pc.invert(flags["contaminated"])
+        if isinstance(keep, pa.ChunkedArray):
+            keep = keep.combine_chunks()
+        return batch.filter(keep)
+
+
 def decontaminate(train_ds, holdout_ds, n: int = DECONTAM_N,
                   text_col: str = "text", id_col: str = "doc_id",
                   concurrency=(1, 4)):

@@ -976,6 +976,128 @@ def q_pack_sequences(sf_dir: str):
     return _collect(pack_sequences(ds))
 
 
+def q_curated_corpus(sf_dir: str):
+    """Full curated-pretraining-corpus flagship, ONE streaming composition
+    of the curation ops in production order: PII redact -> quality gate ->
+    train-split selection -> decontamination filter (holdout 5-gram hashes
+    broadcast) -> exact dedup (min doc per text, hash-keyed shuffle) ->
+    stratified sample -> sequence packing -> per-source summary
+    (docs, tokens, packed sequences). The only shuffles are the dedup
+    hash-shard groupby and the packing stream groupby."""
+    import functools
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from tangent_ray.ops.curation import (
+        DropContaminated,
+        holdout_shingle_hashes,
+        pack_sequences,
+        pii_redact_batch,
+        stratified_sample_batch,
+    )
+    from tangent_ray.ops.textstats import (
+        SPLIT_TEST,
+        SPLIT_VAL,
+        quality_batch,
+        split_assign_batch,
+    )
+    from tangent_ray.tokenize.text import md5_u64
+    from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+    def prep(batch: pa.Table) -> pa.Table:
+        """Redact PII, quality-gate on the redacted text, tag split bucket."""
+        red = pii_redact_batch(batch)["redacted"]
+        batch = batch.set_column(
+            batch.schema.get_field_index("text"), "text", red
+        )
+        q = quality_batch(batch)
+        keep = (
+            q["n_words"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_WORDS
+        ) & (q["alpha_ratio"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_ALPHA)
+        batch = batch.filter(pa.array(keep))
+        return batch.append_column("bucket", split_assign_batch(batch)["bucket"])
+
+    def keep_range(lo: int | None, hi: int | None):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch["bucket"]
+            mask = pc.less(b, hi) if lo is None else pc.greater_equal(b, lo)
+            return batch.filter(mask).drop_columns(["bucket"])
+
+        return f
+
+    def src():
+        ds = ray.data.read_parquet(
+            _doc_path(sf_dir), columns=["doc_id", "text", "source"]
+        )
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    holdout = src().map_batches(keep_range(None, SPLIT_TEST), batch_format="pyarrow")
+    ref = ray.put(holdout_shingle_hashes(holdout))
+    clean = (
+        src()
+        .map_batches(keep_range(SPLIT_VAL, None), batch_format="pyarrow")
+        .map_batches(
+            DropContaminated,
+            fn_constructor_kwargs=dict(holdout_ref=ref),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+    # exact dedup keeping the min-doc_id row per text: hash-keyed shuffle
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = md5_u64(batch["text"]).astype(np.int64)
+        batch = batch.append_column(
+            "content_hash", pa.array(h, type=pa.int64())
+        )
+        return shard_column(batch, ["content_hash"], DEFAULT_SHARDS)
+
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["content_hash", "shard"])
+        h = g["content_hash"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        keep = np.concatenate([[True], h[order][1:] != h[order][:-1]])
+        return g.take(pa.array(order[keep])).drop_columns(
+            ["content_hash", "shard"]
+        )
+
+    deduped = (
+        clean.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(first_per_hash, batch_format="pyarrow")
+    )
+
+    sample_fn = functools.partial(
+        stratified_sample_batch,
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+    sampled = deduped.map_batches(sample_fn, batch_format="pyarrow").drop_columns(
+        ["bucket"]
+    )
+
+    packed = pack_sequences(sampled)
+
+    def summarize(g: pa.Table) -> pa.Table:
+        last = g["seq_last"].to_numpy(zero_copy_only=False)
+        toks = g["n_tok"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": g["source"].slice(0, 1),
+                "n_docs": pa.array([g.num_rows], type=pa.int64()),
+                "total_tokens": pa.array([int(toks.sum())], type=pa.int64()),
+                "n_seqs": pa.array([int(last.max()) + 1], type=pa.int64()),
+            }
+        )
+
+    return _collect(packed.groupby("source").map_groups(summarize, batch_format="pyarrow"))
+
+
 def q_asof_attribution(sf_dir: str):
     """Keyed as-of join: each purchase event matched to the latest click by
     the same user at or before it (classic attribution)."""
@@ -1574,6 +1696,94 @@ ORACLE_SQL["pack_sequences"] = """
     FROM c
 """
 
+def _curated_sql() -> str:
+    """Twin of q_curated_corpus: the curation-stage CTEs composed in the
+    same order (redact -> gate -> split -> decontam -> dedup -> sample ->
+    pack -> summary), every constant pulled from the ops."""
+    from tangent_ray.ops.curation import (
+        DECONTAM_N,
+        PACK_SEQ_LEN,
+        PII_PATTERNS,
+        SAMPLE_BUCKETS,
+    )
+    from tangent_ray.ops.textstats import SPLIT_BUCKETS, SPLIT_TEST, SPLIT_VAL
+
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    gram = " || ' ' || ".join(
+        f"ts[i+{j}]" if j else "ts[i]" for j in range(DECONTAM_N)
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * SAMPLE_BUCKETS)}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH red AS (
+          SELECT doc_id, source, {expr} AS text FROM documents
+        ), q AS (
+          SELECT doc_id, source, text,
+                 len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '')) AS n_words,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / length(text) END AS alpha_ratio
+          FROM red
+        ), f AS (
+          SELECT doc_id, source, text,
+                 CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                     % {SPLIT_BUCKETS} AS bucket
+          FROM q
+          WHERE n_words >= {CLEAN_MIN_WORDS} AND alpha_ratio >= {CLEAN_MIN_ALPHA}
+        ), toks AS (
+          SELECT doc_id, bucket,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM f
+        ), sh AS (
+          SELECT doc_id, bucket, md5_number_lower({gram}) AS h
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ts) - {DECONTAM_N - 1}))
+                        AS i) g
+        ), bad AS (
+          SELECT DISTINCT a.doc_id
+          FROM (SELECT DISTINCT doc_id, h FROM sh WHERE bucket >= {SPLIT_VAL}) a
+          JOIN (SELECT DISTINCT h FROM sh WHERE bucket < {SPLIT_TEST}) b USING (h)
+        ), clean AS (
+          SELECT doc_id, source, text FROM f
+          WHERE bucket >= {SPLIT_VAL}
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ), d AS (
+          SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source, text
+          FROM clean GROUP BY text
+        ), s AS (
+          SELECT doc_id, source, text FROM d
+          WHERE CAST(concat('0x', substr(md5('s:' || doc_id::VARCHAR), 1, 8))
+                     AS BIGINT) % {SAMPLE_BUCKETS}
+                < CASE source {cases}
+                  ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END
+        ), dl AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> ''))::BIGINT AS n_tok
+          FROM s
+        ), c AS (
+          SELECT doc_id, source, n_tok,
+                 coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS cum
+          FROM dl
+        )
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_tok)::BIGINT AS total_tokens,
+               (max((cum + greatest(n_tok, 1) - 1) // {PACK_SEQ_LEN}) + 1)::BIGINT
+                   AS n_seqs
+        FROM c GROUP BY source
+    """
+
+
+ORACLE_SQL["curated_corpus"] = _curated_sql()
+
 # Twin of q_asof_attribution via DuckDB's native ASOF JOIN; the right side
 # is pre-deduped to max(event_id) per (user, ts) — same tie rule as the op.
 ORACLE_SQL["asof_attribution"] = """
@@ -1636,6 +1846,7 @@ QUERIES = {
     "decontam": q_decontam,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "curated_corpus": q_curated_corpus,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
     "jaccard_pairs": q_jaccard_pairs,

@@ -82,6 +82,25 @@ def test_decontaminate_counts_distinct_overlap():
     assert out["contaminated"].to_pylist() == [True, False, True]
 
 
+def test_drop_contaminated_filters_and_keeps_columns():
+    from tangent_ray.ops.curation import DropContaminated, _doc_shingle_hashes
+
+    ho = _doc_table(["the quick brown fox jumps over the lazy dog"])
+    _, hashes = _doc_shingle_hashes(ho, 5, "text", "doc_id")
+    d = DropContaminated(np.unique(hashes), n=5)
+    tr = _doc_table(
+        [
+            "the quick brown fox jumps over a cliff",
+            "totally unrelated text with no overlap here at all",
+        ],
+        source=["a", "b"],
+    )
+    out = d(tr)
+    assert out.num_rows == 1
+    assert out.column_names == tr.column_names  # passthrough schema
+    assert out["doc_id"].to_pylist() == [1] and out["source"].to_pylist() == ["b"]
+
+
 def test_stratified_sample_subset_property():
     n = 2000
     b = pa.table(
