@@ -47,6 +47,15 @@ def __getattr__(name):
         from tangent_ray.rerank.pipeline import rerank_search
 
         return rerank_search
+    if name in ("pii_redact_batch", "decontaminate", "stratified_sample_batch",
+                "pack_sequences"):
+        from tangent_ray.ops import curation as _c
+
+        return getattr(_c, name)
+    if name in ("asof_join", "range_count"):
+        from tangent_ray.ops import joins as _j
+
+        return getattr(_j, name)
     raise AttributeError(name)
 
 #: applied in every process that imports the package (driver and each Ray
@@ -63,5 +72,7 @@ __version__ = "0.1.0"
 __all__ = [
     "EngineConfig", "build_index", "add_increment", "compact_index",
     "verify_index", "merge_partials", "QueryScorer", "search", "IndexReader",
-    "mss_score", "rerank_candidates", "rerank_search", "__version__",
+    "mss_score", "rerank_candidates", "rerank_search", "pii_redact_batch",
+    "decontaminate", "stratified_sample_batch", "pack_sequences",
+    "asof_join", "range_count", "__version__",
 ]

@@ -64,6 +64,43 @@ def gen_docs(lo: int, hi: int) -> pa.Table:
     )
 
 
+_EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
+
+
+def gen_events(lo: int, hi: int) -> pa.Table:
+    """Deterministic events stream: ~500 users, 30-day span, typed."""
+    k = np.arange(lo, hi, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = k * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+    user = (h % np.uint64(500)).astype(np.int64)
+    base = 1_704_067_200_000_000  # 2024-01-01 epoch µs
+    ts = base + (k.astype(np.int64) * 250_000) + (h % np.uint64(120_000)).astype(np.int64)
+    etype = [(_EVENT_TYPES[int(x)]) for x in (h >> np.uint64(13)) % np.uint64(5)]
+    return pa.table(
+        {
+            "event_id": pa.array(k.astype(np.int64), type=pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]"), type=pa.timestamp("us")),
+            "user_id": pa.array(user, type=pa.int64()),
+            "event_type": pa.array(etype, type=pa.string()),
+        }
+    )
+
+
+def write_events(out_dir: str, n_events: int, files: int = 32) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    step = (n_events + files - 1) // files
+    for f in range(files):
+        path = os.path.join(out_dir, f"part-{f:04d}.parquet")
+        if os.path.exists(path):
+            continue
+        tmp = path + ".tmp"
+        pq.write_table(gen_events(f * step, min((f + 1) * step, n_events)), tmp)
+        os.replace(tmp, path)
+    return out_dir
+
+
 def write_corpus(out_dir: str, n_docs: int, files: int = 32) -> str:
     os.makedirs(out_dir, exist_ok=True)
     step = (n_docs + files - 1) // files
@@ -148,6 +185,34 @@ def main() -> None:
                 ),
                 batch_format="pyarrow",
             ),
+        )),
+    ]
+    # events-stream ops over an equally-sized synthetic events table
+    events = write_events(f"/tmp/tangent_ray_cache/evbench-{n_docs}", n_docs)
+
+    def ev():
+        return ray.data.read_parquet(events)
+
+    import pyarrow.compute as pc2
+
+    from tangent_ray.ops.joins import asof_join, range_count
+    from tangent_ray.ops.streaming import sessionize
+
+    def only(kind):
+        def f(b):
+            return b.filter(pc2.equal(b["event_type"], kind))
+
+        return f
+
+    jobs += [
+        ("sessionize", lambda: sessionize(ev())),
+        ("asof_join", lambda: asof_join(
+            ev().map_batches(only("purchase"), batch_format="pyarrow"),
+            ev().map_batches(only("click"), batch_format="pyarrow"),
+        )),
+        ("range_count", lambda: range_count(
+            ev(), sessionize(ev()),
+            lo_col="session_start", hi_col="session_end",
         )),
     ]
     out = {}
