@@ -248,22 +248,33 @@ def ivf_centroids(ds, nlist: int, id_col: str = "vec_id",
     if n == 0:
         raise ValueError("ivf_centroids: empty dataset")
     target = nlist * oversample
-    thresh = np.uint64(min(1.0, target / n) * 2**63)
 
-    def sample(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        # splitmix64-style mix, deterministic across processes
-        h = ids * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(31)
-        with np.errstate(over="ignore"):
-            h *= np.uint64(0xBF58476D1CE4E5B9)
-        keep = (h >> np.uint64(1)) < thresh
-        return batch.filter(pa.array(keep))
+    def sample_at(thresh: np.uint64):
+        def sample(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # splitmix64-style mix, deterministic across processes
+            h = ids * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            with np.errstate(over="ignore"):
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+            keep = (h >> np.uint64(1)) < thresh
+            return batch.filter(pa.array(keep))
 
-    cand = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
-    rows = sorted(cand.take_all(), key=lambda r: r[id_col])  # O(nlist) rows
-    if len(rows) < nlist:  # tiny datasets: hash sample may under-select
-        rows = sorted(ds.take_all(), key=lambda r: r[id_col])
+        return sample
+
+    # widen the hash sample on under-selection instead of materializing the
+    # dataset — the driver only ever holds O(target) sampled rows
+    frac = min(1.0, target / n)
+    rows: list = []
+    while True:
+        thresh = np.uint64(min(1.0, frac) * 2**63)
+        cand = ds.map_batches(
+            sample_at(thresh), batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = sorted(cand.take_all(), key=lambda r: r[id_col])  # O(target)
+        if len(rows) >= nlist or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 8)
     step = max(1, len(rows) // nlist)
     cents = np.array(
         [r[vec_col] for r in rows[::step][:nlist]], dtype=np.float64
