@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from tangent_ray.util import actor_pool
+
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -309,7 +311,7 @@ def ivf_centroids(ds, nlist: int, id_col: str = "vec_id",
 
         parts = ds.map_batches(
             _PartialMeans, fn_constructor_args=(ref,),
-            batch_format="pyarrow", concurrency=(1, 4),
+            batch_format="pyarrow", concurrency=actor_pool(),
         ).take_all()  # <= n_batches * nlist tiny rows
         k, d = cents.shape
         sums = np.zeros((k, d))
@@ -340,7 +342,7 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     ref = ray.put(cents)
     assigned = ds.map_batches(
         IVFAssign, fn_constructor_args=(ref, id_col, vec_col),
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=actor_pool(),
     ).map_batches(
         # vectorized probed-cluster filter (no per-row Python lambda)
         lambda b: b.filter(pc.is_in(b["cluster"], value_set=wanted)),

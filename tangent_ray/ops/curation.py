@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tangent_ray.tokenize.text import md5_u64, split_tokens
+from tangent_ray.util import actor_pool
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -165,7 +166,7 @@ class DropContaminated(Decontaminate):
 
 def decontaminate(train_ds, holdout_ds, n: int = DECONTAM_N,
                   text_col: str = "text", id_col: str = "doc_id",
-                  concurrency=(1, 4)):
+                  concurrency=None):
     """Per-train-doc count of DISTINCT shingles that also occur anywhere in
     ``holdout_ds`` (classic benchmark-decontamination flagging)."""
     import ray
@@ -177,7 +178,7 @@ def decontaminate(train_ds, holdout_ds, n: int = DECONTAM_N,
             holdout_ref=ref, n=n, text_col=text_col, id_col=id_col
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
     )
 
 

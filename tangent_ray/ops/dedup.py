@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from tangent_ray.tokenize.text import split_tokens
-from tangent_ray.util import DEFAULT_SHARDS, shard_column
+from tangent_ray.util import DEFAULT_SHARDS, actor_pool, shard_column
 
 logger = logging.getLogger(__name__)
 
@@ -314,7 +314,7 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_n: int =
             text_col=text_col, id_col=id_col,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=actor_pool(),
     )
 
     # fixed hash shards of the (band, band_hash) bucket space — bucket

