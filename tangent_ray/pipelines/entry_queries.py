@@ -316,6 +316,20 @@ def q_lexical_stats(sf_dir: str):
     return _collect(ds.map_batches(lexical_stats_batch, batch_format="pyarrow"))
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity scoring (train on the corpus, score every doc):
+    ONE model-sized groupby to train, broadcast model, vectorized scoring.
+    Fixed-point integer log-probs make the DuckDB twin exact (float sums
+    would be summation-order-dependent across engines)."""
+    import ray.data
+
+    from tangent_ray.ops.lm import lm_score, train_bigram_lm
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    model = train_bigram_lm(ds)
+    return _collect(lm_score(ds, model))
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish regex token counts per source (one vectorized RE2 pass per
     batch + a tiny groupby; the DuckDB twin uses the same RE2 engine)."""
@@ -1508,6 +1522,45 @@ ORACLE_SQL["fingerprints"] = f"""
     FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
+# Twin of ops.lm: add-one-smoothed bigram LM trained on the corpus itself,
+# each doc scored as the sum of fixed-point log-probs round(ln((c12+1)/
+# (c1+V))*1e6) over its adjacent in-doc token bigrams (c1 = bigram
+# occurrences with that first token, V = distinct tokens). Integer sums are
+# order-free, so the match is exact; docs with <2 tokens score (0, 0).
+ORACLE_SQL["lm_perplexity"] = """
+    WITH raw AS (
+      SELECT doc_id, ts[i] AS term, i
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+    ), tok AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
+      FROM raw WHERE term <> ''
+    ), big AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+    ), c12 AS (
+      SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c)::BIGINT AS c FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
+    ), lp AS (
+      SELECT c12.w1, c12.w2,
+             round(ln((c12.c + 1.0) / (c1.c + v.v)) * 1e6)::BIGINT AS lp_e6
+      FROM c12 JOIN c1 USING (w1), v
+    ), per AS (
+      SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(lp.lp_e6)::BIGINT AS sum_lp_e6
+      FROM big JOIN lp ON big.w1 = lp.w1 AND big.w2 = lp.w2
+      GROUP BY big.doc_id
+    )
+    SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+           coalesce(per.sum_lp_e6, 0) AS sum_lp_e6
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
 # Twin of ops.dedup.simhash_batch: tf-weighted per-bit votes over
 # md5_number_lower token hashes, sign bit per position (empty doc -> 0).
 _SIMHASH_CTE = """
@@ -1847,6 +1900,7 @@ QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "bpe_token_count": q_bpe_token_count,
     "lexical_stats": q_lexical_stats,
+    "lm_perplexity": q_lm_perplexity,
     "clean_corpus": q_clean_corpus,
     "split_assign": q_split_assign,
     "pii_redact": q_pii_redact,
