@@ -381,12 +381,18 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     votes = np.zeros((len(texts), 64), dtype=np.int64)
     if len(parents):
         # parents is doc-ordered (split_tokens), so per-doc vote sums are
-        # one reduceat over contiguous runs — no np.add.at scatter
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        # one reduceat over contiguous runs — no np.add.at scatter.
+        # unpackbits gives the (n_tok, 64) bit matrix as ONE uint8 C pass
+        # (column b = bit b of the little-endian uint64); the broadcast-shift
+        # formulation materialized 3 int64 temporaries 8x this size, and
+        # their first-touch page faults dominated the whole kernel.
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
         starts = np.flatnonzero(
             np.concatenate([[True], parents[1:] != parents[:-1]])
         )
-        ones = np.add.reduceat(bits, starts, axis=0)
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
         cnt = np.diff(np.append(starts, len(parents)))
         votes[parents[starts]] = 2 * ones - cnt[:, None]
     sim = (votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
