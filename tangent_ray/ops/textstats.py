@@ -241,6 +241,158 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     )
 
 
+def df_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch document-frequency partial: one (token-hash, df) row per
+    unique token, df = number of batch docs containing it. Docs never span
+    input batches (one row = one doc), so summing partials over a
+    ``groupby`` gives the exact corpus df — the only shuffle of the TF-IDF
+    pipeline, at 16 B/token-type."""
+    from tangent_ray.tokenize.text import md5_u64
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, tokens, _ = split_tokens(texts)
+    if not len(parents):
+        return pa.table(
+            {"th": pa.array([], type=pa.int64()),
+             "df": pa.array([], type=pa.int64())}
+        )
+    th = md5_u64(tokens).view(np.int64)  # int64 bit-view for the shuffle
+    pair = np.unique(
+        np.stack([parents.astype(np.int64), th], axis=1), axis=0
+    )
+    uth, df = np.unique(pair[:, 1], return_counts=True)
+    return pa.table(
+        {"th": pa.array(uth, type=pa.int64()),
+         "df": pa.array(df.astype(np.int64), type=pa.int64())}
+    )
+
+
+class TfIdfTopK:
+    """Actor stage: top-k TF-IDF keywords per document against a broadcast
+    document-frequency table (sorted hash keys -> df) — the classic
+    keyword-extraction / topic-tagging stage of a corpus pipeline.
+
+    score = tf * (ln((N+1)/(df+1)) + 1) (smooth idf). Ties break on the
+    term string ascending, so ranks are fully deterministic and the DuckDB
+    twin reproduces them exactly. Strings never shuffle: the df table is
+    hash-keyed, term strings ride the local batch straight to the output."""
+
+    def __init__(self, df_ref, n_docs: int, k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        keys, dfs = ray.get(df_ref) if not isinstance(df_ref, tuple) else df_ref
+        self.keys, self.dfs = keys, dfs  # sorted uint64, int64
+        self.n, self.k = float(n_docs), k
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from tangent_ray.tokenize.text import md5_u64
+
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parents, tokens, _ = split_tokens(texts)
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "score_e6": pa.array([], type=pa.int64()),
+            }
+        )
+        if not len(parents):
+            return empty
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        d = pc.dictionary_encode(tokens)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_numpy(zero_copy_only=False)  # object strings
+        nv = len(vocab)
+        # distinct (doc, token) pairs + tf, one fused-key unique
+        key = parents.astype(np.int64) * nv + codes
+        pair, tf = np.unique(key, return_counts=True)
+        p_parent = pair // nv
+        p_code = (pair % nv).astype(np.int64)
+        # df lookup on the broadcast table (md5 once per unique batch token)
+        th = md5_u64(pa.array(vocab.tolist(), type=pa.string()))
+        pos = np.searchsorted(self.keys, th)
+        pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
+        hit = (pos < len(self.keys)) & (
+            self.keys[pos_c] == th if len(self.keys) else False
+        )
+        df = np.zeros(nv, dtype=np.int64)
+        df[hit] = self.dfs[pos_c[hit]]
+        idf = np.log((self.n + 1.0) / (df + 1.0)) + 1.0
+        score = tf * idf[p_code]
+        # rank of each term string for the deterministic tie-break
+        str_rank = np.empty(nv, dtype=np.int64)
+        str_rank[np.argsort(vocab, kind="stable")] = np.arange(nv)
+        order = np.lexsort((str_rank[p_code], -score, p_parent))
+        sp, ss, st, sc = p_parent[order], score[order], tf[order], p_code[order]
+        starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+        run_id = np.cumsum(np.concatenate([[0], (sp[1:] != sp[:-1]).astype(np.int64)]))
+        rank = np.arange(len(sp)) - starts[run_id] + 1
+        keep = rank <= self.k
+        from tangent_ray.util import round_half_away
+
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[sp[keep]], type=pa.int64()),
+                "term": pa.array(vocab[sc[keep]].tolist(), type=pa.string()),
+                "tf": pa.array(st[keep].astype(np.int64), type=pa.int64()),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+                "score_e6": pa.array(
+                    round_half_away(ss[keep] * 1e6, 0).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+
+def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1):
+    """Top-k TF-IDF keywords per doc: ONE df groupby (hash rows, 16 B/type),
+    broadcast the vocabulary-sized df table, then a stateless-read scoring
+    pass. ``min_df`` prunes the broadcast's long tail at corpus scale
+    (a pruned term scores with df=0 — i.e. maximal idf — which for rare
+    terms is the exact value anyway once df=1 terms dominate the tail)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tangent_ray.util import actor_pool
+
+    n_docs = ds.count()
+    agg = (
+        ds.map_batches(
+            lambda b: df_count_partial(b, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("th")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    t = agg.take_all()
+    keys = np.array([r["th"] for r in t], dtype=np.int64).view(np.uint64)
+    dfs = np.array([r["df"] for r in t], dtype=np.int64)
+    if min_df > 1:
+        m = dfs >= min_df
+        keys, dfs = keys[m], dfs[m]
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], dfs[order]))
+    return ds.map_batches(
+        TfIdfTopK,
+        fn_constructor_args=(ref, n_docs, k, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=actor_pool(),
+    )
+
+
 SPLIT_BUCKETS = 1000
 SPLIT_TEST, SPLIT_VAL = 10, 60  # bucket < 10 -> test; < 60 -> val; else train
 

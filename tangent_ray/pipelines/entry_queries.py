@@ -330,6 +330,17 @@ def q_lm_perplexity(sf_dir: str):
     return _collect(lm_score(ds, model))
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per doc: one hash-keyed df groupby + broadcast,
+    vectorized per-doc top-k with a deterministic term tie-break."""
+    import ray.data
+
+    from tangent_ray.ops.textstats import tfidf_keywords
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(tfidf_keywords(ds, k=5))
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish regex token counts per source (one vectorized RE2 pass per
     batch + a tiny groupby; the DuckDB twin uses the same RE2 engine)."""
@@ -1561,6 +1572,37 @@ ORACLE_SQL["lm_perplexity"] = """
     FROM documents d LEFT JOIN per USING (doc_id)
 """
 
+# Twin of ops.textstats.tfidf_keywords: per-doc top-5 terms by
+# tf * (ln((N+1)/(df+1)) + 1), ties broken on the term string ascending.
+# Scores are emitted fixed-point (round(s*1e6)) but RANKED on the raw
+# double, which both engines compute identically from (tf, df, N).
+ORACLE_SQL["tfidf_keywords"] = """
+    WITH tok AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents)
+      WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+    ), n AS (
+      SELECT count(*)::DOUBLE AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS s
+      FROM tf JOIN df USING (term), n
+    ), ranked AS (
+      SELECT doc_id, term, tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, term ASC) AS rank,
+             round(s * 1e6)::BIGINT AS score_e6
+      FROM scored
+    )
+    SELECT doc_id, term, tf, rank, score_e6 FROM ranked WHERE rank <= 5
+"""
+
 # Twin of ops.dedup.simhash_batch: tf-weighted per-bit votes over
 # md5_number_lower token hashes, sign bit per position (empty doc -> 0).
 _SIMHASH_CTE = """
@@ -1901,6 +1943,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "lexical_stats": q_lexical_stats,
     "lm_perplexity": q_lm_perplexity,
+    "tfidf_keywords": q_tfidf_keywords,
     "clean_corpus": q_clean_corpus,
     "split_assign": q_split_assign,
     "pii_redact": q_pii_redact,
