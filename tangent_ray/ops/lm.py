@@ -44,13 +44,30 @@ from tangent_ray.util import actor_pool, round_half_away
 
 logger = logging.getLogger(__name__)
 
-#: separator for the bigram hash key: md5(w1 + '\x1f' + w2). Tokens are
-#: [a-z0-9]+ so the separator cannot occur inside one; the DuckDB twin
-#: computes md5_number_lower(w1 || chr(31) || w2) identically.
-_SEP = "\x1f"
-
 _KIND_BIGRAM = 0
 _KIND_TOKEN = 1
+_KIND_CONTEXT = 2  # per-context totals c1 (emitted by the shard reduce)
+_KIND_DROPPED = 3  # per-shard pruned-type count (for the driver log line)
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _bigram_key(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    # 64-bit key for the (w1, w2) pair from the two token hashes:
+    # splitmix64 finalizer over an asymmetric combine. Purely numeric —
+    # md5 over the JOINED STRING cost one Python hashlib call per unique
+    # bigram, and bigram types ~ bigram occurrences on high-entropy
+    # corpora, so that was O(tokens) Python per batch. The key never
+    # leaves the engine (the SQL twin groups on the strings themselves);
+    # it only needs determinism + collision resistance (64-bit birthday:
+    # ~1e-6 at 10^7 types, and a collision only perturbs two counts).
+    with np.errstate(over="ignore"):
+        z = (h1 * _C1) ^ ((h2 << np.uint64(32)) | (h2 >> np.uint64(32)))
+        z = (z ^ (z >> np.uint64(30))) * _C2
+        z = (z ^ (z >> np.uint64(27))) * _C3
+        return z ^ (z >> np.uint64(31))
 
 
 def _adjacent(parents: np.ndarray):
@@ -64,7 +81,8 @@ def bigram_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch partial counts: (kind, bkey, h1, cnt) rows.
 
     kind 0: one row per unique in-doc bigram in the batch — ``bkey`` =
-    md5_u64(w1+SEP+w2), ``h1`` = md5_u64(w1), ``cnt`` = occurrences.
+    ``_bigram_key(md5_u64(w1), md5_u64(w2))``, ``h1`` = md5_u64(w1),
+    ``cnt`` = occurrences.
     kind 1: one row per unique token (vocabulary support), cnt = 1.
     """
     texts = batch[text_col]
@@ -88,13 +106,8 @@ def bigram_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out_h1 = [np.empty(0, np.uint64)]
     out_cnt = [np.empty(0, np.int64)]
     if adj.any():
-        import pyarrow.compute as pc
-
-        w1 = tokens.slice(0, len(tokens) - 1).filter(pa.array(adj))
-        w2 = tokens.slice(1).filter(pa.array(adj))
-        big = pc.binary_join_element_wise(w1, w2, _SEP)
-        bkey = md5_u64(big)
         h1 = th[:-1][adj]
+        bkey = _bigram_key(h1, th[1:][adj])
         # pre-aggregate within the batch: one row per unique bigram
         ub, first, cnt = np.unique(bkey, return_index=True, return_counts=True)
         out_kind.append(np.full(len(ub), _KIND_BIGRAM, np.int8))
@@ -139,52 +152,118 @@ def _lp_e6(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     return round_half_away(np.log(num / den) * 1e6, 0).astype(np.int64)
 
 
-def train_bigram_lm(ds, text_col: str = "text", min_count: int = 1,
-                    top_m: int | None = None) -> BigramLM:
-    """One streaming pass + one model-sized shuffle -> broadcastable LM.
+def _train_shard(g: pa.Table, min_count: int) -> pa.Table:
+    """Reduce ONE h1-shard of partial rows to final model rows.
 
-    ``min_count``/``top_m`` bound the model for 100 TB corpora (bigram
-    TYPES grow with corpus size; the broadcast must not). Pruned types are
-    logged and handled by the unigram backoff at scoring time.
+    Sharding is by ``h1`` (the w1 hash; ``bkey`` is a function of (h1, h2),
+    so equal bkeys share a shard too). That means this group holds EVERY
+    partial row of every bigram type whose context is a w1 in the shard:
+    global per-bigram counts, complete context totals ``c1``, and the
+    ``min_count`` prune are all final here — only model-sized rows leave
+    the shuffle, and the driver's fold is a concat, not an aggregation.
     """
-    from ray.data.aggregate import Max, Sum
+    kind = g["kind"].to_numpy(zero_copy_only=False)
+    bkey = g["bkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h1 = g["h1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_b = kind == _KIND_BIGRAM
+    out_kind, out_bkey, out_h1, out_cnt = [], [], [], []
+    if is_b.any():
+        ub, first, inv = np.unique(
+            bkey[is_b], return_index=True, return_inverse=True
+        )
+        c12 = np.zeros(len(ub), np.int64)
+        np.add.at(c12, inv, cnt[is_b])
+        uh1 = h1[is_b][first]  # same bigram -> same w1 -> same h1
+        # complete context totals (BEFORE pruning: pruned mass still
+        # shapes the add-one denominator at scoring time)
+        ku, kinv = np.unique(uh1, return_inverse=True)
+        c1 = np.zeros(len(ku), np.int64)
+        np.add.at(c1, kinv, c12)
+        keep = c12 >= min_count
+        out_kind += [
+            np.full(int(keep.sum()), _KIND_BIGRAM, np.int8),
+            np.full(len(ku), _KIND_CONTEXT, np.int8),
+            np.full(1, _KIND_DROPPED, np.int8),
+        ]
+        out_bkey += [ub[keep], ku, np.zeros(1, np.int64)]
+        out_h1 += [uh1[keep], ku, np.zeros(1, np.int64)]
+        out_cnt += [c12[keep], c1, np.array([int((~keep).sum())], np.int64)]
+    n_tok = int(np.unique(bkey[~is_b]).size)
+    if n_tok:  # token hashes shard by themselves (h1 == bkey): exact count
+        out_kind.append(np.full(1, _KIND_TOKEN, np.int8))
+        out_bkey.append(np.zeros(1, np.int64))
+        out_h1.append(np.zeros(1, np.int64))
+        out_cnt.append(np.array([n_tok], np.int64))
+    if not out_kind:
+        out_kind = [np.empty(0, np.int8)]
+        out_bkey = out_h1 = [np.empty(0, np.int64)]
+        out_cnt = [np.empty(0, np.int64)]
+    return pa.table(
+        {
+            "kind": pa.array(np.concatenate(out_kind), type=pa.int8()),
+            "bkey": pa.array(np.concatenate(out_bkey), type=pa.int64()),
+            "h1": pa.array(np.concatenate(out_h1), type=pa.int64()),
+            "cnt": pa.array(np.concatenate(out_cnt), type=pa.int64()),
+        }
+    )
 
+
+def train_bigram_lm(ds, text_col: str = "text", min_count: int = 1,
+                    top_m: int | None = None,
+                    shards: int | None = None) -> BigramLM:
+    """One streaming pass + one model-sized shard shuffle -> broadcastable LM.
+
+    The wide step is a ``groupby(shard-of-h1)`` over pre-aggregated hash
+    rows with all real aggregation done vectorized inside ``_train_shard``
+    (Ray's row-hash aggregate over millions of bigram-type groups is ~50x
+    slower than 256 numpy reduces). ``min_count``/``top_m`` bound the model
+    for 100 TB corpora (bigram TYPES grow with corpus size; the broadcast
+    must not). Pruned types are logged and handled by the unigram backoff
+    at scoring time.
+    """
+    from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+    nsh = shards or DEFAULT_SHARDS
     parts = ds.map_batches(
         lambda b: bigram_count_partial(b, text_col=text_col),
         batch_format="pyarrow",
     )
-    agg = parts.groupby(["kind", "bkey"]).aggregate(
-        Sum("cnt", alias_name="cnt"), Max("h1", alias_name="h1")
+    red = (
+        parts.map_batches(
+            lambda b: shard_column(b, ["h1"], nsh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: _train_shard(g, min_count), batch_format="pyarrow"
+        )
     )
-    # model-sized result: one row per bigram/token TYPE
+    # model-sized result: one (pruned) row per bigram type + context totals
     t = pa.concat_tables(
         [pa.Table.from_pydict(b) if isinstance(b, dict) else b
-         for b in agg.iter_batches(batch_format="pyarrow", batch_size=None)]
+         for b in red.iter_batches(batch_format="pyarrow", batch_size=None)]
     )
     kind = t["kind"].to_numpy(zero_copy_only=False)
     bkey = t["bkey"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     h1 = t["h1"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
 
+    v = int(cnt[kind == _KIND_TOKEN].sum())
     is_b = kind == _KIND_BIGRAM
-    v = int((~is_b).sum())
     bk, bh1, bc = bkey[is_b], h1[is_b], cnt[is_b]
+    is_c = kind == _KIND_CONTEXT
+    corder = np.argsort(bkey[is_c])
+    u_keys, u_c1 = bkey[is_c][corder], cnt[is_c][corder]
 
-    # context totals c1 = sum of bigram counts per w1 (BEFORE pruning, so
-    # pruned mass still shapes the denominator)
-    u_keys, u_inv = np.unique(bh1, return_inverse=True)
-    u_c1 = np.zeros(len(u_keys), dtype=np.int64)
-    np.add.at(u_c1, u_inv, bc)
-
-    keep = bc >= min_count
-    if top_m is not None and keep.sum() > top_m:
+    keep = np.ones(len(bc), dtype=bool)
+    if top_m is not None and len(bc) > top_m:
         thresh = np.partition(bc, len(bc) - top_m)[len(bc) - top_m]
-        keep &= bc >= thresh
-    dropped = int(len(bc) - keep.sum())
+        keep = bc >= thresh
+    dropped = int(cnt[kind == _KIND_DROPPED].sum()) + int(len(bc) - keep.sum())
     if dropped:
         logger.info(
-            "train_bigram_lm: pruned %d/%d bigram types (min_count=%d, top_m=%s)",
-            dropped, len(bc), min_count, top_m,
+            "train_bigram_lm: pruned %d bigram types (kept %d; min_count=%d, top_m=%s)",
+            dropped, int(keep.sum()), min_count, top_m,
         )
     bk, bh1, bc = bk[keep], bh1[keep], bc[keep]
 
@@ -210,8 +289,6 @@ class LMScore:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         m = self.m
         texts = batch[self.text_col]
         if isinstance(texts, pa.ChunkedArray):
@@ -223,9 +300,9 @@ class LMScore:
         if len(parents):
             adj = _adjacent(parents)
             if adj.any():
-                w1 = tokens.slice(0, len(tokens) - 1).filter(pa.array(adj))
-                w2 = tokens.slice(1).filter(pa.array(adj))
-                bkey = md5_u64(pc.binary_join_element_wise(w1, w2, _SEP))
+                th = md5_u64(tokens)
+                h1a = th[:-1][adj]
+                bkey = _bigram_key(h1a, th[1:][adj])
                 bp = parents[:-1][adj]  # doc row of each bigram
                 pos = np.searchsorted(m.b_keys, bkey)
                 pos_c = np.minimum(pos, len(m.b_keys) - 1) if len(m.b_keys) else pos
@@ -237,7 +314,7 @@ class LMScore:
                 lp = np.empty(len(bkey), dtype=np.int64)
                 lp[hit] = m.b_lp[pos_c[hit]]
                 if (~hit).any():
-                    h1 = md5_u64(w1.filter(pa.array(~hit)))
+                    h1 = h1a[~hit]
                     up = np.searchsorted(m.u_keys, h1)
                     up_c = np.minimum(up, len(m.u_keys) - 1) if len(m.u_keys) else up
                     uhit = (

@@ -258,14 +258,19 @@ def df_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
             {"th": pa.array([], type=pa.int64()),
              "df": pa.array([], type=pa.int64())}
         )
-    th = md5_u64(tokens).view(np.int64)  # int64 bit-view for the shuffle
-    pair = np.unique(
-        np.stack([parents.astype(np.int64), th], axis=1), axis=0
-    )
-    uth, df = np.unique(pair[:, 1], return_counts=True)
+    import pyarrow.compute as pc
+
+    # distinct (doc, token) pairs via a fused int key over dictionary codes
+    # (np.unique(axis=0) row-sorts through a void view — ~10x slower)
+    d = pc.dictionary_encode(tokens)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = len(d.dictionary)
+    pair_codes = np.unique(parents.astype(np.int64) * nv + codes) % nv
+    df_per_code = np.bincount(pair_codes, minlength=nv).astype(np.int64)
+    th = md5_u64(d.dictionary).view(np.int64)  # md5 once per unique token
     return pa.table(
-        {"th": pa.array(uth, type=pa.int64()),
-         "df": pa.array(df.astype(np.int64), type=pa.int64())}
+        {"th": pa.array(th, type=pa.int64()),
+         "df": pa.array(df_per_code, type=pa.int64())}
     )
 
 

@@ -153,7 +153,8 @@ def main() -> None:
         simhash_batch,
         simhash_pairs,
     )
-    from tangent_ray.ops.textstats import LangId, fingerprint_batch
+    from tangent_ray.ops.lm import lm_score, train_bigram_lm
+    from tangent_ray.ops.textstats import LangId, fingerprint_batch, tfidf_keywords
 
     def run(name, fn):
         t0 = time.perf_counter()
@@ -177,6 +178,10 @@ def main() -> None:
         ("lang_id", lambda: ds().map_batches(LangId, batch_format="pyarrow", concurrency=(1, max(1, num_cpus // 2)))),
         ("stratified_sample", lambda: ds().map_batches(sample_fn, batch_format="pyarrow")),
         ("pack_sequences", lambda: pack_sequences(ds())),
+        ("tfidf_keywords", lambda: tfidf_keywords(ds(), k=5)),
+        # min_count=2 bounds the broadcast model like a real corpus run would
+        ("lm_perplexity", lambda: lm_score(
+            ds(), train_bigram_lm(ds(), min_count=2))),
         # decontam: hold out every 512th doc as the "benchmark" set
         ("decontam", lambda: decontaminate(
             ds(), ds().map_batches(
