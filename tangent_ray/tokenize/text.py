@@ -131,23 +131,60 @@ def md5_u64(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
     Cost shape: md5 runs only over the batch's UNIQUE strings (dictionary
     encoding first), then the per-occurrence values are a numpy gather —
-    per-batch Python work is O(vocabulary), not O(tokens).
+    per-batch work is O(vocabulary), not O(tokens). The unique-string md5
+    itself runs in DuckDB's vectorized C++ kernel (a cached single-threaded
+    in-process connection — map_batches workers are 1-CPU slots), ~10x a
+    Python hashlib loop; high-uniqueness inputs like shingles are
+    payload-rate, so this is the hot path of the dedup family.
     """
-    import hashlib
-
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
     if len(strings) == 0:
         return np.empty(0, dtype=np.uint64)
     d = pc.dictionary_encode(strings)
     codes = d.indices.to_numpy(zero_copy_only=False)
-    uniq = d.dictionary.to_pylist()
-    hv = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(u.encode()).digest()[8:16], "little")
-            for u in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
+    hv = _md5_u64_unique(d.dictionary)
     return hv[codes]
+
+
+def _md5_u64_unique(uniq: pa.Array) -> np.ndarray:
+    """md5_number_lower over an array of (unique) strings, order-preserved."""
+    try:
+        con = _md5_con()
+        tbl = pa.table({"s": uniq})  # noqa: F841 — replacement-scanned
+        con.register("md5_in", tbl)
+        out = con.execute(
+            "SELECT md5_number_lower(s) AS h FROM md5_in"
+        ).arrow()
+        con.unregister("md5_in")
+        return out["h"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+    except ImportError:  # duckdb absent: same values, Python rate
+        import hashlib
+
+        vals = uniq.to_pylist()
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[8:16], "little")
+                for u in vals
+            ),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+
+
+_MD5_CON = None
+
+
+def _md5_con():
+    """Process-cached DuckDB connection, pinned to one thread (each Ray
+    map_batches worker owns one CPU slot; insertion-order preservation is
+    on by default, which the positional gather in md5_u64 relies on)."""
+    global _MD5_CON
+    if _MD5_CON is None:
+        import duckdb
+
+        _MD5_CON = duckdb.connect()
+        _MD5_CON.execute("SET threads=1")
+    return _MD5_CON
