@@ -52,7 +52,7 @@ def __getattr__(name):
         from tangent_ray.ops import curation as _c
 
         return getattr(_c, name)
-    if name in ("asof_join", "range_count"):
+    if name in ("asof_join", "range_count", "hash_join", "broadcast_join"):
         from tangent_ray.ops import joins as _j
 
         return getattr(_j, name)
@@ -74,5 +74,5 @@ __all__ = [
     "verify_index", "merge_partials", "QueryScorer", "search", "IndexReader",
     "mss_score", "rerank_candidates", "rerank_search", "pii_redact_batch",
     "decontaminate", "stratified_sample_batch", "pack_sequences",
-    "asof_join", "range_count", "__version__",
+    "asof_join", "range_count", "hash_join", "broadcast_join", "__version__",
 ]

@@ -1,18 +1,28 @@
-"""Time-travel joins Ray Data lacks as built-ins: keyed as-of join and
-interval range join, both as compositions of ONE hash-shard shuffle plus a
+"""Distributed joins as first-class operators: generic hash equi-join
+(broadcast and shard-shuffle paths), keyed as-of join, and interval range
+join — each a composition of at most ONE hash-shard shuffle plus a
 fully-vectorized in-shard pass (the custom-operator pattern this repo uses
 for sessionization).
 
 Partitioning assumptions (documented per the custom-operator contract):
-- ``asof_join`` co-locates all rows of a key on one shard (fixed key-hash
-  shards, like `ops.streaming.sessionize`); a single key's history must fit
-  one worker's heap.
+- ``broadcast_join`` materializes the RIGHT side (``ray.put`` once, read
+  once per actor) — dimension tables only; the left side streams and never
+  shuffles.
+- ``hash_join`` co-locates all rows of a key on one shard via fixed
+  key-hash shards; one shard's rows (both sides) must fit a worker's heap
+  — raise ``shards`` for bigger inputs, and pre-aggregate or salt if one
+  key dominates. The in-shard probe is Arrow's Acero hash join (C++), so
+  SQL semantics (null keys never match, duplicate keys multiply) hold by
+  construction.
+- ``asof_join`` co-locates all rows of a key on one shard (like
+  `ops.streaming.sessionize`); a single key's history must fit one
+  worker's heap.
 - ``range_count`` replicates each interval to every time bucket it covers
   and co-shuffles points by bucket; replication factor is
   ``interval_len / bucket_us + 1``, so pick ``bucket_us`` near the typical
   interval length.
 
-Both have exact DuckDB twins (`ASOF JOIN` / `BETWEEN` join) in
+All have exact DuckDB twins (`JOIN` / `ASOF JOIN` / `BETWEEN` join) in
 ``pipelines/entry_queries.py``.
 """
 
@@ -28,6 +38,149 @@ from tangent_ray.util import DEFAULT_SHARDS, shard_column
 def _ts_i8(col) -> np.ndarray:
     a = col.to_numpy(zero_copy_only=False)
     return a.astype("datetime64[us]").astype(np.int64)
+
+
+_JOIN_TYPES = {"inner": "inner", "left": "left outer"}
+
+
+def _right_renames(left_names, right_names, on, suffix: str) -> dict[str, str]:
+    """Rename map for right non-key columns that collide with left names."""
+    ren = {}
+    for name in right_names:
+        if name in on:
+            continue
+        if name in left_names:
+            new = name + suffix
+            if new in left_names or new in right_names:
+                raise ValueError(f"hash_join: cannot disambiguate column {name!r}")
+            ren[name] = new
+    return ren
+
+
+class _BroadcastJoin:
+    """Actor stage: per-batch Acero hash join against a broadcast table."""
+
+    def __init__(self, right_ref, on, join_type: str):
+        import ray
+
+        self.right = (
+            ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        )
+        self.on, self.join_type = list(on), join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(self.right, keys=self.on, join_type=self.join_type)
+
+
+def broadcast_join(left_ds, right, on, how: str = "inner", suffix: str = "_r"):
+    """Equi-join a streaming left side against a DIMENSION-sized right side.
+
+    ``right`` is a ``pa.Table`` or a (small) Dataset that is materialized
+    here, ``ray.put`` once, deserialized once per actor, and probed per
+    batch with Arrow's C++ hash join — the left side never shuffles, which
+    is the correct plan whenever the right side fits a worker's heap.
+    ``how`` is ``inner`` or ``left``.
+    """
+    import ray
+
+    from tangent_ray.util import actor_pool
+
+    join_type = _JOIN_TYPES[how]
+    if not isinstance(right, pa.Table):
+        right = pa.concat_tables(ray.get(right.to_arrow_refs()))
+    on = [on] if isinstance(on, str) else list(on)
+    ren = _right_renames(
+        set(left_ds.schema().names) - set(on), right.schema.names, on, suffix
+    )
+    if ren:
+        right = right.rename_columns([ren.get(n, n) for n in right.schema.names])
+    ref = ray.put(right)
+    return left_ds.map_batches(
+        _BroadcastJoin,
+        fn_constructor_args=(ref, on, join_type),
+        batch_format="pyarrow",
+        concurrency=actor_pool(),
+    )
+
+
+def hash_join(left_ds, right_ds, on, how: str = "inner",
+              shards: int = DEFAULT_SHARDS, suffix: str = "_r"):
+    """Generic distributed equi-join: ONE key-hash shuffle, Acero in-shard.
+
+    Both sides are padded to a common (union) schema with a side tag,
+    unioned, hash-sharded on the key columns so every row of a key lands on
+    one shard, and each shard runs a single C++ hash join over its two
+    sides. ``how`` is ``inner`` or ``left``; right non-key columns that
+    collide with left names get ``suffix``. Key columns must have equal
+    types on both sides (cast upstream — this operator does not coerce).
+    """
+    join_type = _JOIN_TYPES[how]
+    on = [on] if isinstance(on, str) else list(on)
+    ls, rs = left_ds.schema(), right_ds.schema()
+    l_types = dict(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    for k in on:
+        if l_types[k] != r_types[k]:
+            raise ValueError(
+                f"hash_join: key {k!r} types differ ({l_types[k]} vs {r_types[k]})"
+            )
+    ren = _right_renames(set(ls.names) - set(on), rs.names, on, suffix)
+    l_extra = [n for n in ls.names if n not in on]
+    r_extra = [ren.get(n, n) for n in rs.names if n not in on]
+    union_fields = (
+        [(k, l_types[k]) for k in on]
+        + [(n, l_types[n]) for n in l_extra]
+        + [(ren_inv, r_types[orig]) for orig, ren_inv in
+           ((n, ren.get(n, n)) for n in rs.names if n not in on)]
+        + [("side", pa.int8())]
+    )
+    union_schema = pa.schema(union_fields)
+    out_names = on + l_extra + r_extra
+
+    def pad(side: int, rename: dict[str, str]):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {rename.get(n, n): batch[n] for n in batch.schema.names}
+            n_rows = batch.num_rows
+            arrays = [
+                cols[f.name] if f.name in cols
+                else pa.nulls(n_rows, type=f.type)
+                for f in union_schema
+                if f.name != "side"
+            ]
+            arrays.append(
+                pa.array(np.full(n_rows, side, dtype=np.int8), type=pa.int8())
+            )
+            return shard_column(
+                pa.table(dict(zip([f.name for f in union_schema], arrays))),
+                on, shards,
+            )
+
+        return f
+
+    both = left_ds.map_batches(pad(0, {}), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(1, ren), batch_format="pyarrow")
+    )
+
+    empty_out = pa.table(
+        {n: pa.nulls(0, type=dict(union_fields)[n]) for n in out_names}
+    )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty_out
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_l = side == 0
+        left = pa.table(
+            {n: g[n].filter(pa.array(is_l)) for n in on + l_extra}
+        )
+        right = pa.table(
+            {n: g[n].filter(pa.array(~is_l)) for n in on + r_extra}
+        )
+        if left.num_rows == 0 or (right.num_rows == 0 and how == "inner"):
+            return empty_out
+        return left.join(right, keys=on, join_type=join_type).select(out_names)
+
+    return both.groupby("shard").map_groups(per_shard, batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, key_col: str = "user_id",

@@ -1178,6 +1178,55 @@ def q_range_active_sessions(sf_dir: str):
     )
 
 
+def q_orders_customers(sf_dir: str):
+    """Generic distributed hash equi-join (shard-shuffle path): every order
+    joined to its customer's name and nation — the fact-side never
+    materializes, both sides meet on key-hash shards."""
+    import ray.data
+
+    from tangent_ray.ops.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey", "c_name", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    return _collect(hash_join(orders, cust, on="custkey", how="inner"))
+
+
+def q_customer_nation_bc(sf_dir: str):
+    """Broadcast-path equi-join: customers LEFT-joined to the (25-row)
+    nation dimension — right side shipped once via ray.put, left streams."""
+    import ray.data
+
+    from tangent_ray.ops.joins import broadcast_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "nationkey", "c_acctbal"]),
+        batch_format="pyarrow",
+    )
+    nation = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).map_batches(
+        lambda b: b.rename_columns(["nationkey", "n_name"]),
+        batch_format="pyarrow",
+    )
+    return _collect(broadcast_join(cust, nation, on="nationkey", how="left"))
+
+
 # ---------------------------------------------------------------------------
 
 TOKS = (
@@ -1930,6 +1979,17 @@ ORACLE_SQL["range_active_sessions"] = f"""
     GROUP BY e.event_id
 """.replace("{gap}", str(SESSION_GAP_MIN))
 
+ORACLE_SQL["orders_customers"] = """
+    SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_totalprice,
+           c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLE_SQL["customer_nation_bc"] = """
+    SELECT c.c_custkey, c.c_nationkey AS nationkey, c.c_acctbal, n.n_name
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -1961,6 +2021,8 @@ QUERIES = {
     "sessions": q_sessions,
     "asof_attribution": q_asof_attribution,
     "range_active_sessions": q_range_active_sessions,
+    "orders_customers": q_orders_customers,
+    "customer_nation_bc": q_customer_nation_bc,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
