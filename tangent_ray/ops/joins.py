@@ -52,9 +52,17 @@ def _right_renames(left_names, right_names, on, suffix: str) -> dict[str, str]:
         if name in left_names:
             new = name + suffix
             if new in left_names or new in right_names:
-                raise ValueError(f"hash_join: cannot disambiguate column {name!r}")
+                raise ValueError(f"join: cannot disambiguate column {name!r}")
             ren[name] = new
     return ren
+
+
+def _check_key_types(l_types, r_types, on) -> None:
+    for k in on:
+        if l_types[k] != r_types[k]:
+            raise ValueError(
+                f"join: key {k!r} types differ ({l_types[k]} vs {r_types[k]})"
+            )
 
 
 class _BroadcastJoin:
@@ -89,9 +97,12 @@ def broadcast_join(left_ds, right, on, how: str = "inner", suffix: str = "_r"):
     if not isinstance(right, pa.Table):
         right = pa.concat_tables(ray.get(right.to_arrow_refs()))
     on = [on] if isinstance(on, str) else list(on)
-    ren = _right_renames(
-        set(left_ds.schema().names) - set(on), right.schema.names, on, suffix
+    ls = left_ds.schema()
+    _check_key_types(
+        dict(zip(ls.names, ls.types)),
+        {f.name: f.type for f in right.schema}, on,
     )
+    ren = _right_renames(set(ls.names) - set(on), right.schema.names, on, suffix)
     if ren:
         right = right.rename_columns([ren.get(n, n) for n in right.schema.names])
     ref = ray.put(right)
@@ -119,20 +130,19 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     ls, rs = left_ds.schema(), right_ds.schema()
     l_types = dict(zip(ls.names, ls.types))
     r_types = dict(zip(rs.names, rs.types))
-    for k in on:
-        if l_types[k] != r_types[k]:
-            raise ValueError(
-                f"hash_join: key {k!r} types differ ({l_types[k]} vs {r_types[k]})"
-            )
+    _check_key_types(l_types, r_types, on)
+    _SIDE, _SHARD = "__side", "__shard"
+    for internal in (_SIDE, _SHARD):
+        if internal in ls.names or internal in rs.names:
+            raise ValueError(f"join: column name {internal!r} is reserved")
     ren = _right_renames(set(ls.names) - set(on), rs.names, on, suffix)
     l_extra = [n for n in ls.names if n not in on]
     r_extra = [ren.get(n, n) for n in rs.names if n not in on]
     union_fields = (
         [(k, l_types[k]) for k in on]
         + [(n, l_types[n]) for n in l_extra]
-        + [(ren_inv, r_types[orig]) for orig, ren_inv in
-           ((n, ren.get(n, n)) for n in rs.names if n not in on)]
-        + [("side", pa.int8())]
+        + [(ren.get(n, n), r_types[n]) for n in rs.names if n not in on]
+        + [(_SIDE, pa.int8())]
     )
     union_schema = pa.schema(union_fields)
     out_names = on + l_extra + r_extra
@@ -145,14 +155,14 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
                 cols[f.name] if f.name in cols
                 else pa.nulls(n_rows, type=f.type)
                 for f in union_schema
-                if f.name != "side"
+                if f.name != _SIDE
             ]
             arrays.append(
                 pa.array(np.full(n_rows, side, dtype=np.int8), type=pa.int8())
             )
             return shard_column(
                 pa.table(dict(zip([f.name for f in union_schema], arrays))),
-                on, shards,
+                on, shards, name=_SHARD,
             )
 
         return f
@@ -168,7 +178,7 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     def per_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return empty_out
-        side = g["side"].to_numpy(zero_copy_only=False)
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
         is_l = side == 0
         left = pa.table(
             {n: g[n].filter(pa.array(is_l)) for n in on + l_extra}
@@ -180,7 +190,7 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
             return empty_out
         return left.join(right, keys=on, join_type=join_type).select(out_names)
 
-    return both.groupby("shard").map_groups(per_shard, batch_format="pyarrow")
+    return both.groupby(_SHARD).map_groups(per_shard, batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, key_col: str = "user_id",

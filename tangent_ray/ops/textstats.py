@@ -247,7 +247,7 @@ def df_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     input batches (one row = one doc), so summing partials over a
     ``groupby`` gives the exact corpus df — the only shuffle of the TF-IDF
     pipeline, at 16 B/token-type."""
-    from tangent_ray.tokenize.text import md5_u64
+    from tangent_ray.tokenize.text import _md5_u64_unique
 
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
@@ -267,7 +267,9 @@ def df_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     nv = len(d.dictionary)
     pair_codes = np.unique(parents.astype(np.int64) * nv + codes) % nv
     df_per_code = np.bincount(pair_codes, minlength=nv).astype(np.int64)
-    th = md5_u64(d.dictionary).view(np.int64)  # md5 once per unique token
+    # the dictionary is already unique: hash it directly (md5_u64 would
+    # re-dictionary-encode and identity-gather the whole vocabulary)
+    th = _md5_u64_unique(d.dictionary).view(np.int64)
     return pa.table(
         {"th": pa.array(th, type=pa.int64()),
          "df": pa.array(df_per_code, type=pa.int64())}
@@ -296,7 +298,7 @@ class TfIdfTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from tangent_ray.tokenize.text import md5_u64
+        from tangent_ray.tokenize.text import _md5_u64_unique
 
         texts = batch[self.text_col]
         if isinstance(texts, pa.ChunkedArray):
@@ -326,7 +328,7 @@ class TfIdfTopK:
         p_parent = pair // nv
         p_code = (pair % nv).astype(np.int64)
         # df lookup on the broadcast table (md5 once per unique batch token)
-        th = md5_u64(pa.array(vocab.tolist(), type=pa.string()))
+        th = _md5_u64_unique(d.dictionary)
         pos = np.searchsorted(self.keys, th)
         pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
         hit = (pos < len(self.keys)) & (

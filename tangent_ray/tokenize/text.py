@@ -150,13 +150,17 @@ def md5_u64(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
 def _md5_u64_unique(uniq: pa.Array) -> np.ndarray:
     """md5_number_lower over an array of (unique) strings, order-preserved."""
     try:
-        con = _md5_con()
-        tbl = pa.table({"s": uniq})  # noqa: F841 — replacement-scanned
-        con.register("md5_in", tbl)
-        out = con.execute(
-            "SELECT md5_number_lower(s) AS h FROM md5_in"
-        ).arrow()
-        con.unregister("md5_in")
+        con, lock = _md5_con()
+        tbl = pa.table({"s": uniq})
+        # the shared view name makes register->execute a critical section
+        # (Ray tasks are single-threaded, but this repo does run concurrent
+        # Dataset executions from driver threads — e.g. the docmap sidecar)
+        with lock:
+            con.register("md5_in", tbl)
+            out = con.execute(
+                "SELECT md5_number_lower(s) AS h FROM md5_in"
+            ).arrow()
+            con.unregister("md5_in")
         return out["h"].combine_chunks().to_numpy(
             zero_copy_only=False
         ).astype(np.uint64)
@@ -175,16 +179,20 @@ def _md5_u64_unique(uniq: pa.Array) -> np.ndarray:
 
 
 _MD5_CON = None
+_MD5_LOCK = None
 
 
 def _md5_con():
     """Process-cached DuckDB connection, pinned to one thread (each Ray
     map_batches worker owns one CPU slot; insertion-order preservation is
     on by default, which the positional gather in md5_u64 relies on)."""
-    global _MD5_CON
+    global _MD5_CON, _MD5_LOCK
     if _MD5_CON is None:
+        import threading
+
         import duckdb
 
+        _MD5_LOCK = threading.Lock()
         _MD5_CON = duckdb.connect()
         _MD5_CON.execute("SET threads=1")
-    return _MD5_CON
+    return _MD5_CON, _MD5_LOCK

@@ -103,15 +103,36 @@ def shard_column(batch, cols, shards: int = DEFAULT_SHARDS,
     The ONE shared definition of 'hash these key columns into a bounded
     shard id' — a fixed-key C-loop siphash per column, folded FNV-style
     across columns. Deterministic across processes and runs.
+
+    Integer/boolean columns are canonicalized to null-filled int64 BEFORE
+    hashing (nulls then overwritten with a fixed hash): an Arrow int64
+    batch surfaces as float64 numpy when it contains a null and int64
+    when it does not, and ``pd.util.hash_array`` hashes the BIT PATTERN —
+    without the canonical cast, the same key value routes to different
+    shards depending on whether its batch happened to carry a null.
     """
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    _NULL_H = np.uint64(0x9E3779B97F4A7C15)
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in cols:
-            arr = batch[c].to_numpy(zero_copy_only=False)
-            hc = pd.util.hash_array(arr).astype(np.uint64)
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
+                filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+                hc = pd.util.hash_array(
+                    filled.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+                if col.null_count:
+                    hc[pc.is_null(col).to_numpy(zero_copy_only=False)] = _NULL_H
+            else:
+                hc = pd.util.hash_array(
+                    col.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
             h = h * np.uint64(0x100000001B3) ^ hc
     return batch.append_column(
         name, pa.array((h % shards).astype(np.int32), type=pa.int32())

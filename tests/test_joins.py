@@ -237,3 +237,32 @@ def test_hash_join_string_keys_multi_shard(ray_session):
     )
     got = sorted(zip(out["k"], out["i"], out["j"]))
     assert got == want
+
+
+def test_hash_join_null_in_one_block_only(ray_session):
+    # regression: an int key batch WITH a null surfaces as float64 numpy,
+    # a null-free batch as int64 — shard_column must canonicalize so the
+    # same key value routes to the same shard either way
+    from tangent_ray.ops.joins import hash_join
+
+    blk_a = pa.table({"k": pa.array([2, None], type=pa.int64()),
+                      "a": pa.array(["x", "y"])})
+    blk_b = pa.table({"k": pa.array([2], type=pa.int64()),
+                      "a": pa.array(["z"])})
+    left = ray.data.from_arrow(blk_a).union(ray.data.from_arrow(blk_b))
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2], type=pa.int64()), "b": pa.array([7])})
+    )
+    out = hash_join(left, right, on="k", how="inner", shards=16).to_pandas()
+    assert sorted(out["a"]) == ["x", "z"]
+
+
+def test_hash_join_reserved_column_raises(ray_session):
+    import pytest
+
+    from tangent_ray.ops.joins import hash_join
+
+    bad = pa.table({"k": pa.array([1], type=pa.int64()),
+                    "__side": pa.array([0], type=pa.int8())})
+    with pytest.raises(ValueError, match="reserved"):
+        hash_join(ray.data.from_arrow(bad), ray.data.from_arrow(_r_tbl()), on="k")
