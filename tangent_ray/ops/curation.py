@@ -136,11 +136,11 @@ class Decontaminate:
         parents, hashes = _doc_shingle_hashes(
             batch, self.n, self.text_col, self.id_col
         )
+        from tangent_ray.util import sorted_lookup
+
         n_bad = np.zeros(batch.num_rows, dtype=np.int64)
         if len(parents) and len(self.holdout):
-            idx = np.searchsorted(self.holdout, hashes)
-            idx[idx == len(self.holdout)] = 0
-            hit = self.holdout[idx] == hashes
+            hit, _ = sorted_lookup(self.holdout, hashes)
             np.add.at(n_bad, parents[hit], 1)
         return pa.table(
             {
@@ -199,6 +199,13 @@ def sample_bucket(ids: np.ndarray) -> np.ndarray:
     return md5_bucket(ids, SAMPLE_BUCKETS, prefix="s:")
 
 
+def sample_threshold(rate: float) -> int:
+    """The ONE rate -> integer-bucket-threshold definition, shared with the
+    DuckDB twins: ``round`` (not ``int``) so a binary-float rate like 0.3
+    (0.29999999...994 * 1e6 = 299999.99...) keeps its boundary bucket."""
+    return int(round(rate * SAMPLE_BUCKETS))
+
+
 def stratified_sample_batch(
     batch: pa.Table,
     rates: dict[str, float],
@@ -206,20 +213,22 @@ def stratified_sample_batch(
     strata_col: str = "source",
     id_col: str = "doc_id",
 ) -> pa.Table:
-    """Keep each row iff ``bucket < rate[stratum] * 1e6`` — a deterministic
-    per-stratum Bernoulli sample with the subset property (the rate-0.1
-    sample is contained in the rate-0.5 sample), so sample sizes can be
-    re-negotiated without reshuffling data. Returns the kept rows of the
-    batch unchanged plus the bucket column."""
+    """Keep each row iff ``bucket < round(rate[stratum] * 1e6)`` — a
+    deterministic per-stratum Bernoulli sample with the subset property
+    (the rate-0.1 sample is contained in the rate-0.5 sample), so sample
+    sizes can be re-negotiated without reshuffling data. Returns the kept
+    rows of the batch unchanged plus the bucket column."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     buckets = sample_bucket(ids)
     strata = batch[strata_col].to_numpy(zero_copy_only=False)
-    thr = np.fromiter(
-        (int(rates.get(s, default_rate) * SAMPLE_BUCKETS) for s in strata),
-        count=len(strata),
+    # thresholds resolved once per UNIQUE stratum, then one gather — no
+    # per-row Python dict lookups
+    uniq, inv = np.unique(strata, return_inverse=True)
+    thr_u = np.array(
+        [sample_threshold(rates.get(s, default_rate)) for s in uniq],
         dtype=np.int64,
     )
-    keep = buckets < thr
+    keep = buckets < thr_u[inv]
     out = batch.filter(pa.array(keep))
     return out.append_column("bucket", pa.array(buckets[keep], type=pa.int64()))
 
@@ -240,10 +249,12 @@ def pack_group(group: pa.Table, seq_len: int = PACK_SEQ_LEN,
     within its first sequence. One vectorized pass: tokenize, cumsum,
     integer divide."""
     if group.num_rows == 0:
+        # derive id/key types from the group so the empty stub's schema
+        # matches non-empty groups for ANY input types
         return pa.table(
             {
-                id_col: pa.array([], type=pa.int64()),
-                key_col: pa.array([], type=pa.string()),
+                id_col: pa.array([], type=group[id_col].type),
+                key_col: pa.array([], type=group[key_col].type),
                 "n_tok": pa.array([], type=pa.int64()),
                 "seq_first": pa.array([], type=pa.int64()),
                 "seq_last": pa.array([], type=pa.int64()),

@@ -239,10 +239,13 @@ def train_bigram_lm(ds, text_col: str = "text", min_count: int = 1,
         )
     )
     # model-sized result: one (pruned) row per bigram type + context totals
-    t = pa.concat_tables(
-        [pa.Table.from_pydict(b) if isinstance(b, dict) else b
-         for b in red.iter_batches(batch_format="pyarrow", batch_size=None)]
-    )
+    tables = [
+        pa.Table.from_pydict(b) if isinstance(b, dict) else b
+        for b in red.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not tables or not sum(t.num_rows for t in tables):
+        raise ValueError("train_bigram_lm: corpus has no tokens")
+    t = pa.concat_tables(tables)
     kind = t["kind"].to_numpy(zero_copy_only=False)
     bkey = t["bkey"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     h1 = t["h1"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
@@ -257,8 +260,15 @@ def train_bigram_lm(ds, text_col: str = "text", min_count: int = 1,
 
     keep = np.ones(len(bc), dtype=bool)
     if top_m is not None and len(bc) > top_m:
+        # HARD bound (top_m exists to bound the broadcast): bigrams above
+        # the threshold count all stay; ties AT the threshold are broken
+        # deterministically by key so exactly top_m survive
         thresh = np.partition(bc, len(bc) - top_m)[len(bc) - top_m]
-        keep = bc >= thresh
+        keep = bc > thresh
+        need = top_m - int(keep.sum())
+        if need > 0:
+            tied = np.flatnonzero(bc == thresh)
+            keep[tied[np.argsort(bk[tied], kind="stable")[:need]]] = True
     dropped = int(cnt[kind == _KIND_DROPPED].sum()) + int(len(bc) - keep.sum())
     if dropped:
         logger.info(
@@ -300,28 +310,18 @@ class LMScore:
         if len(parents):
             adj = _adjacent(parents)
             if adj.any():
+                from tangent_ray.util import sorted_lookup
+
                 th = md5_u64(tokens)
                 h1a = th[:-1][adj]
                 bkey = _bigram_key(h1a, th[1:][adj])
                 bp = parents[:-1][adj]  # doc row of each bigram
-                pos = np.searchsorted(m.b_keys, bkey)
-                pos_c = np.minimum(pos, len(m.b_keys) - 1) if len(m.b_keys) else pos
-                hit = (
-                    (m.b_keys[pos_c] == bkey) & (pos < len(m.b_keys))
-                    if len(m.b_keys)
-                    else np.zeros(len(bkey), dtype=bool)
-                )
+                hit, pos_c = sorted_lookup(m.b_keys, bkey)
                 lp = np.empty(len(bkey), dtype=np.int64)
                 lp[hit] = m.b_lp[pos_c[hit]]
                 if (~hit).any():
                     h1 = h1a[~hit]
-                    up = np.searchsorted(m.u_keys, h1)
-                    up_c = np.minimum(up, len(m.u_keys) - 1) if len(m.u_keys) else up
-                    uhit = (
-                        (m.u_keys[up_c] == h1) & (up < len(m.u_keys))
-                        if len(m.u_keys)
-                        else np.zeros(len(h1), dtype=bool)
-                    )
+                    uhit, up_c = sorted_lookup(m.u_keys, h1)
                     miss_lp = np.full(len(h1), m.lp_floor, dtype=np.int64)
                     if uhit.any():
                         c1 = m.u_c1[up_c[uhit]].astype(np.float64)

@@ -17,6 +17,34 @@ import pyarrow.compute as pc
 from tangent_ray.util import DEFAULT_SHARDS, round_half_away, shard_column
 
 
+def _ts_us_strict(col, what: str) -> np.ndarray:
+    """Timestamp column -> int64 microseconds, REJECTING nulls (a null ts
+    would surface as NaT -> int64 min and silently fabricate year-1677
+    windows/sessions with wrapped gap arithmetic)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{what}: null timestamps unsupported (filter first)")
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+
+
+def _window_agg(t: pa.Table, key_col: str) -> pa.Table:
+    """The one (key, window) pre-aggregation contract shared by tumbling and
+    hopping partials: Arrow sum/count (null values skipped, matching the
+    DuckDB twins), names ``n``/``sum_value``."""
+    agg = t.group_by([key_col, "window_start"]).aggregate(
+        [("v", "sum"), ("v", "count")]
+    )
+    return pa.table(
+        {
+            key_col: agg[key_col],
+            "window_start": agg["window_start"],
+            "n": pc.cast(agg["v_count"], pa.int64()),
+            "sum_value": agg["v_sum"],
+        }
+    )
+
+
 def tumbling_window_partial(
     batch: pa.Table,
     key_col: str = "event_type",
@@ -32,17 +60,7 @@ def tumbling_window_partial(
             "v": batch[value_col],
         }
     )
-    agg = t.group_by([key_col, "window_start"]).aggregate(
-        [("v", "sum"), ("v", "count")]
-    )
-    return pa.table(
-        {
-            key_col: agg[key_col],
-            "window_start": agg["window_start"],
-            "n": pc.cast(agg["v_count"], pa.int64()),
-            "sum_value": agg["v_sum"],
-        }
-    )
+    return _window_agg(t, key_col)
 
 
 def _fold_window_partials(partial, key_col: str):
@@ -97,38 +115,29 @@ def hopping_window(ds, key_col="event_type", ts_col="ts", value_col="value",
     hop_us = hop_hours * 3_600_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        base = pc.floor_temporal(batch[ts_col], multiple=hop_hours, unit="hour")
-        base_us = base.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base_us = _ts_us_strict(batch[ts_col], "hopping_window")
         n = len(base_us)
+        base_us = (base_us // hop_us) * hop_us  # floor to the hop grid
         # window starts: base - j*hop for j in 0..k-1
         starts = (
             np.repeat(base_us, k)
             - np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
         )
+        # Arrow take (not a numpy round-trip): key/value keep their exact
+        # Arrow types and nulls — an object-array rebuild inferred a
+        # null-typed key column on empty batches and poisoned Arrow's
+        # null-skipping sum with NaN
+        rep = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), k)))
         t = pa.table(
             {
-                key_col: pa.array(
-                    np.repeat(batch[key_col].to_numpy(zero_copy_only=False), k)
-                ),
+                key_col: rep[key_col],
                 "window_start": pa.array(
                     starts.astype("datetime64[us]"), type=pa.timestamp("us")
                 ),
-                "v": pa.array(
-                    np.repeat(batch[value_col].to_numpy(zero_copy_only=False), k)
-                ),
+                "v": rep[value_col],
             }
         )
-        agg = t.group_by([key_col, "window_start"]).aggregate(
-            [("v", "sum"), ("v", "count")]
-        )
-        return pa.table(
-            {
-                key_col: agg[key_col],
-                "window_start": agg["window_start"],
-                "n": pc.cast(agg["v_count"], pa.int64()),
-                "sum_value": agg["v_sum"],
-            }
-        )
+        return _window_agg(t, key_col)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     return _fold_window_partials(part, key_col)
@@ -173,12 +182,7 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
             keys = keys.combine_chunks()
         enc = pc.dictionary_encode(keys)
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        ts = (
-            g[ts_col]
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
+        ts = _ts_us_strict(g[ts_col], "sessionize")
         order = np.lexsort((ts, codes))
         u, t = codes[order], ts[order]
         new_user = np.concatenate([[True], u[1:] != u[:-1]])

@@ -328,12 +328,10 @@ class TfIdfTopK:
         p_parent = pair // nv
         p_code = (pair % nv).astype(np.int64)
         # df lookup on the broadcast table (md5 once per unique batch token)
+        from tangent_ray.util import sorted_lookup
+
         th = _md5_u64_unique(d.dictionary)
-        pos = np.searchsorted(self.keys, th)
-        pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
-        hit = (pos < len(self.keys)) & (
-            self.keys[pos_c] == th if len(self.keys) else False
-        )
+        hit, pos_c = sorted_lookup(self.keys, th)
         df = np.zeros(nv, dtype=np.int64)
         df[hit] = self.dfs[pos_c[hit]]
         idf = np.log((self.n + 1.0) / (df + 1.0)) + 1.0

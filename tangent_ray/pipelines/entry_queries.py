@@ -1804,10 +1804,10 @@ ORACLE_SQL["decontam"] = _decontam_sql()
 
 
 def _sample_sql() -> str:
-    from tangent_ray.ops.curation import SAMPLE_BUCKETS
+    from tangent_ray.ops.curation import SAMPLE_BUCKETS, sample_threshold
 
     cases = " ".join(
-        f"WHEN '{s}' THEN {int(r * SAMPLE_BUCKETS)}"
+        f"WHEN '{s}' THEN {sample_threshold(r)}"
         for s, r in sorted(SAMPLE_RATES.items())
     )
     return f"""
@@ -1819,7 +1819,7 @@ def _sample_sql() -> str:
         )
         SELECT doc_id, source, bucket FROM b
         WHERE bucket < CASE source {cases}
-                       ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END
+                       ELSE {sample_threshold(SAMPLE_DEFAULT_RATE)} END
     """
 
 
@@ -1856,6 +1856,7 @@ def _curated_sql() -> str:
         PACK_SEQ_LEN,
         PII_PATTERNS,
         SAMPLE_BUCKETS,
+        sample_threshold,
     )
     from tangent_ray.ops.textstats import SPLIT_BUCKETS, SPLIT_TEST, SPLIT_VAL
 
@@ -1866,7 +1867,7 @@ def _curated_sql() -> str:
         f"ts[i+{j}]" if j else "ts[i]" for j in range(DECONTAM_N)
     )
     cases = " ".join(
-        f"WHEN '{s}' THEN {int(r * SAMPLE_BUCKETS)}"
+        f"WHEN '{s}' THEN {sample_threshold(r)}"
         for s, r in sorted(SAMPLE_RATES.items())
     )
     return f"""
@@ -1912,7 +1913,7 @@ def _curated_sql() -> str:
           WHERE CAST(concat('0x', substr(md5('s:' || doc_id::VARCHAR), 1, 8))
                      AS BIGINT) % {SAMPLE_BUCKETS}
                 < CASE source {cases}
-                  ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END
+                  ELSE {sample_threshold(SAMPLE_DEFAULT_RATE)} END
         ), dl AS (
           SELECT doc_id, source,
                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

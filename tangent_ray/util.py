@@ -88,6 +88,21 @@ def stabilize_lazy_imports() -> None:
     sys.modules["fsspec.implementations.http"] = mod
 
 
+def sorted_lookup(sorted_keys: np.ndarray, values: np.ndarray):
+    """Membership of ``values`` in a sorted 1-D array: ``(hit, pos)`` where
+    ``hit[i]`` is True iff ``values[i]`` occurs and ``pos[i]`` is its index
+    (clamped in-range everywhere, so ``sorted_keys[pos]`` never faults).
+
+    The ONE shared 'broadcast sorted-set probe' idiom (LM model lookup,
+    decontamination filter, df table) — searchsorted + clamp + equality."""
+    pos = np.searchsorted(sorted_keys, values)
+    if not len(sorted_keys):
+        return np.zeros(len(values), dtype=bool), pos
+    pos_c = np.minimum(pos, len(sorted_keys) - 1)
+    hit = (pos < len(sorted_keys)) & (sorted_keys[pos_c] == values)
+    return hit, pos_c
+
+
 #: default shard count for bucket-key shuffles. Sizing rule: one shard's
 #: rows materialize as ONE in-memory table in a map_groups task, so pick
 #: shards ~ total_rows / rows-per-worker-heap (and >= cluster cores for

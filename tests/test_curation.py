@@ -157,3 +157,29 @@ def test_pack_group_hand_case():
     assert out["seq_last"].to_pylist() == [0, 0, 1, 2]  # docs 3,4 span cuts
     assert out["seq_offset"].to_pylist() == [0, 3, 3, 1]
     assert PACK_SEQ_LEN == 256  # SQL twin hard-codes it
+
+
+def test_sample_threshold_keeps_boundary_bucket():
+    from tangent_ray.ops.curation import SAMPLE_BUCKETS, sample_threshold
+
+    # 0.3 * 1e6 = 299999.99999999994 in binary float; int() truncation
+    # would drop bucket 299999 — round() keeps the mathematical boundary
+    assert sample_threshold(0.3) == 300_000
+    assert sample_threshold(1.0) == SAMPLE_BUCKETS
+    assert sample_threshold(0.0) == 0
+
+
+def test_pack_group_empty_stub_matches_int_key_schema():
+    import pyarrow as pa
+
+    from tangent_ray.ops.curation import pack_group
+
+    empty_int_key = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.int32()),  # non-string key
+        }
+    )
+    out = pack_group(empty_int_key)
+    assert out.schema.field("source").type == pa.int32()

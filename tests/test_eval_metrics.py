@@ -2,6 +2,8 @@
 
 import math
 
+import pyarrow as pa
+
 from tangent_ray.eval.metrics import mean_reciprocal_rank, ndcg_at_k, recall_at_k
 
 RESULTS = [
@@ -78,3 +80,48 @@ def test_sessionize(ray_session):
     # user 1: events at 0,10 | 50,55  -> 2 sessions of 2
     # user 2: 0 | 31 -> 2 sessions of 1 (31 > 30-minute gap)
     assert per == {(1, 0): 2, (1, 1): 2, (2, 0): 1, (2, 1): 1}
+
+
+def test_hopping_window_preserves_null_values_and_key_types(ray_session):
+    # a null value must be SKIPPED by the window sum (Arrow/DuckDB
+    # semantics), not poison it to NaN via a numpy round-trip
+    import numpy as np
+    import ray.data
+
+    from tangent_ray.ops.streaming import hopping_window
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a"]),
+            "ts": pa.array(
+                np.array([0, 1, 2], dtype="datetime64[h]").astype("datetime64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, None, 2.0], type=pa.float64()),
+        }
+    )
+    got = {
+        (r["window_start"].isoformat(), r["n"]): r["sum_value"]
+        for r in hopping_window(
+            ray.data.from_arrow(t), size_hours=2, hop_hours=1
+        ).take_all()
+    }
+    # window starting at hour 1 covers hours 1 (null) and 2 -> n counts
+    # non-null only, sum skips the null
+    assert got[("1970-01-01T01:00:00", 1)] == 2.0
+
+
+def test_sessionize_null_ts_raises(ray_session):
+    import pytest
+    import ray.data
+
+    from tangent_ray.ops.streaming import sessionize
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([0, None], type=pa.timestamp("us")),
+        }
+    )
+    with pytest.raises(Exception, match="null timestamps"):
+        sessionize(ray.data.from_arrow(t)).take_all()
