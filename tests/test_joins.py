@@ -266,3 +266,52 @@ def test_hash_join_reserved_column_raises(ray_session):
                     "__side": pa.array([0], type=pa.int8())})
     with pytest.raises(ValueError, match="reserved"):
         hash_join(ray.data.from_arrow(bad), ray.data.from_arrow(_r_tbl()), on="k")
+
+
+def test_hash_join_randomized_vs_duckdb(ray_session):
+    # seeded differential fuzz: dup keys, null keys, skewed keys, random
+    # block splits, both join types, vs DuckDB on the same tables
+    import duckdb
+
+    from tangent_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        nl, nr = int(rng.integers(1, 60)), int(rng.integers(1, 40))
+        lk = rng.integers(0, 12, nl).astype(object)
+        rk = rng.integers(0, 12, nr).astype(object)
+        lk[rng.random(nl) < 0.15] = None
+        rk[rng.random(nr) < 0.15] = None
+        lt = pa.table(
+            {"k": pa.array(lk.tolist(), type=pa.int64()),
+             "a": pa.array(rng.integers(0, 1000, nl), type=pa.int64())}
+        )
+        rt = pa.table(
+            {"k": pa.array(rk.tolist(), type=pa.int64()),
+             "b": pa.array(rng.integers(0, 1000, nr), type=pa.int64())}
+        )
+        cut = int(rng.integers(0, nl + 1))
+        left = ray.data.from_arrow(lt.slice(0, cut)).union(
+            ray.data.from_arrow(lt.slice(cut))
+        )
+        def canon(df):
+            rows = [
+                tuple(None if v != v else int(v) for v in row)
+                for row in df[["k", "a", "b"]].itertuples(index=False)
+            ]
+            return sorted(
+                rows,
+                key=lambda t: tuple((v is None, v or 0) for v in t),
+            )
+
+        for how, sql in (
+            ("inner", "SELECT * FROM lt JOIN rt USING (k)"),
+            ("left", "SELECT * FROM rt RIGHT JOIN lt USING (k)"),
+        ):
+            got = canon(
+                hash_join(
+                    left, ray.data.from_arrow(rt), on="k", how=how, shards=7
+                ).to_pandas()
+            )
+            want = canon(duckdb.sql(sql).df())
+            assert got == want, (trial, how)
