@@ -32,8 +32,9 @@ of ``mathindexmid.h``:
 
 The one reference detail not reproducible from a pair alone is the
 evaluation ORDER of an ANY iterator's children (sorted by corpus-global
-postings-list size, mathindex.cpp:211); we order by descending
-within-expression tf, then lexicographically. The order can only matter
+postings-list size, mathindex.cpp:211); we order by descending REMAINING
+unclaimed copies of each candidate tuple, then lexicographically (the
+greedy that wastes the fewest scarce duplicates). The order can only matter
 when several wildcard instances compete for scarce duplicate tuples, so
 replayed scores are exact for concrete queries and near-exact for wildcard
 queries (asserted in tests/test_golden_replay.py).

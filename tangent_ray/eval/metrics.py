@@ -37,7 +37,9 @@ def mean_reciprocal_rank(
     lists = _ranked_lists(results)
     per: dict[str, float] = {}
     for qid, rel in relevant.items():
-        ranked = lists.get(qid, [])[: k or None]
+        ranked = lists.get(qid, [])
+        if k is not None:  # k=0 must mean 'empty cutoff', not 'no cutoff'
+            ranked = ranked[:k]
         rr = 0.0
         for i, d in enumerate(ranked):
             if d in rel:
@@ -59,7 +61,10 @@ def recall_at_k(
     for qid, rel in relevant.items():
         if not rel:
             continue
-        got = set(lists.get(qid, [])[: k or None])
+        got_list = lists.get(qid, [])
+        if k is not None:
+            got_list = got_list[:k]
+        got = set(got_list)
         per[qid] = len(got & rel) / len(rel)
     mean = sum(per.values()) / len(per) if per else 0.0
     return mean, per

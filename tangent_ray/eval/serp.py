@@ -192,7 +192,7 @@ def render_serp(query_id: str, query_text: str, rows: list[dict]) -> str:
     body = []
     for r in rows:
         doc = html.escape(str(r.get("dockey") or r.get("docid") or ""))
-        score = r.get("score", r.get("mss_h", ""))
+        score = html.escape(str(r.get("score", r.get("mss_h", ""))))
         expr = r.get("slt") or r.get("expression") or ""
         expr_xml = ""
         if expr:
@@ -201,7 +201,7 @@ def render_serp(query_id: str, query_text: str, rows: list[dict]) -> str:
             except Exception:
                 expr_xml = html.escape(expr)
         body.append(
-            f"<tr><td>{r.get('rank', '')}</td><td>{doc}</td>"
+            f"<tr><td>{html.escape(str(r.get('rank', '')))}</td><td>{doc}</td>"
             f"<td class=\"score\">{score}</td><td>{expr_xml}</td></tr>"
         )
     return _PAGE.format(

@@ -98,7 +98,14 @@ def generate_conv_range(c_lo: int, c_hi: int) -> pa.Table:
     texts: list[str] = []
     tools: list[str] = []
     ts: list[int] = []
-    epoch = int(datetime.datetime(2026, 1, 1).timestamp() * 1_000_000)
+    # tz-aware: a naive datetime's .timestamp() applies the LOCAL zone,
+    # which would make the "pure function of row index" corpus differ
+    # across machines
+    epoch = int(
+        datetime.datetime(
+            2026, 1, 1, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
     for c in range(c_lo, c_hi):
         n_turns = 2 + (c * 7919) % 14
         for t in range(n_turns):
@@ -134,13 +141,29 @@ def _write_shard(path: str, c_lo: int, c_hi: int) -> None:
 def write_transcripts(out_dir: str, n_convs: int, files: int = 4) -> list[str]:
     """Write the corpus as ``files`` parquet shards (conv-contiguous ranges).
 
-    Cached: returns immediately if the layout already exists. Generation is
+    Cached on the FULL layout key (n_convs, files), not mere file
+    existence: a reused out_dir generated under different parameters is
+    wiped and regenerated (existence-only caching silently returned a
+    stale corpus, or mixed shard bounds from two layouts). Generation is
     fanned out over Ray tasks when a session is up (each shard is a pure
     function of its conv range), else done serially.
     """
+    import glob
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(out_dir, f"part-{i:04d}.parquet") for i in range(files)]
-    if all(os.path.exists(p) for p in paths):
+    meta_path = os.path.join(out_dir, "_layout.json")
+    meta = {"n_convs": n_convs, "files": files}
+    try:
+        with open(meta_path) as f:
+            cached = json.load(f)
+    except (OSError, ValueError):
+        cached = None
+    if cached != meta:
+        for stale in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+            os.remove(stale)
+    elif all(os.path.exists(p) for p in paths):
         return paths
     bounds = [i * n_convs // files for i in range(files + 1)]
     jobs = [
@@ -148,6 +171,10 @@ def write_transcripts(out_dir: str, n_convs: int, files: int = 4) -> list[str]:
         for i, p in enumerate(paths)
         if not os.path.exists(p)
     ]
+    tmp_meta = meta_path + ".tmp"
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, meta_path)
     import ray
 
     if ray.is_initialized() and n_convs >= 4096:

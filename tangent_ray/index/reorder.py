@@ -161,6 +161,11 @@ def reorder_assignment(counts, q1: int, q2: int):
     import ray
     import ray.data  # noqa: F401
 
+    # materialize once: the od-histogram pass and the final groupby both
+    # consume this table, and without pinning the blocks the second
+    # consumer would re-run the (corpus-scale) upstream count pipeline
+    counts = counts.materialize()
+
     def with_od(batch: pa.Table) -> pa.Table:
         od = reorder_key(batch["tc"].to_numpy(zero_copy_only=False), q1, q2)
         return batch.append_column("od", pa.array(od, type=pa.int64()))

@@ -81,13 +81,17 @@ class MediaDecode:
         )
 
 
-def decode_features(ds, concurrency: int | tuple[int, int] = (1, 2), batch_size: int = 16):
-    """Run the decode stage: small batches (large binary rows), actor pool."""
+def decode_features(ds, concurrency: int | tuple[int, int] | None = None,
+                    batch_size: int = 16):
+    """Run the decode stage: small batches (large binary rows), actor pool
+    sized to the cluster like every other stateful stage."""
+    from tangent_ray.util import actor_pool
+
     return ds.map_batches(
         MediaDecode,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
         zero_copy_batch=True,
     )
 
@@ -115,8 +119,14 @@ class MediaResize:
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "width": pa.array(np.maximum(1, (w * scale)).astype(np.int32)),
-                "height": pa.array(np.maximum(1, (h * scale)).astype(np.int32)),
+                # rint, not truncation: 277 * (224/277) = 223.999...97
+                # must land on the 224 target exactly
+                "width": pa.array(
+                    np.maximum(1, np.rint(w * scale)).astype(np.int32)
+                ),
+                "height": pa.array(
+                    np.maximum(1, np.rint(h * scale)).astype(np.int32)
+                ),
                 "scale": pa.array(scale.astype(np.float64)),
             }
         )
@@ -244,7 +254,8 @@ def image_dims_batch(batch: pa.Table, payload_col: str = "payload",
     hs: list[int] = []
     col = batch[payload_col]
     for i in range(len(col)):
-        f, w, h = image_dims(col[i].as_py())
+        p = col[i].as_py()
+        f, w, h = image_dims(p) if p is not None else ("unknown", -1, -1)
         fmts.append(f)
         ws.append(w)
         hs.append(h)
@@ -346,6 +357,8 @@ def media_duration(payload: bytes) -> tuple[str, int]:
                 while j + 8 <= end:
                     bsz = struct.unpack(">I", payload[j : j + 4])[0]
                     if payload[j + 4 : j + 8] == b"mvhd":
+                        if j + 9 > n:  # truncated right after the box header
+                            return "mp4", -1
                         ver = payload[j + 8]
                         if ver == 0 and j + 28 <= n:
                             ts, dur = struct.unpack(
@@ -370,7 +383,8 @@ def media_duration_batch(batch: pa.Table, payload_col: str = "payload",
     durs: list[int] = []
     col = batch[payload_col]
     for i in range(len(col)):
-        f, d = media_duration(col[i].as_py())
+        p = col[i].as_py()
+        f, d = media_duration(p) if p is not None else ("unknown", -1)
         fmts.append(f)
         durs.append(d)
     return pa.table(
