@@ -56,6 +56,10 @@ def __getattr__(name):
         from tangent_ray.ops import joins as _j
 
         return getattr(_j, name)
+    if name in ("kth_value", "quantile_values"):
+        from tangent_ray.ops import quantiles as _q
+
+        return getattr(_q, name)
     raise AttributeError(name)
 
 #: applied in every process that imports the package (driver and each Ray
@@ -74,5 +78,6 @@ __all__ = [
     "verify_index", "merge_partials", "QueryScorer", "search", "IndexReader",
     "mss_score", "rerank_candidates", "rerank_search", "pii_redact_batch",
     "decontaminate", "stratified_sample_batch", "pack_sequences",
-    "asof_join", "range_count", "hash_join", "broadcast_join", "__version__",
+    "asof_join", "range_count", "hash_join", "broadcast_join",
+    "kth_value", "quantile_values", "__version__",
 ]

@@ -1178,6 +1178,35 @@ def q_range_active_sessions(sf_dir: str):
     )
 
 
+DOCLEN_QS = [0.5, 0.9, 0.99]
+
+
+def q_doclen_quantiles(sf_dir: str):
+    """Distributed EXACT order statistics without a global sort: word-count
+    quantile thresholds of the corpus by iterative histogram refinement
+    (every pass a streaming bincount — the 'keep the top decile by quality'
+    primitive), rank rule k = ceil(q*n) shared with the SQL twin."""
+    import ray.data
+
+    from tangent_ray.ops.quantiles import quantile_values
+    from tangent_ray.ops.textstats import quality_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    words = ds.map_batches(
+        lambda b: quality_batch(b).select(["doc_id", "n_words"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed once per refinement pass
+    rows = quantile_values(words, "n_words", DOCLEN_QS)
+    return pa.table(
+        {
+            "q": pa.array([r["q"] for r in rows], type=pa.float64()),
+            "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+            "value": pa.array([r["value"] for r in rows], type=pa.int64()),
+            "n_ge": pa.array([r["n_ge"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_orders_customers(sf_dir: str):
     """Generic distributed hash equi-join (shard-shuffle path): every order
     joined to its customer's name and nation — the fact-side never
@@ -1980,6 +2009,30 @@ ORACLE_SQL["range_active_sessions"] = f"""
     GROUP BY e.event_id
 """.replace("{gap}", str(SESSION_GAP_MIN))
 
+# Twin of q_doclen_quantiles: same k = ceil(q*n) rank rule; the threshold
+# is the smallest n_words whose cumulative count reaches k.
+ORACLE_SQL["doclen_quantiles"] = """
+    WITH w AS (
+      SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n_words
+      FROM documents
+    ), n AS (SELECT count(*)::BIGINT AS c FROM w),
+    cum AS (
+      SELECT n_words, sum(count(*)) OVER (ORDER BY n_words)::BIGINT AS cr
+      FROM w GROUP BY n_words
+    ),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+    SELECT qs.q,
+           CAST(ceil(qs.q * n.c) AS BIGINT) AS k,
+           (SELECT min(n_words) FROM cum
+             WHERE cr >= CAST(ceil(qs.q * n.c) AS BIGINT)) AS value,
+           (SELECT count(*)::BIGINT FROM w
+             WHERE n_words >= (SELECT min(n_words) FROM cum
+                                WHERE cr >= CAST(ceil(qs.q * n.c) AS BIGINT))
+           ) AS n_ge
+    FROM qs, n
+"""
+
 ORACLE_SQL["orders_customers"] = """
     SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_totalprice,
            c.c_name, c.c_nationkey
@@ -2024,6 +2077,7 @@ QUERIES = {
     "range_active_sessions": q_range_active_sessions,
     "orders_customers": q_orders_customers,
     "customer_nation_bc": q_customer_nation_bc,
+    "doclen_quantiles": q_doclen_quantiles,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
