@@ -210,3 +210,70 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow")
     return sharded.groupby("shard").map_groups(per_shard, batch_format="pyarrow")
+
+
+def top_n_per_group(ds, group_col: str, order_col: str, n: int,
+                    id_col: str = "event_id", ascending: bool = False,
+                    shards: int = DEFAULT_SHARDS):
+    """Top-``n`` rows of every group by ``order_col`` — the per-group-top-k
+    primitive ("5 best documents per source") as ONE group-hash shard
+    shuffle plus a vectorized in-shard rank: each shard lexsorts ALL its
+    groups at once by (group, value, id) and keeps rank <= n, no per-group
+    Python. Ties break on ``id_col`` ascending, so results are
+    deterministic and the ``row_number() OVER (PARTITION BY ... ORDER BY
+    ...)`` SQL twin reproduces them exactly. Emits (group, id, value,
+    rank). Partitioning assumption: one shard's rows fit a worker's heap
+    (raise ``shards`` for bigger inputs)."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return shard_column(
+            pa.table(
+                {
+                    group_col: batch[group_col],
+                    id_col: batch[id_col],
+                    "v": batch[order_col],
+                }
+            ),
+            [group_col], shards,
+        )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], type=g[group_col].type),
+                id_col: pa.array([], type=g[id_col].type),
+                order_col: pa.array([], type=g["v"].type),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        keys = g[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v if ascending else -v, codes))
+        sc = codes[order]
+        new = np.concatenate([[True], sc[1:] != sc[:-1]])
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(len(sc)) - starts[run_id] + 1
+        keep = rank <= n
+        sel = order[keep]
+        return pa.table(
+            {
+                group_col: pc.take(keys, pa.array(sel)),
+                id_col: pc.take(g[id_col], pa.array(sel)),
+                order_col: pc.take(g["v"], pa.array(sel)),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -1178,6 +1178,23 @@ def q_range_active_sessions(sf_dir: str):
     )
 
 
+def q_top_events_per_type(sf_dir: str):
+    """Per-group top-k primitive: the 3 highest-value events of every event
+    type (ties on event id ascending) — one group-hash shard shuffle, all
+    of a shard's groups ranked in one lexsort, row_number() twin."""
+    import ray.data
+
+    from tangent_ray.ops.streaming import top_n_per_group
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    return _collect(
+        top_n_per_group(ev, "event_type", "value", 3, id_col="event_id")
+    )
+
+
 DOCLEN_QS = [0.5, 0.9, 0.99]
 
 
@@ -2009,6 +2026,16 @@ ORACLE_SQL["range_active_sessions"] = f"""
     GROUP BY e.event_id
 """.replace("{gap}", str(SESSION_GAP_MIN))
 
+ORACLE_SQL["top_events_per_type"] = """
+    SELECT event_type, event_id, value, rank FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id
+             )::BIGINT AS rank
+      FROM events
+    ) WHERE rank <= 3
+"""
+
 # Twin of q_doclen_quantiles: same k = ceil(q*n) rank rule; the threshold
 # is the smallest n_words whose cumulative count reaches k.
 ORACLE_SQL["doclen_quantiles"] = """
@@ -2078,6 +2105,7 @@ QUERIES = {
     "orders_customers": q_orders_customers,
     "customer_nation_bc": q_customer_nation_bc,
     "doclen_quantiles": q_doclen_quantiles,
+    "top_events_per_type": q_top_events_per_type,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,

@@ -125,3 +125,37 @@ def test_sessionize_null_ts_raises(ray_session):
     )
     with pytest.raises(Exception, match="null timestamps"):
         sessionize(ray.data.from_arrow(t)).take_all()
+
+
+def test_top_n_per_group_vs_bruteforce(ray_session):
+    import numpy as np
+    import ray.data
+
+    from tangent_ray.ops.streaming import top_n_per_group
+
+    rng = np.random.default_rng(5)
+    n = 200
+    t = pa.table(
+        {
+            "grp": pa.array([f"g{int(x)}" for x in rng.integers(0, 6, n)]),
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "value": pa.array(rng.integers(0, 20, n).astype("float64")),
+        }
+    )
+    out = top_n_per_group(
+        ray.data.from_arrow(t), "grp", "value", 3, id_col="event_id", shards=8
+    ).to_pandas()
+    # brute force: sort by (grp, -value, id), rank within group
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(
+        ["grp", "value", "event_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("grp").cumcount() + 1
+    want = df[df["rank"] <= 3].reset_index(drop=True)
+    got = out.sort_values(["grp", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["grp", "event_id", "value", "rank"]],
+        want[["grp", "event_id", "value", "rank"]],
+        check_dtype=False,
+    )
