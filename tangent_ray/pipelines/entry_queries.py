@@ -1178,6 +1178,18 @@ def q_range_active_sessions(sf_dir: str):
     )
 
 
+def q_top_tokens(sf_dir: str):
+    """Certified shuffle-free heavy hitters: exact top-20 corpus tokens via
+    per-batch candidate emission + residual bound + verification pass (the
+    full token groupby only as a logged fallback)."""
+    import ray.data
+
+    from tangent_ray.ops.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["text"])
+    return heavy_hitters(ds, k=20)
+
+
 def q_top_events_per_type(sf_dir: str):
     """Per-group top-k primitive: the 3 highest-value events of every event
     type (ties on event id ascending) — one group-hash shard shuffle, all
@@ -2026,6 +2038,15 @@ ORACLE_SQL["range_active_sessions"] = f"""
     GROUP BY e.event_id
 """.replace("{gap}", str(SESSION_GAP_MIN))
 
+ORACLE_SQL["top_tokens"] = f"""
+    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank
+    FROM (
+      SELECT term, count(*)::BIGINT AS cnt
+      FROM {TOKS} WHERE term <> '' GROUP BY term
+    )
+    ORDER BY cnt DESC, term LIMIT 20
+"""
+
 ORACLE_SQL["top_events_per_type"] = """
     SELECT event_type, event_id, value, rank FROM (
       SELECT event_type, event_id, value,
@@ -2106,6 +2127,7 @@ QUERIES = {
     "customer_nation_bc": q_customer_nation_bc,
     "doclen_quantiles": q_doclen_quantiles,
     "top_events_per_type": q_top_events_per_type,
+    "top_tokens": q_top_tokens,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,

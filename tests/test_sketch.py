@@ -1,0 +1,62 @@
+"""heavy_hitters: certified shuffle-free top-k vs brute force, fallback
+path on near-uniform data, multi-block inputs."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from tangent_ray.ops.sketch import heavy_hitters
+from tangent_ray.tokenize.text import split_tokens
+
+
+def _brute_topk(texts, k):
+    cnt = collections.Counter()
+    _, toks, _ = split_tokens(pa.array(texts))
+    cnt.update(toks.to_pylist())
+    return sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _ds(texts, blocks=4):
+    t = pa.table({"text": pa.array(texts)})
+    cut = max(1, len(texts) // blocks)
+    d = ray.data.from_arrow(t.slice(0, cut))
+    for i in range(cut, len(texts), cut):
+        d = d.union(ray.data.from_arrow(t.slice(i, cut)))
+    return d
+
+
+def test_heavy_hitters_zipf_certified(ray_session):
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(500)]
+    # zipf-ish: token i with weight 1/(i+1)
+    w = 1.0 / (np.arange(500) + 1)
+    texts = [
+        " ".join(rng.choice(vocab, size=40, p=w / w.sum()))
+        for _ in range(400)
+    ]
+    got = heavy_hitters(_ds(texts), k=10, m=256)
+    want = _brute_topk(texts, 10)
+    assert got["term"].to_pylist() == [t for t, _ in want]
+    assert got["cnt"].to_pylist() == [c for _, c in want]
+    assert got["rank"].to_pylist() == list(range(1, 11))
+
+
+def test_heavy_hitters_fallback_still_exact(ray_session, caplog):
+    # near-uniform counts + tiny m: certification cannot hold, the exact
+    # groupby fallback must produce the same answer anyway
+    import logging
+
+    texts = [f"t{i % 97} t{(i * 31) % 97}" for i in range(300)]
+    with caplog.at_level(logging.WARNING, logger="tangent_ray.ops.sketch"):
+        got = heavy_hitters(_ds(texts), k=5, m=4)
+    want = _brute_topk(texts, 5)
+    assert got["term"].to_pylist() == [t for t, _ in want]
+    assert got["cnt"].to_pylist() == [c for _, c in want]
+    assert any("certification failed" in r.message for r in caplog.records)
+
+
+def test_heavy_hitters_empty(ray_session):
+    got = heavy_hitters(_ds(["", "", ""]), k=5)
+    assert got.num_rows == 0
