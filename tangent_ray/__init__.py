@@ -60,6 +60,10 @@ def __getattr__(name):
         from tangent_ray.ops import quantiles as _q
 
         return getattr(_q, name)
+    if name in ("heavy_hitters", "distinct_tokens_hll"):
+        from tangent_ray.ops import sketch as _sk
+
+        return getattr(_sk, name)
     raise AttributeError(name)
 
 #: applied in every process that imports the package (driver and each Ray
@@ -79,5 +83,6 @@ __all__ = [
     "mss_score", "rerank_candidates", "rerank_search", "pii_redact_batch",
     "decontaminate", "stratified_sample_batch", "pack_sequences",
     "asof_join", "range_count", "hash_join", "broadcast_join",
-    "kth_value", "quantile_values", "__version__",
+    "kth_value", "quantile_values", "heavy_hitters", "distinct_tokens_hll",
+    "__version__",
 ]

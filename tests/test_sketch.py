@@ -60,3 +60,24 @@ def test_heavy_hitters_fallback_still_exact(ray_session, caplog):
 def test_heavy_hitters_empty(ray_session):
     got = heavy_hitters(_ds(["", "", ""]), k=5)
     assert got.num_rows == 0
+
+
+def test_hll_distinct_accuracy_and_determinism(ray_session):
+    from tangent_ray.ops.sketch import distinct_tokens_hll
+
+    # ~8,000 distinct tokens spread over docs
+    texts = [" ".join(f"tok{(i * 97 + j) % 8000}" for j in range(50))
+             for i in range(400)]
+    exact = len({t for s in texts for t in s.split()})
+    est1 = distinct_tokens_hll(_ds(texts, blocks=4), p=14)
+    est2 = distinct_tokens_hll(_ds(texts, blocks=7), p=14)
+    assert est1 == est2  # block layout must not change the estimate
+    assert abs(est1 - exact) / exact < 0.03  # ~0.8% expected at p=14
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    from tangent_ray.ops.sketch import distinct_tokens_hll
+
+    texts = ["alpha beta gamma delta"] * 50
+    est = distinct_tokens_hll(_ds(texts), p=12)
+    assert abs(est - 4) < 0.5

@@ -154,7 +154,24 @@ def main() -> None:
         simhash_pairs,
     )
     from tangent_ray.ops.lm import lm_score, train_bigram_lm
-    from tangent_ray.ops.textstats import LangId, fingerprint_batch, tfidf_keywords
+    from tangent_ray.ops.streaming import top_n_per_group
+    from tangent_ray.ops.textstats import (
+        LangId,
+        fingerprint_batch,
+        quality_batch,
+        tfidf_keywords,
+    )
+
+    class _Rows:
+        """Adapt driver-side results (pa.Table / list) to the .count() shape."""
+
+        def __init__(self, obj):
+            self.n = obj.num_rows if hasattr(obj, "num_rows") else len(obj)
+
+        def count(self):
+            return self.n
+
+    _wrap_rows = _Rows
 
     def run(name, fn):
         t0 = time.perf_counter()
@@ -182,6 +199,23 @@ def main() -> None:
         # min_count=2 bounds the broadcast model like a real corpus run would
         ("lm_perplexity", lambda: lm_score(
             ds(), train_bigram_lm(ds(), min_count=2))),
+        ("heavy_hitters", lambda: _wrap_rows(
+            __import__("tangent_ray.ops.sketch", fromlist=["heavy_hitters"])
+            .heavy_hitters(ds(), k=20))),
+        ("doclen_quantiles", lambda: _wrap_rows(
+            __import__("tangent_ray.ops.quantiles", fromlist=["quantile_values"])
+            .quantile_values(
+                ds().map_batches(quality_batch, batch_format="pyarrow")
+                .materialize(),
+                "n_words", [0.5, 0.9, 0.99]))),
+        ("top_n_per_group", lambda: top_n_per_group(
+            ds().map_batches(
+                lambda b: b.append_column(
+                    "L", pa.compute.cast(
+                        pa.compute.utf8_length(b["text"]), pa.int64())),
+                batch_format="pyarrow",
+            ),
+            "source", "L", 5, id_col="doc_id")),
         # decontam: hold out every 512th doc as the "benchmark" set
         ("decontam", lambda: decontaminate(
             ds(), ds().map_batches(
