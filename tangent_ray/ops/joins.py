@@ -207,7 +207,22 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id",
     Python — a shard handles all its keys in one pass.
 
     Returns (left id, key, left ts, right id?, right ts?, lag_us?).
+    Integer key/id columns only (validated upfront; the generic
+    ``hash_join`` handles string keys).
     """
+    for ds_, what in ((left_ds, "left"), (right_ds, "right")):
+        s = ds_.schema()
+        types = dict(zip(s.names, s.types))
+        for c in (key_col, id_col):
+            if not pa.types.is_integer(types[c]):
+                raise ValueError(
+                    f"asof_join: {what} {c!r} must be integer, got {types[c]}"
+                )
+    # tag() projects the roles onto internal names ts/id/side (+shard): a
+    # key or id column NAMED like one of them would silently collapse in
+    # the dict literal
+    if key_col in ("ts", "id", "side", "shard") or id_col in ("ts", "side", "shard"):
+        raise ValueError("asof_join: key/id column collides with an internal name")
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -319,13 +334,17 @@ def range_count(points_ds, intervals_ds, ts_col: str = "ts",
         # clamp to the bucket -> bounds become globally (bucket, bound)-sorted
         lo_c = np.maximum(lo_r, bucket * bucket_us)
         hi_c = np.minimum(hi_r, (bucket + 1) * bucket_us - 1)
+        n_rep = len(bucket)
         return pa.table(
             {
                 "bucket": pa.array(bucket, type=pa.int64()),
                 "lo_c": pa.array(lo_c, type=pa.int64()),
                 "hi_c": pa.array(hi_c, type=pa.int64()),
-                "pid": pa.array(np.full(len(bucket), -1), type=pa.int64()),
-                "t": pa.array(np.zeros(len(bucket), dtype=np.int64), type=pa.int64()),
+                "pid": pa.array(np.zeros(n_rep, dtype=np.int64), type=pa.int64()),
+                "t": pa.array(np.zeros(n_rep, dtype=np.int64), type=pa.int64()),
+                # explicit side flag — a pid sentinel (-1) silently dropped
+                # points whose real id was negative
+                "pt": pa.array(np.zeros(n_rep, dtype=np.int8), type=pa.int8()),
             }
         )
 
@@ -339,6 +358,7 @@ def range_count(points_ds, intervals_ds, ts_col: str = "ts",
                 "hi_c": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
                 "pid": batch[id_col],
                 "t": pa.array(t, type=pa.int64()),
+                "pt": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
             }
         )
 
@@ -359,7 +379,7 @@ def range_count(points_ds, intervals_ds, ts_col: str = "ts",
                 }
             )
         pid = g["pid"].to_numpy(zero_copy_only=False)
-        is_pt = pid >= 0
+        is_pt = g["pt"].to_numpy(zero_copy_only=False) == 1
         t = g["t"].to_numpy(zero_copy_only=False)[is_pt]
         # clamped bounds order globally because buckets are disjoint ranges
         los = np.sort(g["lo_c"].to_numpy(zero_copy_only=False)[~is_pt])

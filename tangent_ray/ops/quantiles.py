@@ -28,11 +28,22 @@ import pyarrow as pa
 _BUCKETS = 1 << 16
 
 
+def _col_i8(batch: pa.Table, col: str) -> np.ndarray:
+    """int64 values of ``col``, REJECTING nulls (to_numpy would surface a
+    null as NaN -> INT64_MIN and silently rank it smallest)."""
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if c.null_count:
+        raise ValueError(f"kth_value: column {col!r} contains nulls (filter first)")
+    return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _range_and_count(ds, col: str) -> tuple[int, int, int]:
     """(min, max, n) of an int64 column in one streaming pass."""
 
     def part(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _col_i8(batch, col)
         if not len(v):
             return pa.table(
                 {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
@@ -54,14 +65,17 @@ def _range_and_count(ds, col: str) -> tuple[int, int, int]:
     )
 
 
-def kth_value(ds, col: str, k: int) -> int:
+def kth_value(ds, col: str, k: int,
+              bounds: tuple[int, int, int] | None = None) -> int:
     """Exact k-th smallest (1-indexed) of int64 column ``col``.
 
     <= 4 streaming histogram passes + one min/max pass; nothing
     row-shaped ever reaches the driver. ``ds`` is consumed up to 5 times —
-    materialize upstream if it is compute-heavy to produce.
+    materialize upstream if it is compute-heavy to produce. Pass
+    ``bounds`` = (min, max, n) to skip the min/max pass when already known
+    (``quantile_values`` does, once for all its quantiles).
     """
-    lo, hi, n = _range_and_count(ds, col)
+    lo, hi, n = bounds if bounds is not None else _range_and_count(ds, col)
     if not 1 <= k <= n:
         raise ValueError(f"kth_value: k={k} outside [1, {n}]")
 
@@ -70,15 +84,24 @@ def kth_value(ds, col: str, k: int) -> int:
     # k - below and no rank bookkeeping carries between rounds
     while True:
         span = hi - lo + 1
-        width = max(1, math.ceil(span / _BUCKETS))
-        nb = math.ceil(span / width)
+        # integer ceil: math.ceil(a / b) goes through float64 and loses
+        # exactness for spans near 2^63 (full signed-hash domain)
+        width = max(1, -(-span // _BUCKETS))
+        nb = -(-span // width)
         clo, chi, cwidth, cnb = lo, hi, width, nb  # closure snapshots
 
         def hist_part(batch: pa.Table) -> pa.Table:
-            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = _col_i8(batch, col)
             in_r = (v >= clo) & (v <= chi)
             below = int((v < clo).sum())
-            h = np.bincount((v[in_r] - clo) // cwidth, minlength=cnb)
+            # bucket math in uint64: for v >= clo the two's-complement
+            # difference is the exact mathematical one even when the full
+            # span exceeds int64 (e.g. a signed-hash column spanning
+            # nearly the whole int64 domain)
+            with np.errstate(over="ignore"):
+                diff = v[in_r].astype(np.uint64) - np.uint64(clo & 0xFFFFFFFFFFFFFFFF)
+                bucket = (diff // np.uint64(cwidth)).astype(np.int64)
+            h = np.bincount(bucket, minlength=cnb)
             return pa.table(
                 {
                     "below": pa.array([below], pa.int64()),
@@ -104,14 +127,15 @@ def quantile_values(ds, col: str, qs: list[float]) -> list[dict]:
 
     Returns one dict per quantile: {"q", "k", "value", "n_ge"}.
     """
-    _, _, n = _range_and_count(ds, col)
+    bounds = _range_and_count(ds, col)
+    n = bounds[2]
     out = []
     for q in qs:
         k = max(1, min(n, math.ceil(q * n)))
-        v = kth_value(ds, col, k)
+        v = kth_value(ds, col, k, bounds=bounds)
 
         def ge_part(batch: pa.Table, thr=v) -> pa.Table:
-            x = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            x = _col_i8(batch, col)
             return pa.table({"c": pa.array([int((x >= thr).sum())], pa.int64())})
 
         n_ge = sum(

@@ -135,9 +135,14 @@ def heavy_hitters(ds, k: int = 20, m: int = 4096, text_col: str = "text"):
         exact[r["term"]] += r["cnt"]
 
     ranked = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    # certified iff the k-th candidate provably beats every non-candidate
-    # (an empty corpus is trivially certified)
-    certified = not exact or (len(ranked) == k and ranked[-1][1] >= resid_bound)
+    # certified iff (a) every batch emitted ALL its tokens (resid 0: the
+    # candidate counts are simply complete — covers corpora with fewer
+    # than k distinct tokens and the empty corpus), or (b) the k-th
+    # candidate STRICTLY beats the residual bound: at exactly the bound a
+    # non-candidate could tie and win the (count desc, term asc) tie rule
+    certified = resid_bound == 0 or (
+        len(ranked) == k and ranked[-1][1] > resid_bound
+    )
     if not certified:
         logger.warning(
             "heavy_hitters: certification failed (kth=%s < residual bound %d) "

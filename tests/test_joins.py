@@ -315,3 +315,35 @@ def test_hash_join_randomized_vs_duckdb(ray_session):
             )
             want = canon(duckdb.sql(sql).df())
             assert got == want, (trial, how)
+
+
+def test_range_count_negative_point_ids(ray_session):
+    # a point with a negative id must still be counted (the old pid>=0
+    # sentinel classification silently dropped it)
+    from tangent_ray.ops.joins import range_count
+
+    points = pa.table(
+        {"event_id": pa.array([-5, 7], type=pa.int64()),
+         "ts": _ts([100, 100])}
+    )
+    intervals = pa.table({"lo": _ts([50]), "hi": _ts([150])})
+    out = {r["event_id"]: r["n_active"]
+           for r in range_count(
+               ray.data.from_arrow(points), ray.data.from_arrow(intervals),
+               bucket_us=1000,
+           ).take_all()}
+    assert out == {-5: 1, 7: 1}
+
+
+def test_asof_join_rejects_string_key(ray_session):
+    import pytest
+
+    from tangent_ray.ops.joins import asof_join
+
+    t = pa.table(
+        {"event_id": pa.array([1], type=pa.int64()),
+         "user_id": pa.array(["u1"]),
+         "ts": _ts([5])}
+    )
+    with pytest.raises(ValueError, match="must be integer"):
+        asof_join(ray.data.from_arrow(t), ray.data.from_arrow(t))

@@ -59,3 +59,19 @@ def test_quantile_values_rule(ray_session):
     # matches the documented rule exactly
     for r in out:
         assert r["k"] == max(1, min(100, math.ceil(r["q"] * 100)))
+
+
+def test_kth_value_full_int64_span(ray_session):
+    # span > 2^63: the uint64 bucket math must not wrap
+    vals = [-(2**62), -17, 0, 23, 2**62]
+    s = sorted(vals)
+    for k in range(1, 6):
+        assert kth_value(_ds(vals, blocks=2), "x", k) == s[k - 1]
+
+
+def test_kth_value_rejects_nulls(ray_session):
+    import pytest
+
+    t = pa.table({"x": pa.array([1, None, 3], type=pa.int64())})
+    with pytest.raises(Exception, match="nulls"):
+        kth_value(ray.data.from_arrow(t), "x", 1)

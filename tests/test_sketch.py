@@ -81,3 +81,34 @@ def test_hll_small_range_linear_counting(ray_session):
     texts = ["alpha beta gamma delta"] * 50
     est = distinct_tokens_hll(_ds(texts), p=12)
     assert abs(est - 4) < 0.5
+
+
+def test_heavy_hitters_under_k_distinct_no_fallback(ray_session, caplog):
+    # fewer distinct tokens than k with resid 0: counts are complete, so
+    # no fallback (and no spurious warning) — result is simply shorter
+    import logging
+
+    texts = ["aa bb aa", "bb cc aa"] * 20
+    with caplog.at_level(logging.WARNING, logger="tangent_ray.ops.sketch"):
+        got = heavy_hitters(_ds(texts), k=20, m=4096)
+    assert got["term"].to_pylist() == ["aa", "bb", "cc"]
+    assert got["cnt"].to_pylist() == [60, 40, 20]
+    assert not any("certification" in r.message for r in caplog.records)
+
+
+def test_heavy_hitters_tie_at_bound_falls_back(ray_session):
+    # counts tied exactly at the residual bound must NOT certify: a
+    # non-candidate with the same total could win the term-asc tie rule.
+    # Construct it: m=1 so each batch emits only its top token.
+    # batch1: b x6, a x3; batch2: c x6, a x3  -> candidates {b, c},
+    # resid_bound 6, and the true winner is 'a' (6, alphabetically first).
+    texts1 = ["b b b b b b a a a"]
+    texts2 = ["c c c c c c a a a"]
+    import ray.data
+
+    d = ray.data.from_arrow(pa.table({"text": pa.array(texts1)})).union(
+        ray.data.from_arrow(pa.table({"text": pa.array(texts2)}))
+    )
+    got = heavy_hitters(d, k=1, m=1)
+    assert got["term"].to_pylist() == ["a"]
+    assert got["cnt"].to_pylist() == [6]
