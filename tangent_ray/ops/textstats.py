@@ -135,8 +135,12 @@ def lexical_stats_batch(batch: pa.Table, text_col: str = "text",
 #: ASCII-restricted so the RE2 semantics are portable. Counting uses
 #: Arrow's RE2 (``pc.count_substring_regex``) — the same engine DuckDB's
 #: ``regexp_extract_all`` uses, so the oracle twin is exact by construction.
+#: the punctuation class must NOT exclude the apostrophe (GPT-2's doesn't):
+#: alternation is leftmost-first, so contraction suffixes still win when
+#: they apply, while a bare quote counts as punctuation instead of
+#: silently matching nothing
 BPE_TOKEN_RE = (
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\tA-Za-z0-9']+|[ \\t]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\tA-Za-z0-9]+|[ \\t]+"
 )
 
 
@@ -146,7 +150,10 @@ def bpe_token_count_partial(batch: pa.Table, group_col: str = "source",
     vectorized RE2 pass — the 'how many BPE tokens is this corpus' stage of
     a training-data pipeline, to first order and without a merges table)."""
     texts = batch[text_col]
-    counts = pc.count_substring_regex(texts, BPE_TOKEN_RE)
+    # null text counts as a 0-token document (Arrow's count aggregate
+    # skips nulls, which would silently drop the doc from n_docs while
+    # the SQL twin's count(*) keeps it)
+    counts = pc.fill_null(pc.count_substring_regex(texts, BPE_TOKEN_RE), 0)
     t = pa.table({group_col: batch[group_col], "tok": counts})
     agg = t.group_by([group_col]).aggregate([("tok", "sum"), ("tok", "count")])
     return pa.table(
@@ -242,24 +249,28 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
 
 
 def df_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-batch document-frequency partial: one (token-hash, df) row per
-    unique token, df = number of batch docs containing it. Docs never span
-    input batches (one row = one doc), so summing partials over a
-    ``groupby`` gives the exact corpus df — the only shuffle of the TF-IDF
-    pipeline, at 16 B/token-type."""
+    """Per-batch document-frequency partial: one ``kind=0`` (token-hash,
+    df) row per unique token — df = number of batch docs containing it —
+    plus one ``kind=1`` row carrying the batch's DOC COUNT, so the corpus
+    size rides the same shuffle instead of costing a separate full pass.
+    Docs never span input batches (one row = one doc), so summing partials
+    over a ``groupby(["kind","th"])`` gives the exact corpus df and N —
+    the only shuffle of the TF-IDF pipeline, at ~17 B/token-type."""
     from tangent_ray.tokenize.text import _md5_u64_unique
 
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     parents, tokens, _ = split_tokens(texts)
+    nd_row = (
+        [np.int8(1)], [np.int64(0)], [np.int64(batch.num_rows)]
+    )
     if not len(parents):
         return pa.table(
-            {"th": pa.array([], type=pa.int64()),
-             "df": pa.array([], type=pa.int64())}
+            {"kind": pa.array(nd_row[0], type=pa.int8()),
+             "th": pa.array(nd_row[1], type=pa.int64()),
+             "df": pa.array(nd_row[2], type=pa.int64())}
         )
-    import pyarrow.compute as pc
-
     # distinct (doc, token) pairs via a fused int key over dictionary codes
     # (np.unique(axis=0) row-sorts through a void view — ~10x slower)
     d = pc.dictionary_encode(tokens)
@@ -271,8 +282,16 @@ def df_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # re-dictionary-encode and identity-gather the whole vocabulary)
     th = _md5_u64_unique(d.dictionary).view(np.int64)
     return pa.table(
-        {"th": pa.array(th, type=pa.int64()),
-         "df": pa.array(df_per_code, type=pa.int64())}
+        {
+            "kind": pa.array(
+                np.concatenate([np.zeros(nv, np.int8), nd_row[0]]),
+                type=pa.int8(),
+            ),
+            "th": pa.array(np.concatenate([th, nd_row[1]]), type=pa.int64()),
+            "df": pa.array(
+                np.concatenate([df_per_code, nd_row[2]]), type=pa.int64()
+            ),
+        }
     )
 
 
@@ -296,8 +315,6 @@ class TfIdfTopK:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         from tangent_ray.tokenize.text import _md5_u64_unique
 
         texts = batch[self.text_col]
@@ -345,7 +362,6 @@ class TfIdfTopK:
         run_id = np.cumsum(np.concatenate([[0], (sp[1:] != sp[:-1]).astype(np.int64)]))
         rank = np.arange(len(sp)) - starts[run_id] + 1
         keep = rank <= self.k
-        from tangent_ray.util import round_half_away
 
         return pa.table(
             {
@@ -363,28 +379,34 @@ class TfIdfTopK:
 
 def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
                    id_col: str = "doc_id", min_df: int = 1):
-    """Top-k TF-IDF keywords per doc: ONE df groupby (hash rows, 16 B/type),
+    """Top-k TF-IDF keywords per doc: ONE df groupby (hash rows, ~17 B/type),
     broadcast the vocabulary-sized df table, then a stateless-read scoring
-    pass. ``min_df`` prunes the broadcast's long tail at corpus scale
-    (a pruned term scores with df=0 — i.e. maximal idf — which for rare
-    terms is the exact value anyway once df=1 terms dominate the tail)."""
+    pass. ``min_df`` prunes the broadcast's long tail at corpus scale; a
+    pruned term then scores with df=0, INFLATING its idf by up to
+    ln((df+1)/1) relative to the exact run — acceptable for keyword
+    extraction (rare terms are usually wanted anyway) but not exact, which
+    is why the oracle-twinned default is ``min_df=1``."""
     import ray
     from ray.data.aggregate import Sum
 
     from tangent_ray.util import actor_pool
 
-    n_docs = ds.count()
     agg = (
         ds.map_batches(
             lambda b: df_count_partial(b, text_col=text_col),
             batch_format="pyarrow",
         )
-        .groupby("th")
+        .groupby(["kind", "th"])
         .aggregate(Sum("df", alias_name="df"))
     )
     t = agg.take_all()
-    keys = np.array([r["th"] for r in t], dtype=np.int64).view(np.uint64)
-    dfs = np.array([r["df"] for r in t], dtype=np.int64)
+    # kind=1 rows fold to the corpus doc count — same shuffle, no extra
+    # ds.count() pass over a possibly compute-heavy upstream pipeline
+    n_docs = sum(r["df"] for r in t if r["kind"] == 1)
+    keys = np.array(
+        [r["th"] for r in t if r["kind"] == 0], dtype=np.int64
+    ).view(np.uint64)
+    dfs = np.array([r["df"] for r in t if r["kind"] == 0], dtype=np.int64)
     if min_df > 1:
         m = dfs >= min_df
         keys, dfs = keys[m], dfs[m]

@@ -1358,10 +1358,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "quality_scores": """
         SELECT doc_id,
-               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '[^a-z0-9]+'),
                                x -> x <> ''))::BIGINT AS n_words,
-               round(CASE WHEN length(text) = 0 THEN 0
-                          ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               round(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                          ELSE length(regexp_replace(coalesce(text, ''),
+                                                     '[^A-Za-z]', '', 'g'))::DOUBLE
                                / length(text) END, 6) AS alpha_ratio
         FROM documents
     """,
@@ -1369,7 +1371,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT source, count(*) FILTER (WHERE term <> '')::BIGINT AS total_tokens,
                count(DISTINCT doc_id)::BIGINT AS n_docs
         FROM (SELECT doc_id, source,
-                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+                     unnest(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+')) AS term
               FROM documents)
         GROUP BY source
     """,

@@ -58,9 +58,10 @@ def split_tokens(texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
 def stem_tokens(tokens: pa.Array) -> pa.Array:
     """Porter-stem a token array, stemming each distinct token once."""
     uniq = pc.unique(tokens)
-    mapping = {u: porter_stem(u) for u in uniq.to_pylist()}
     idx = pc.index_in(tokens, value_set=uniq)
-    stemmed_uniq = pa.array([mapping[u] for u in uniq.to_pylist()], type=pa.string())
+    stemmed_uniq = pa.array(
+        [porter_stem(u) for u in uniq.to_pylist()], type=pa.string()
+    )
     return pc.take(stemmed_uniq, idx)
 
 
@@ -179,20 +180,24 @@ def _md5_u64_unique(uniq: pa.Array) -> np.ndarray:
 
 
 _MD5_CON = None
-_MD5_LOCK = None
+import threading as _threading
+
+#: created at import so the lazy connection init itself is synchronized —
+#: an unlocked check-then-act here could hand two first-call driver
+#: threads different locks around the SAME connection
+_MD5_LOCK = _threading.Lock()
 
 
 def _md5_con():
     """Process-cached DuckDB connection, pinned to one thread (each Ray
     map_batches worker owns one CPU slot; insertion-order preservation is
     on by default, which the positional gather in md5_u64 relies on)."""
-    global _MD5_CON, _MD5_LOCK
-    if _MD5_CON is None:
-        import threading
+    global _MD5_CON
+    with _MD5_LOCK:
+        if _MD5_CON is None:
+            import duckdb
 
-        import duckdb
-
-        _MD5_LOCK = threading.Lock()
-        _MD5_CON = duckdb.connect()
-        _MD5_CON.execute("SET threads=1")
+            con = duckdb.connect()
+            con.execute("SET threads=1")
+            _MD5_CON = con  # publish only after it is fully configured
     return _MD5_CON, _MD5_LOCK

@@ -20,16 +20,20 @@ def _docs(texts, ids=None):
 
 def _model(texts):
     t = df_count_partial(_docs(texts))
-    keys = t["th"].to_numpy().astype(np.int64).view(np.uint64)
-    dfs = t["df"].to_numpy().astype(np.int64)
+    kind = t["kind"].to_numpy()
+    keys = t["th"].to_numpy()[kind == 0].astype(np.int64).view(np.uint64)
+    dfs = t["df"].to_numpy()[kind == 0].astype(np.int64)
     order = np.argsort(keys)
     return keys[order], dfs[order]
 
 
 def test_df_partial():
     t = df_count_partial(_docs(["a b a", "a c", ""]))
+    kind = t["kind"].to_numpy()
     # df(a)=2 (two docs), df(b)=1, df(c)=1
-    assert sorted(t["df"].to_pylist()) == [1, 1, 2]
+    assert sorted(t["df"].to_numpy()[kind == 0].tolist()) == [1, 1, 2]
+    # the kind=1 row carries the batch doc count (all three docs)
+    assert t["df"].to_numpy()[kind == 1].tolist() == [3]
 
 
 def test_hand_computed_scores():
