@@ -48,7 +48,7 @@ def __getattr__(name):
 
         return rerank_search
     if name in ("pii_redact_batch", "decontaminate", "stratified_sample_batch",
-                "pack_sequences"):
+                "pack_sequences", "chunk_spans_batch"):
         from tangent_ray.ops import curation as _c
 
         return getattr(_c, name)
@@ -82,6 +82,7 @@ __all__ = [
     "verify_index", "merge_partials", "QueryScorer", "search", "IndexReader",
     "mss_score", "rerank_candidates", "rerank_search", "pii_redact_batch",
     "decontaminate", "stratified_sample_batch", "pack_sequences",
+    "chunk_spans_batch",
     "asof_join", "range_count", "hash_join", "broadcast_join",
     "kth_value", "quantile_values", "heavy_hitters", "distinct_tokens_hll",
     "__version__",

@@ -297,3 +297,56 @@ def pack_sequences(ds, seq_len: int = PACK_SEQ_LEN, text_col: str = "text",
         id_col=id_col, key_col=key_col,
     )
     return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 32
+
+
+def chunk_spans_batch(batch: pa.Table, max_tokens: int = CHUNK_TOKENS,
+                      overlap: int = CHUNK_OVERLAP, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Split each document into overlapping token-range chunks (the
+    context-window chunking stage of RAG / pretraining pipelines):
+    chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the final chunk is the first one whose
+    window reaches the document's end (no degenerate tail chunks fully
+    contained in their predecessor). Pure per-batch explode — token
+    counts, chunk counts and spans are one vectorized repeat + arange, no
+    shuffle, no per-doc Python. Empty docs emit no chunks.
+
+    Emits (id, chunk_idx, tok_start, tok_end, n_tok) with ``tok_end``
+    EXCLUSIVE and clamped to the document length.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, _tokens, _ = split_tokens(texts)
+    n_tok = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(parents):
+        np.add.at(n_tok, parents, 1)
+    # chunks per doc: 1 + ceil(max(n - max_tokens, 0) / stride), 0 if empty
+    extra = np.maximum(n_tok - max_tokens, 0)
+    n_chunks = np.where(n_tok > 0, 1 + -(-extra // stride), 0)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rep_ids = np.repeat(ids, n_chunks)
+    rep_n = np.repeat(n_tok, n_chunks)
+    total = int(n_chunks.sum())
+    starts_of_doc = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    chunk_idx = np.arange(total, dtype=np.int64) - starts_of_doc
+    tok_start = chunk_idx * stride
+    tok_end = np.minimum(tok_start + max_tokens, rep_n)
+    return pa.table(
+        {
+            id_col: pa.array(rep_ids, type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "tok_start": pa.array(tok_start, type=pa.int64()),
+            "tok_end": pa.array(tok_end, type=pa.int64()),
+            "n_tok": pa.array(rep_n, type=pa.int64()),
+        }
+    )

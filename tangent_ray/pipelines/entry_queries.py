@@ -1178,6 +1178,18 @@ def q_range_active_sessions(sf_dir: str):
     )
 
 
+def q_chunk_spans(sf_dir: str):
+    """Context-window chunking: overlapping token-range chunks per doc
+    (stride = max - overlap, last chunk clamped to the doc end) — one
+    vectorized per-batch explode, no shuffle."""
+    import ray.data
+
+    from tangent_ray.ops.curation import chunk_spans_batch
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(chunk_spans_batch, batch_format="pyarrow"))
+
+
 def q_top_tokens(sf_dir: str):
     """Certified shuffle-free heavy hitters: exact top-20 corpus tokens via
     per-batch candidate emission + residual bound + verification pass (the
@@ -2041,6 +2053,27 @@ ORACLE_SQL["range_active_sessions"] = f"""
     GROUP BY e.event_id
 """.replace("{gap}", str(SESSION_GAP_MIN))
 
+# Twin of q_chunk_spans: same chunk-count rule via integer ceil division,
+# DuckDB generate_series explodes the chunk indices.
+ORACLE_SQL["chunk_spans"] = """
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0
+                  THEN 1 + (greatest(n - 128, 0) + 95) // 96
+                  ELSE 0 END AS nc
+      FROM w
+    )
+    SELECT doc_id, i AS chunk_idx, (i * 96)::BIGINT AS tok_start,
+           least(i * 96 + 128, n)::BIGINT AS tok_end, n AS n_tok
+    FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) g
+"""
+
 ORACLE_SQL["top_tokens"] = f"""
     SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank
     FROM (
@@ -2131,6 +2164,7 @@ QUERIES = {
     "doclen_quantiles": q_doclen_quantiles,
     "top_events_per_type": q_top_events_per_type,
     "top_tokens": q_top_tokens,
+    "chunk_spans": q_chunk_spans,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,

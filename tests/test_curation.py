@@ -183,3 +183,67 @@ def test_pack_group_empty_stub_matches_int_key_schema():
     )
     out = pack_group(empty_int_key)
     assert out.schema.field("source").type == pa.int32()
+
+
+def test_chunk_spans_hand_case():
+    import pyarrow as pa
+
+    from tangent_ray.ops.curation import chunk_spans_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"w{i}" for i in range(10)),  # 10 tokens
+                    " ".join(f"w{i}" for i in range(4)),   # exactly one chunk
+                    "",                                      # no chunks
+                    " ".join(f"w{i}" for i in range(5)),   # 4 + 1 overflow
+                ]
+            ),
+        }
+    )
+    out = chunk_spans_batch(docs, max_tokens=4, overlap=1)
+    rows = [
+        (r["doc_id"], r["chunk_idx"], r["tok_start"], r["tok_end"])
+        for r in out.to_pylist()
+    ]
+    # doc1: stride 3 -> starts 0,3,6 cover [0,4),[3,7),[6,10): 9 < 10 at
+    # start 6? end=min(6+4,10)=10 reaches the end at chunk 2
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, 4), (1, 1, 3, 7), (1, 2, 6, 10)
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 4)]
+    assert [r for r in rows if r[0] == 3] == []
+    assert [r for r in rows if r[0] == 4] == [(4, 0, 0, 4), (4, 1, 3, 5)]
+
+
+def test_chunk_spans_full_coverage_property():
+    import numpy as np
+    import pyarrow as pa
+
+    from tangent_ray.ops.curation import chunk_spans_batch
+
+    rng = np.random.default_rng(9)
+    lens = rng.integers(0, 40, 30)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(30), type=pa.int64()),
+            "text": pa.array([" ".join("x" for _ in range(n)) for n in lens]),
+        }
+    )
+    out = chunk_spans_batch(docs, max_tokens=7, overlap=3).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, n in enumerate(lens):
+        chunks = sorted(by_doc.get(d, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not chunks
+            continue
+        # full coverage, correct overlap, last chunk reaches the end
+        assert chunks[0]["tok_start"] == 0
+        assert chunks[-1]["tok_end"] == n
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["tok_start"] == a["tok_start"] + 4  # stride
+            assert b["tok_start"] < a["tok_end"]  # overlap maintained
