@@ -10,11 +10,12 @@ table for a second corpus):
 
   build      — full inverted-index build (tokenize -> salted groupby ->
                compressed postings + manifests); headline turns/sec.
-  query      — the 25-query fixture set x REPEAT through the actor-pool
+  query      — the fixture query set x REPEAT through the actor-pool
                scorer; p50/p95 per-query latency measured in-process on a
                warm scorer (the serving analogue: resident index, reference
                socket mode).
-  docs_bm25  — build + query the sf documents table (oracle-checked path).
+  docs_bm25  — build the sf documents table index and run the BM25 fixture
+               query against it (oracle-checked tokenizer settings).
 
 --scaling: run the same job in two fresh processes (RAY_GRAFT_CPUS=8 and 32)
 and report throughput at both plus scaling efficiency (BASELINE.md records
@@ -55,7 +56,7 @@ def run_bench(num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from tangent_ray.config import EngineConfig
+    from tangent_ray.config import SQL_PARITY_CONFIG, EngineConfig
     from tangent_ray.fixtures import query_set, write_transcripts
     from tangent_ray.index.build import build_index
     from tangent_ray.query.scorer import QueryScorer, search
@@ -170,6 +171,7 @@ def run_bench(num_cpus: int) -> dict:
     t0 = time.time()
     n_res = search(big, out_dir, concurrency=max(2, num_cpus // 4)).count()
     search_sec = time.time() - t0
+    n_search_queries = big.num_rows
     log(f"[bench] actor-pool search: {big.num_rows} queries -> {n_res} rows "
         f"in {search_sec:.2f}s")
 
@@ -228,11 +230,19 @@ def run_bench(num_cpus: int) -> dict:
     build_index(
         os.path.join(sf_dir, "documents.parquet"),
         doc_idx,
-        EngineConfig(stem=False, math=False, window=1, eol="none"),
+        SQL_PARITY_CONFIG,
         DocumentsCorpus(),
     )
     docs_sec = time.time() - t0
-    log(f"[bench] documents build: {docs_sec:.2f}s")
+    # exercise the query path on the documents index too (the docstring
+    # promises build + query, and a built-but-unqueried index proves less)
+    t0 = time.time()
+    doc_docs, _scores = QueryScorer(doc_idx).score_query(
+        "data pipeline shuffle", "text", 10
+    )
+    docs_query_ms = (time.time() - t0) * 1000
+    log(f"[bench] documents build: {docs_sec:.2f}s; "
+        f"query: {len(doc_docs)} hits in {docs_query_ms:.1f}ms")
 
     ray.shutdown()
     _cleanup(doc_idx,
@@ -251,8 +261,10 @@ def run_bench(num_cpus: int) -> dict:
             "query_p50_ms": round(p50, 3),
             "query_p95_ms": round(p95, 3),
             "rerank_p50_ms": round(rr_p50, 3),
-            "search_100q_sec": round(search_sec, 3),
+            "search_batch_sec": round(search_sec, 3),
+            "n_search_queries": int(n_search_queries),
             "docs_build_sec": round(docs_sec, 3),
+            "docs_query_ms": round(docs_query_ms, 1),
         },
         "sf": sf,
         "num_cpus": num_cpus,

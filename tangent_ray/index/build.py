@@ -55,7 +55,7 @@ logger = logging.getLogger(__name__)
 
 from tangent_ray.config import EngineConfig
 from tangent_ray.index.codec import encode_postings_multi
-from tangent_ray.sources.corpus import Corpus, corpus_kind
+from tangent_ray.sources.corpus import Corpus, corpus_kind, corpus_spec
 from tangent_ray.tokenize.batch import KIND_PROBLEM, TokenizeBatch
 
 SEGMENT_SCHEMA = pa.schema(
@@ -229,7 +229,7 @@ def build_partition(
         tokenize_task,
         fn_kwargs=dict(
             cfg_json=cfg.to_json(),
-            corpus_kind_s=corpus_kind(corpus),
+            corpus_kind_s=corpus_spec(corpus),
             num_shards=build_shards,
         ),
         batch_format="pyarrow",
@@ -345,7 +345,7 @@ def _partition_manifest(
         "tokens_math": int(cf[is_math].sum()),
         "problem_fragments": int(cf[is_prob].sum()),
         "config": cfg.to_json(),
-        "corpus": corpus_kind(corpus),
+        "corpus": corpus_spec(corpus),
     }
 
 
@@ -430,7 +430,7 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
         "problem_fragments": sum(m["problem_fragments"] for m in manifests),
         "avgdl_text": (tokens_text / n_docs) if n_docs else 0.0,
         "config": cfg.to_json(),
-        "corpus": corpus_kind(corpus),
+        "corpus": corpus_spec(corpus),
         # pooled per-partition build metrics (partition wall-times overlap
         # only if partitions ran concurrently; the sum is total build work)
         "metrics": {

@@ -190,7 +190,11 @@ class IndexReader:
         return 0
 
     def dockey_of(self, docids: np.ndarray) -> list[str]:
-        if self.manifest["corpus"] != "transcripts":
+        from tangent_ray.sources.corpus import TranscriptsCorpus, corpus_from_json
+
+        if not isinstance(
+            corpus_from_json(self.manifest["corpus"]), TranscriptsCorpus
+        ):
             return [str(int(d)) for d in docids]
         if self._docmap is None:
             # per-partial docmap sidecars (sorted id arrays + key arrays,

@@ -36,7 +36,14 @@ class DocumentsCorpus:
         return [self.id_column, self.text_column]
 
     def docids(self, batch: pa.Table) -> np.ndarray:
-        return batch[self.id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[self.id_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            # to_numpy would surface nulls as float64 NaN and astype would
+            # fold every null to INT64_MIN (and round ids > 2^53) — refuse
+            raise ValueError(f"{self.id_column!r} contains null ids")
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
 
     def dockeys(self, batch: pa.Table) -> pa.Array:
         return pc.cast(batch[self.id_column], pa.string())
@@ -69,12 +76,42 @@ class TranscriptsCorpus:
 Corpus = DocumentsCorpus | TranscriptsCorpus
 
 
-def corpus_from_json(kind: str) -> Corpus:
+def corpus_from_json(spec: str) -> Corpus:
+    """Rebuild a corpus adapter from ``corpus_spec`` output (also accepts
+    the legacy bare kind strings that older manifests recorded — those
+    imply default column names)."""
+    import json
+
+    if spec in ("transcripts", "documents"):
+        d: dict = {"kind": spec}
+    else:
+        d = json.loads(spec)
+    kind = d.pop("kind")
     if kind == "transcripts":
-        return TranscriptsCorpus()
+        return TranscriptsCorpus(**d)
     if kind == "documents":
-        return DocumentsCorpus()
+        return DocumentsCorpus(**d)
     raise ValueError(f"unknown corpus kind {kind!r}")
+
+
+def corpus_spec(corpus: Corpus) -> str:
+    """Full JSON spec INCLUDING the configured column names — the string a
+    build ships to workers and records in manifests (a bare kind string
+    silently reset custom id/text columns to the defaults on every
+    worker / resume)."""
+    import json
+
+    if isinstance(corpus, TranscriptsCorpus):
+        return json.dumps(
+            {"kind": "transcripts", "text_column": corpus.text_column}
+        )
+    return json.dumps(
+        {
+            "kind": "documents",
+            "id_column": corpus.id_column,
+            "text_column": corpus.text_column,
+        }
+    )
 
 
 def corpus_kind(corpus: Corpus) -> str:

@@ -43,3 +43,34 @@ def test_build_job_build_and_resume(tmp_path):
               "--partitions", "2")
     assert s2["n_docs"] == s1["n_docs"]
     assert s2["build_wall_sec"] < s1["build_wall_sec"]
+
+
+def test_custom_column_corpus_roundtrip(ray_session, tmp_path):
+    # the corpus spec shipped to workers/manifests must carry the custom
+    # column names (a bare kind string reset them to defaults and crashed)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tangent_ray.config import SQL_PARITY_CONFIG
+    from tangent_ray.index.build import build_index
+    from tangent_ray.query.scorer import QueryScorer
+    from tangent_ray.sources.corpus import DocumentsCorpus, corpus_from_json, corpus_spec
+
+    c = DocumentsCorpus(id_column="id", text_column="body")
+    assert corpus_from_json(corpus_spec(c)) == c
+    assert corpus_from_json("documents") == DocumentsCorpus()  # legacy
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], type=pa.int64()),
+                "body": pa.array(["alpha beta", "beta gamma", "gamma delta"]),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, SQL_PARITY_CONFIG, c)
+    docs, _scores = QueryScorer(out).score_query("beta", "text", 10)
+    assert sorted(docs.tolist()) == [1, 2]

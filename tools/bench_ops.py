@@ -27,39 +27,47 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _doc_tokens(k: int, words: np.ndarray) -> list[str]:
+    """Tokens of pristine doc k — splitmix-style per-(doc, pos) mix so docs
+    are uncorrelated (a plain arithmetic progression makes every doc a
+    rotation of one cyclic stream -> pathological shingle collisions)."""
+    n = 60 + (k * 7919) % 40
+    with np.errstate(over="ignore"):
+        h = (np.uint64(k * 0x9E3779B97F4A7C15 % 2**64)
+             ^ (np.arange(n, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)))
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(29)
+    idx = (h % np.uint64(len(words))).astype(np.int64)
+    return words[idx].tolist()
+
+
 def gen_docs(lo: int, hi: int) -> pa.Table:
     from tangent_ray.fixtures import vocab
 
     words = np.array(vocab())
-    nv = len(words)
     texts: list[str] = []
     for k in range(lo, hi):
-        n = 60 + (k * 7919) % 40
-        # splitmix-style per-(doc, pos) mix so docs are uncorrelated (a
-        # plain arithmetic progression makes every doc a rotation of one
-        # cyclic stream -> pathological shingle collisions)
-        with np.errstate(over="ignore"):
-            h = (np.uint64(k * 0x9E3779B97F4A7C15 % 2**64)
-                 ^ (np.arange(n, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)))
-            h ^= h >> np.uint64(31)
-            h *= np.uint64(0x94D049BB133111EB)
-            h ^= h >> np.uint64(29)
-        idx = (h % np.uint64(nv)).astype(np.int64)
-        toks = words[idx]
-        if k % 97 == 0 and k > lo:
-            texts.append(texts[-1])  # exact duplicate of previous doc
-        elif k % 40 == 0 and k > lo:
-            prev = texts[-1].split()
+        # duplicate branches reference doc k-1's PRISTINE tokens, so the
+        # corpus is a pure function of doc index — independent of which
+        # file range a doc lands in (texts[-1] + a k > lo guard made the
+        # dup count depend on the file partitioning)
+        if k % 97 == 0 and k > 0:
+            texts.append(" ".join(_doc_tokens(k - 1, words)))  # exact dup
+        elif k % 40 == 0 and k > 0:
+            prev = _doc_tokens(k - 1, words)
             prev[len(prev) // 2] = "mutated"
             texts.append(" ".join(prev))  # near duplicate
         else:
-            texts.append(" ".join(toks.tolist()))
+            texts.append(" ".join(_doc_tokens(k, words)))
     ids = np.arange(lo, hi, dtype=np.int64)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
-            "text": pa.array(texts),
-            "source": pa.array([f"src{int(i) % 20}" for i in ids]),
+            "text": pa.array(texts, type=pa.string()),
+            "source": pa.array(
+                [f"src{int(i) % 20}" for i in ids], type=pa.string()
+            ),
         }
     )
 
@@ -68,7 +76,8 @@ _EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
 
 
 def gen_events(lo: int, hi: int) -> pa.Table:
-    """Deterministic events stream: ~500 users, 30-day span, typed."""
+    """Deterministic events stream: ~500 users, one event per 250 ms
+    (~14 h at the default 200k events; ~3 days at 1M), typed columns."""
     k = np.arange(lo, hi, dtype=np.uint64)
     with np.errstate(over="ignore"):
         h = k * np.uint64(0x9E3779B97F4A7C15)
@@ -136,7 +145,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    corpus = write_corpus(f"/tmp/tangent_ray_cache/opsbench-{n_docs}", n_docs)
+    corpus = write_corpus(f"/tmp/tangent_ray_cache/opsbench-v2-{n_docs}", n_docs)
 
     def ds():
         return ray.data.read_parquet(corpus, columns=["doc_id", "text", "source"])
