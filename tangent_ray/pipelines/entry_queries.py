@@ -1178,6 +1178,28 @@ def q_range_active_sessions(sf_dir: str):
     )
 
 
+def q_distinct_tokens(sf_dir: str):
+    """Exact corpus vocabulary size (one vocabulary-sized hash groupby)
+    next to the HLL estimate (one streaming pass, 16 KiB state) — the
+    exact/approximate pair a 100 TB pipeline chooses between. Only the
+    exact value is oracle-compared; the estimate is bound-checked by
+    pytest (`test_sketch.py`)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from tangent_ray.ops.textstats import df_count_partial
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    agg = (
+        ds.map_batches(df_count_partial, batch_format="pyarrow")
+        .groupby(["kind", "th"])
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )
+    n = sum(1 for r in agg if r["kind"] == 0)
+    return pa.table({"distinct_tokens": pa.array([n], type=pa.int64())})
+
+
 def q_chunk_spans(sf_dir: str):
     """Context-window chunking: overlapping token-range chunks per doc
     (stride = max - overlap, last chunk clamped to the doc end) — one
@@ -2053,6 +2075,11 @@ ORACLE_SQL["range_active_sessions"] = f"""
     GROUP BY e.event_id
 """.replace("{gap}", str(SESSION_GAP_MIN))
 
+ORACLE_SQL["distinct_tokens"] = f"""
+    SELECT count(DISTINCT term)::BIGINT AS distinct_tokens
+    FROM {TOKS} WHERE term <> ''
+"""
+
 # Twin of q_chunk_spans: same chunk-count rule via integer ceil division,
 # DuckDB generate_series explodes the chunk indices.
 ORACLE_SQL["chunk_spans"] = """
@@ -2165,6 +2192,7 @@ QUERIES = {
     "top_events_per_type": q_top_events_per_type,
     "top_tokens": q_top_tokens,
     "chunk_spans": q_chunk_spans,
+    "distinct_tokens": q_distinct_tokens,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
