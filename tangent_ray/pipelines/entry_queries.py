@@ -95,19 +95,56 @@ def _cast64(t: pa.Table, cols: list[str]) -> pa.Table:
     return t
 
 
+def _lineage_token(*paths: str) -> str:
+    """Short content-lineage token (name, size, mtime of every file) so
+    /tmp index caches key on the DATA, not just the path — a regenerated
+    corpus at the same path must not serve a stale index."""
+    import glob as _glob
+
+    h = hashlib.blake2b(digest_size=6)
+    for p in paths:
+        files = (
+            sorted(_glob.glob(os.path.join(p, "*")))
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{os.path.basename(f)}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()
+
+
+def _build_locked(out: str, build_fn) -> str:
+    """Run ``build_fn`` once per cache dir under an exclusive file lock —
+    two concurrent processes (check_oracle + bench) must not both
+    build_index into the same /tmp directory."""
+    import fcntl
+
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    with open(out + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if not os.path.exists(os.path.join(out, "manifest.json")):
+            build_fn()
+    return out
+
+
 def _docs_index(sf_dir: str) -> str:
-    """Build (once, cached) the documents BM25 index for this sf_dir."""
+    """Build (once, cached per corpus lineage) the documents BM25 index."""
+    import dataclasses
+
     from tangent_ray.index.build import build_index
     from tangent_ray.sources.corpus import DocumentsCorpus
 
-    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
-    out = os.path.join(_TMP_ROOT, f"docs-{key}")
-    if not os.path.exists(os.path.join(out, "manifest.json")):
-        cfg = EngineConfig(
-            stem=False, math=False, window=1, eol="none", partitions=2
-        )
-        build_index(_doc_path(sf_dir), out, cfg, DocumentsCorpus())
-    return out
+    src = _doc_path(sf_dir)
+    out = os.path.join(_TMP_ROOT, f"docs-{_lineage_token(src)}")
+    return _build_locked(
+        out,
+        lambda: build_index(
+            src, out,
+            dataclasses.replace(SQL_PARITY_CONFIG, partitions=2),
+            DocumentsCorpus(),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -260,21 +297,22 @@ def q_clean_corpus(sf_dir: str):
     )
 
     def gate(batch: pa.Table) -> pa.Table:
-        q = quality_batch(batch)
         import numpy as np
 
+        from tangent_ray.ops.dedup import content_hash_batch
+
+        q = quality_batch(batch)
         keep = (
             q["n_words"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_WORDS
         ) & (q["alpha_ratio"].to_numpy(zero_copy_only=False) >= CLEAN_MIN_ALPHA)
         out = batch.filter(pa.array(keep))
-        import pandas as pd
-
-        h = pd.util.hash_array(
-            out["text"].to_numpy(zero_copy_only=False)
-        ).astype(np.uint64)
+        # 128-bit key via the shared dedup hasher (the 64-bit single hash
+        # reaches birthday-collision odds the ops module documents; the
+        # SQL twin groups on the full text, so a collision = gate failure)
+        h = content_hash_batch(out, "text", "doc_id")
         return out.append_column(
-            "content_hash", pa.array(h.astype(np.int64), type=pa.int64())
-        )
+            "content_hash", h["content_hash"]
+        ).append_column("content_hash2", h["content_hash2"])
 
     def shard_of(batch: pa.Table) -> pa.Table:
         from tangent_ray.util import DEFAULT_SHARDS, shard_column
@@ -286,8 +324,9 @@ def q_clean_corpus(sf_dir: str):
         # sort + drop_duplicates picks every hash's min-doc_id row (content
         # groups are O(corpus) — never one Python call per group)
         return (
-            g.sort_values(["content_hash", "doc_id"], kind="stable")
-            .drop_duplicates("content_hash")
+            g.sort_values(["content_hash", "content_hash2", "doc_id"],
+                          kind="stable")
+            .drop_duplicates(["content_hash", "content_hash2"])
             .drop(columns=["shard"])
         )
 
@@ -636,14 +675,19 @@ def _transcripts_index(sf_dir: str) -> str:
     sf = _sf_of(sf_dir)
     n_convs = _SF_CONVS.get(sf, 120)
     data_dir = os.path.join(_TMP_ROOT, f"transcripts-{sf}")
-    out = os.path.join(_TMP_ROOT, f"tidx-{sf}")
     write_transcripts(data_dir, n_convs, files=4)
-    if not os.path.exists(os.path.join(out, "manifest.json")):
+    # keyed on the generated corpus lineage: a regenerated/resized corpus
+    # at the same path gets a fresh index
+    out = os.path.join(_TMP_ROOT, f"tidx-{sf}-{_lineage_token(data_dir)}")
+
+    def build():
         cfg = EngineConfig(
-            window=2, eol="small", stem=True, math=True, salt_buckets=4, partitions=2
+            window=2, eol="small", stem=True, math=True, salt_buckets=4,
+            partitions=2,
         )
         build_index(data_dir, out, cfg, TranscriptsCorpus())
-    return out
+
+    return _build_locked(out, build)
 
 
 def q_transcript_bm25(sf_dir: str):
@@ -696,11 +740,21 @@ def q_index_verify(sf_dir: str):
     from tangent_ray.index.merge import compact_index, verify_index
 
     idx = _transcripts_index(sf_dir)
-    compacted = os.path.join(_TMP_ROOT, f"tidx-verify-{_sf_of(sf_dir)}")
-    if not os.path.exists(os.path.join(compacted, "manifest.json")):
-        shutil.copytree(idx, compacted, dirs_exist_ok=True)
+    compacted = os.path.join(_TMP_ROOT, f"verify-{os.path.basename(idx)}")
+
+    def build():
+        # copy + compact into a scratch dir, then RENAME into place: the
+        # copied manifest.json must not double as the done-sentinel (a
+        # crash between copy and compaction would skip compaction forever)
+        tmp = compacted + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(idx, tmp)
         # compact_index re-finalizes the global manifest itself
-        compact_index(compacted, max_partials=1)
+        compact_index(tmp, max_partials=1)
+        shutil.rmtree(compacted, ignore_errors=True)
+        os.replace(tmp, compacted)
+
+    _build_locked(compacted, build)
     totals = verify_index(compacted)
     rows = [{"stat": k, "value": int(v)} for k, v in sorted(totals.items())]
     return pa.Table.from_pylist(rows)
@@ -858,7 +912,8 @@ def q_golden_replay(sf_dir: str):
     )
     if os.path.exists(m4):
         tot = ok = 0
-        for q in parse_golden(m4):
+        golden_qs = parse_golden(m4)
+        for q in golden_qs:
             for expr, want in q.results:
                 got = mss_subtree_score(q.expr, expr)[0]
                 tot += 1
@@ -867,7 +922,7 @@ def q_golden_replay(sf_dir: str):
         rows.append(
             {
                 "file": "reranked_paper_m4_w0_e2.tsv",
-                "queries": 40,
+                "queries": len(golden_qs),
                 "concrete_rows": tot,
                 "concrete_ok": ok,
                 "wildcard_rows": 0,
@@ -1036,7 +1091,7 @@ def q_curated_corpus(sf_dir: str):
         quality_batch,
         split_assign_batch,
     )
-    from tangent_ray.tokenize.text import md5_u64
+
     from tangent_ray.util import DEFAULT_SHARDS, shard_column
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -1080,22 +1135,30 @@ def q_curated_corpus(sf_dir: str):
     )
 
     # exact dedup keeping the min-doc_id row per text: hash-keyed shuffle
+    # on the shared 128-bit content key (the twin groups by the FULL text,
+    # so a 64-bit engine collision would be a gate failure at scale)
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = md5_u64(batch["text"]).astype(np.int64)
+        from tangent_ray.ops.dedup import content_hash_batch
+
+        h = content_hash_batch(batch, "text", "doc_id")
         batch = batch.append_column(
-            "content_hash", pa.array(h, type=pa.int64())
-        )
+            "content_hash", h["content_hash"]
+        ).append_column("content_hash2", h["content_hash2"])
         return shard_column(batch, ["content_hash"], DEFAULT_SHARDS)
 
     def first_per_hash(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return g.drop_columns(["content_hash", "shard"])
+            return g.drop_columns(["content_hash", "content_hash2", "shard"])
         h = g["content_hash"].to_numpy(zero_copy_only=False)
+        h2 = g["content_hash2"].to_numpy(zero_copy_only=False)
         d = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, h))
-        keep = np.concatenate([[True], h[order][1:] != h[order][:-1]])
+        order = np.lexsort((d, h2, h))
+        keep = np.concatenate(
+            [[True],
+             (h[order][1:] != h[order][:-1]) | (h2[order][1:] != h2[order][:-1])]
+        )
         return g.take(pa.array(order[keep])).drop_columns(
-            ["content_hash", "shard"]
+            ["content_hash", "content_hash2", "shard"]
         )
 
     deduped = (
@@ -1190,13 +1253,17 @@ def q_distinct_tokens(sf_dir: str):
     from tangent_ray.ops.textstats import df_count_partial
 
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    agg = (
+    # distributed row count of the grouped result — the vocabulary never
+    # materializes on the driver
+    n = (
         ds.map_batches(df_count_partial, batch_format="pyarrow")
         .groupby(["kind", "th"])
         .aggregate(Count(alias_name="c"))
-        .take_all()
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
+        )
+        .count()
     )
-    n = sum(1 for r in agg if r["kind"] == 0)
     return pa.table({"distinct_tokens": pa.array([n], type=pa.int64())})
 
 
@@ -1922,10 +1989,16 @@ ORACLE_SQL["stratified_sample"] = _sample_sql()
 
 # Twin of q_pack_sequences: window cumsum of token counts per source stream
 # ordered by doc_id, cut every 256 tokens (empty docs stay in seq_first).
-ORACLE_SQL["pack_sequences"] = """
+def _pack_sql() -> str:
+    """Twin of q_pack_sequences: seq_len pulled from the op (no drift);
+    coalesce keeps null-text docs as 0-token rows, matching the engine."""
+    from tangent_ray.ops.curation import PACK_SEQ_LEN as L
+
+    return f"""
     WITH dl AS (
       SELECT doc_id, source,
-             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
                              x -> x <> ''))::BIGINT AS n_tok
       FROM documents
     ), c AS (
@@ -1936,11 +2009,14 @@ ORACLE_SQL["pack_sequences"] = """
       FROM dl
     )
     SELECT doc_id, source, n_tok,
-           cum // 256 AS seq_first,
-           (cum + greatest(n_tok, 1) - 1) // 256 AS seq_last,
-           cum % 256 AS seq_offset
+           cum // {L} AS seq_first,
+           (cum + greatest(n_tok, 1) - 1) // {L} AS seq_last,
+           cum % {L} AS seq_offset
     FROM c
 """
+
+
+ORACLE_SQL["pack_sequences"] = _pack_sql()
 
 def _curated_sql() -> str:
     """Twin of q_curated_corpus: the curation-stage CTEs composed in the
@@ -2080,9 +2156,12 @@ ORACLE_SQL["distinct_tokens"] = f"""
     FROM {TOKS} WHERE term <> ''
 """
 
-# Twin of q_chunk_spans: same chunk-count rule via integer ceil division,
-# DuckDB generate_series explodes the chunk indices.
-ORACLE_SQL["chunk_spans"] = """
+def _chunk_sql() -> str:
+    """Twin of q_chunk_spans: max/stride pulled from the op (no drift)."""
+    from tangent_ray.ops.curation import CHUNK_OVERLAP, CHUNK_TOKENS
+
+    M, S = CHUNK_TOKENS, CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
     WITH w AS (
       SELECT doc_id,
              len(list_filter(string_split_regex(lower(coalesce(text, '')),
@@ -2092,14 +2171,17 @@ ORACLE_SQL["chunk_spans"] = """
     ), c AS (
       SELECT doc_id, n,
              CASE WHEN n > 0
-                  THEN 1 + (greatest(n - 128, 0) + 95) // 96
+                  THEN 1 + (greatest(n - {M}, 0) + {S - 1}) // {S}
                   ELSE 0 END AS nc
       FROM w
     )
-    SELECT doc_id, i AS chunk_idx, (i * 96)::BIGINT AS tok_start,
-           least(i * 96 + 128, n)::BIGINT AS tok_end, n AS n_tok
+    SELECT doc_id, i AS chunk_idx, (i * {S})::BIGINT AS tok_start,
+           least(i * {S} + {M}, n)::BIGINT AS tok_end, n AS n_tok
     FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) g
 """
+
+
+ORACLE_SQL["chunk_spans"] = _chunk_sql()
 
 ORACLE_SQL["top_tokens"] = f"""
     SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank
