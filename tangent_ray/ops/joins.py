@@ -35,7 +35,16 @@ import pyarrow.compute as pc
 from tangent_ray.util import DEFAULT_SHARDS, shard_column
 
 
-def _ts_i8(col) -> np.ndarray:
+def _ts_i8(col, what: str) -> np.ndarray:
+    """Timestamp column -> int64 microseconds, REJECTING nulls: a NaT
+    converts to INT64_MIN, which would make a null-ts right row the
+    'earliest' event of its key in ``asof_join`` (emitted as a valid match
+    with wrapped ``lag_us``) and give ``range_count`` an astronomical
+    replication factor. Same contract as ``ops.streaming._ts_us_strict``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{what}: null timestamps unsupported (filter first)")
     a = col.to_numpy(zero_copy_only=False)
     return a.astype("datetime64[us]").astype(np.int64)
 
@@ -95,7 +104,19 @@ def broadcast_join(left_ds, right, on, how: str = "inner", suffix: str = "_r"):
 
     join_type = _JOIN_TYPES[how]
     if not isinstance(right, pa.Table):
-        right = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        # A Dataset can contain zero-row blocks whose Arrow schema has NO
+        # columns (Ray emits them when a read splits finer than the data);
+        # concat_tables rejects the schema mismatch. Drop empty blocks and
+        # cast survivors to the Dataset schema; an all-empty right side
+        # becomes a typed empty table.
+        rs = right.schema()
+        pa_schema = pa.schema(list(zip(rs.names, rs.types)))
+        tabs = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+        right = (
+            pa.concat_tables([t.select(pa_schema.names).cast(pa_schema) for t in tabs])
+            if tabs
+            else pa_schema.empty_table()
+        )
     on = [on] if isinstance(on, str) else list(on)
     ls = left_ds.schema()
     _check_key_types(
@@ -263,7 +284,7 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id",
         if g.num_rows == 0:
             return empty
         key = g[key_col].to_numpy(zero_copy_only=False)
-        ts = _ts_i8(g["ts"])
+        ts = _ts_i8(g["ts"], "asof_join")
         ids = g["id"].to_numpy(zero_copy_only=False)
         side = g["side"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, side, ts, key))
@@ -319,8 +340,8 @@ def range_count(points_ds, intervals_ds, ts_col: str = "ts",
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        lo = _ts_i8(batch[lo_col])
-        hi = _ts_i8(batch[hi_col])
+        lo = _ts_i8(batch[lo_col], "range_count")
+        hi = _ts_i8(batch[hi_col], "range_count")
         b_lo, b_hi = lo // bucket_us, hi // bucket_us
         reps = (b_hi - b_lo + 1).astype(np.int64)
         bucket = np.repeat(b_lo, reps)
@@ -349,7 +370,7 @@ def range_count(points_ds, intervals_ds, ts_col: str = "ts",
         )
 
     def tag_points(batch: pa.Table) -> pa.Table:
-        t = _ts_i8(batch[ts_col])
+        t = _ts_i8(batch[ts_col], "range_count")
         n = len(t)
         return pa.table(
             {

@@ -253,9 +253,24 @@ def top_n_per_group(ds, group_col: str, order_col: str, n: int,
             keys = keys.combine_chunks()
         enc = pc.dictionary_encode(keys)
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        v = g["v"].to_numpy(zero_copy_only=False)
+        vcol = g["v"]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if vcol.null_count:
+            # a null order value surfaces as NaN after to_numpy and would
+            # rank nondeterministically vs the row_number() SQL twin
+            raise ValueError("top_n_per_group: null order_col unsupported (filter first)")
+        v = vcol.to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, v if ascending else -v, codes))
+        if ascending:
+            vkey = v
+        elif np.issubdtype(v.dtype, np.integer):
+            # ~v = -v-1 is monotone decreasing with NO overflow (negating
+            # INT64_MIN wraps to itself and would rank the minimum first)
+            vkey = ~v
+        else:
+            vkey = -v
+        order = np.lexsort((ids, vkey, codes))
         sc = codes[order]
         new = np.concatenate([[True], sc[1:] != sc[:-1]])
         starts = np.flatnonzero(new)

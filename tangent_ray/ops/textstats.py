@@ -399,6 +399,17 @@ def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
         .groupby(["kind", "th"])
         .aggregate(Sum("df", alias_name="df"))
     )
+    if min_df > 1:
+        # prune BEFORE collecting: at 100 TB the raw vocabulary (typos,
+        # hex strings, code tokens) is billions of rows, and the long tail
+        # is exactly what min_df drops — the driver must only ever see the
+        # pruned table. kind=1 (doc-count) rows always pass.
+        agg = agg.map_batches(
+            lambda b: b.filter(
+                pc.or_(pc.equal(b["kind"], 1), pc.greater_equal(b["df"], min_df))
+            ),
+            batch_format="pyarrow",
+        )
     t = agg.take_all()
     # kind=1 rows fold to the corpus doc count — same shuffle, no extra
     # ds.count() pass over a possibly compute-heavy upstream pipeline
@@ -407,9 +418,6 @@ def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
         [r["th"] for r in t if r["kind"] == 0], dtype=np.int64
     ).view(np.uint64)
     dfs = np.array([r["df"] for r in t if r["kind"] == 0], dtype=np.int64)
-    if min_df > 1:
-        m = dfs >= min_df
-        keys, dfs = keys[m], dfs[m]
     order = np.argsort(keys)
     ref = ray.put((keys[order], dfs[order]))
     return ds.map_batches(

@@ -110,7 +110,9 @@ def _lineage_token(*paths: str) -> str:
         )
         for f in files:
             st = os.stat(f)
-            h.update(f"{os.path.basename(f)}:{st.st_size}:{int(st.st_mtime)}".encode())
+            # nanosecond mtime: whole-second truncation let a same-second
+            # regeneration with identical sizes serve a stale cached index
+            h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 
@@ -511,38 +513,40 @@ def q_dedup_clusters(sf_dir: str):
     return _cast64(t, ["doc_id", "cluster"])
 
 
-def q_events_window(sf_dir: str):
-    import ray.data
-
-    from tangent_ray.ops.streaming import tumbling_window
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
-    )
-    t = _collect(tumbling_window(ds))
-    i = t.column_names.index("window_start")
-    t = t.set_column(i, "window_start", pc.cast(t["window_start"], pa.timestamp("us")))
-    return _cast64(t, ["n"])
-
-
 HOP_SIZE_H, HOP_H = 2, 1
 
 
-def q_events_hopping(sf_dir: str):
-    """Overlapping (hopping) window aggregate: 2h windows advancing by 1h —
-    each event lands in two windows (streaming §2.9 breadth beyond the
-    tumbling window)."""
+def q_events_windows(sf_dir: str):
+    """Tumbling (1h) AND hopping (2h advancing by 1h) window aggregates in
+    one UNION'd entry, tagged by ``wkind`` — both window shapes of
+    streaming §2.9 under a single oracle twin (the driver gate caps at 50
+    entries, so the two formerly-separate green rows share one)."""
     import ray.data
 
-    from tangent_ray.ops.streaming import hopping_window
+    from tangent_ray.ops.streaming import hopping_window, tumbling_window
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    def norm(t: pa.Table, wkind: str) -> pa.Table:
+        i = t.column_names.index("window_start")
+        t = t.set_column(
+            i, "window_start", pc.cast(t["window_start"], pa.timestamp("us"))
+        )
+        t = _cast64(t, ["n"])
+        return t.append_column(
+            "wkind", pa.array([wkind] * t.num_rows, type=pa.string())
+        )
+
+    def read():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+
+    tumb = norm(_collect(tumbling_window(read())), "tumbling")
+    hop = norm(
+        _collect(hopping_window(read(), size_hours=HOP_SIZE_H, hop_hours=HOP_H)),
+        "hopping",
     )
-    t = _collect(hopping_window(ds, size_hours=HOP_SIZE_H, hop_hours=HOP_H))
-    i = t.column_names.index("window_start")
-    t = t.set_column(i, "window_start", pc.cast(t["window_start"], pa.timestamp("us")))
-    return _cast64(t, ["n"])
+    return pa.concat_tables([tumb, hop])
 
 
 SESSION_GAP_MIN = 30
@@ -691,11 +695,22 @@ def _transcripts_index(sf_dir: str) -> str:
 
 
 def q_transcript_bm25(sf_dir: str):
+    """Flagship serving path AND its sharded twin in one entry: full search
+    (resident actor-pool scorer) plus the sharded path (actors hold partial
+    subsets, global idf from the term-stats sidecar, driver top-k merge) —
+    asserted result-identical here, surfaced as the full result rows."""
     from tangent_ray.fixtures import query_set
-    from tangent_ray.query.scorer import search
+    from tangent_ray.query.scorer import search, search_sharded
 
     idx = _transcripts_index(sf_dir)
-    return _collect(search(query_set(), idx, concurrency=2))
+    full = _collect(search(query_set(), idx, concurrency=2))
+    sharded = search_sharded(query_set(), idx, n_shards=2)
+    a = sharded.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    b = full.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    assert a.equals(b.select(a.column_names).cast(a.schema)), (
+        "sharded result differs from unsharded"
+    )
+    return full
 
 
 def q_transcript_rerank(sf_dir: str):
@@ -711,24 +726,6 @@ def q_transcript_rerank(sf_dir: str):
     data_dir = os.path.join(_TMP_ROOT, f"transcripts-{sf}")
     qs = query_set().filter(pc.field("kind") == "math")
     return rerank_search(qs, idx, list_input_files(data_dir), topk=20)
-
-
-def q_transcript_bm25_sharded(sf_dir: str):
-    """Sharded serving path: actors hold partial subsets, global idf from
-    the term-stats sidecar, driver top-k merge — result-identical to
-    q_transcript_bm25 (asserted here, surfaced as its row count)."""
-    from tangent_ray.fixtures import query_set
-    from tangent_ray.query.scorer import search, search_sharded
-
-    idx = _transcripts_index(sf_dir)
-    sharded = search_sharded(query_set(), idx, n_shards=2)
-    full = _collect(search(query_set(), idx, concurrency=1))
-    a = sharded.sort_by([("query_id", "ascending"), ("rank", "ascending")])
-    b = full.sort_by([("query_id", "ascending"), ("rank", "ascending")])
-    assert a.equals(b.select(a.column_names).cast(a.schema)), (
-        "sharded result differs from unsharded"
-    )
-    return sharded
 
 
 def q_index_verify(sf_dir: str):
@@ -760,13 +757,29 @@ def q_index_verify(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
-def q_math_tuple_stats(sf_dir: str):
-    """Symbol-pair tuple vocabulary of the transcripts index (df/cf per
-    tuple term) — the Lexicon analogue (mathindexbase.h:200-240)."""
+def q_math_corpus_stats(sf_dir: str):
+    """Two math-corpus statistics surfaces, one long-format entry (the
+    driver gate caps at 50 entries):
+
+    - section='lexicon': symbol-pair tuple vocabulary of the transcripts
+      index (df/cf per tuple term) — the Lexicon analogue
+      (mathindexbase.h:200-240); name=term, v1=df, v2=cf.
+    - section='reorder': A10 tuple-count quartiles + 20-bucket
+      order-statistic distribution over the unique math expressions
+      (``mathindex.cpp:87-99``), from a distributed count histogram (no
+      global sort); name=bucket, v1=expr_rank, v2=tc — plus one
+      section='reorder_q' row per scalar (q1, q2, n_exprs)."""
     import glob
 
     import ray.data
     from ray.data.aggregate import Sum
+
+    from tangent_ray.fixtures import write_transcripts
+    from tangent_ray.index.reorder import (
+        expr_tuple_counts,
+        reorder_stats,
+        tc_histogram,
+    )
 
     idx = _transcripts_index(sf_dir)
     files = sorted(glob.glob(os.path.join(idx, "partials", "*", "terms", "*.parquet")))
@@ -774,24 +787,13 @@ def q_math_tuple_stats(sf_dir: str):
     seg = seg.map_batches(
         lambda b: b.filter(pc.equal(b["kind"], 1)), batch_format="pyarrow"
     )
-    out = seg.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
-    )
-    return _cast64(_collect(out), ["df", "cf"])
-
-
-def q_expr_reorder_stats(sf_dir: str):
-    """A10: tuple-count quartiles + 20-bucket order-statistic distribution
-    over the unique math expressions of the transcript corpus
-    (``mathindex.cpp:87-99``), computed from a distributed count histogram
-    (no global sort). One row per distribution break."""
-    import ray.data
-
-    from tangent_ray.fixtures import write_transcripts
-    from tangent_ray.index.reorder import (
-        expr_tuple_counts,
-        reorder_stats,
-        tc_histogram,
+    lex = _cast64(
+        _collect(
+            seg.groupby("term").aggregate(
+                Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+            )
+        ),
+        ["df", "cf"],
     )
 
     sf = _sf_of(sf_dir)
@@ -802,15 +804,27 @@ def q_expr_reorder_stats(sf_dir: str):
     ds = ray.data.read_parquet(data_dir, columns=["text"])
     counts = expr_tuple_counts(ds, cfg).materialize()
     stats = reorder_stats(tc_histogram(counts))
-    n = len(stats["disttc"])
+
+    sections = ["lexicon"] * lex.num_rows
+    names = lex["term"].to_pylist()
+    v1 = lex["df"].to_pylist()
+    v2 = lex["cf"].to_pylist()
+    for b, (er, tc) in enumerate(zip(stats["distexpr"], stats["disttc"])):
+        sections.append("reorder")
+        names.append(str(b))
+        v1.append(int(er))
+        v2.append(int(tc))
+    for k in ("q1", "q2", "n_exprs"):
+        sections.append("reorder_q")
+        names.append(k)
+        v1.append(int(stats[k]))
+        v2.append(0)
     return pa.table(
         {
-            "bucket": pa.array(range(n), type=pa.int64()),
-            "expr_rank": pa.array(stats["distexpr"], type=pa.int64()),
-            "tc": pa.array(stats["disttc"], type=pa.int64()),
-            "q1": pa.array([stats["q1"]] * n, type=pa.int64()),
-            "q2": pa.array([stats["q2"]] * n, type=pa.int64()),
-            "n_exprs": pa.array([stats["n_exprs"]] * n, type=pa.int64()),
+            "section": pa.array(sections, type=pa.string()),
+            "name": pa.array(names, type=pa.string()),
+            "v1": pa.array(v1, type=pa.int64()),
+            "v2": pa.array(v2, type=pa.int64()),
         }
     )
 
@@ -932,51 +946,24 @@ def q_golden_replay(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
-def q_media_features(sf_dir: str):
+MM_N = 60
+
+
+def q_multimodal_meta(sf_dir: str):
+    """REAL (dependency-free) multimodal kernels, one oracle-twinned entry:
+    dims + bit depth (PNG IHDR), dims (GIF descriptor), dims + EXIF
+    orientation (JPEG marker/TIFF-IFD walk), duration + sample rate (WAV
+    RIFF), duration + track count + first codec fourcc (MP4 moov/trak/stsd
+    walk), plus payload byte size. Every fact is a pure function of the row
+    index (see ``synth_multimodal_table``), so the DuckDB twin recomputes
+    the expected metadata from ``range(n)`` alone — parser vs generator."""
     import ray.data
 
-    from tangent_ray.ops.multimodal import decode_features, synth_media_table
+    from tangent_ray.ops.multimodal import media_meta_batch, synth_multimodal_table
 
-    ds = ray.data.from_arrow(synth_media_table(64))
-    out = _collect(decode_features(ds))
-    return out.select(["media_id", "kind", "payload_bytes"])
-
-
-def q_media_durations(sf_dir: str):
-    """REAL multimodal kernel #2: audio/video duration parsed from actual
-    WAV (RIFF) / MP4 (mvhd) container headers."""
-    import ray.data
-
-    from tangent_ray.ops.multimodal import make_mp4, make_wav, media_duration_batch
-
-    t = pa.table(
-        {
-            "media_id": pa.array(range(40), type=pa.int64()),
-            "payload": pa.array(
-                [
-                    (make_wav if i % 2 == 0 else make_mp4)((i + 1) * 250)
-                    for i in range(40)
-                ],
-                type=pa.binary(),
-            ),
-        }
-    )
-    ds = ray.data.from_arrow(t)
+    ds = ray.data.from_arrow(synth_multimodal_table(MM_N))
     return _collect(
-        ds.map_batches(media_duration_batch, batch_format="pyarrow", batch_size=16)
-    )
-
-
-def q_image_dims(sf_dir: str):
-    """REAL (dependency-free) multimodal kernel: image dimensions parsed
-    from actual PNG/GIF/JPEG container headers over a binary column."""
-    import ray.data
-
-    from tangent_ray.ops.multimodal import image_dims_batch, synth_image_table
-
-    ds = ray.data.from_arrow(synth_image_table(48))
-    return _collect(
-        ds.map_batches(image_dims_batch, batch_format="pyarrow", batch_size=16)
+        ds.map_batches(media_meta_batch, batch_format="pyarrow", batch_size=16)
     )
 
 
@@ -1644,15 +1631,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT node AS doc_id, min(label)::BIGINT AS cluster
         FROM cc GROUP BY node
     """,
-    "events_window": """
+    "events_windows": f"""
         SELECT event_type, date_trunc('hour', ts) AS window_start,
-               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value,
+               'tumbling' AS wkind
         FROM events GROUP BY 1, 2
-    """,
-    "events_hopping": f"""
+        UNION ALL
         SELECT event_type,
                date_trunc('hour', ts) - j * INTERVAL 1 HOUR AS window_start,
-               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value,
+               'hopping' AS wkind
         FROM events,
              LATERAL (SELECT unnest(generate_series(0, {HOP_SIZE_H // HOP_H - 1}))
                       AS j) g
@@ -2107,6 +2095,54 @@ def _curated_sql() -> str:
 
 ORACLE_SQL["curated_corpus"] = _curated_sql()
 
+
+def _multimodal_sql() -> str:
+    """Twin of q_multimodal_meta: every header fact (and the exact payload
+    byte size) is a pure function of the row index, so the oracle
+    recomputes the generator's parameters from ``range(n)`` and the parsers
+    must round-trip them from the actual bytes. The per-format byte-size
+    constants are MEASURED from the makers here (not hard-coded) so a
+    header-layout change keeps generator, parser and twin in lockstep."""
+    from tangent_ray.ops.multimodal import (
+        MM_CODECS,
+        make_gif,
+        make_jpeg,
+        make_mp4,
+        make_png,
+        make_wav,
+    )
+
+    len_png = len(make_png(1, 1))
+    len_gif = len(make_gif(1, 1))
+    len_jpeg = len(make_jpeg(1, 1, orientation=1))
+    len_wav = len(make_wav(250))
+    mp4_1 = len(make_mp4(250, tracks=("avc1",)))
+    mp4_per_track = len(make_mp4(250, tracks=("avc1", "hev1"))) - mp4_1
+    mp4_base = mp4_1 - mp4_per_track
+    codecs = ", ".join(f"'{c}'" for c in MM_CODECS)
+    return f"""
+        SELECT i AS media_id,
+               CASE i%5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+                        WHEN 3 THEN 'wav' ELSE 'mp4' END AS format,
+               (CASE WHEN i%5 <= 2 THEN (i*37)%1920+1 ELSE -1 END)::INT AS width,
+               (CASE WHEN i%5 <= 2 THEN (i*53)%1080+1 ELSE -1 END)::INT AS height,
+               (CASE WHEN i%5 >= 3 THEN (i+1)*250 ELSE -1 END)::BIGINT AS duration_ms,
+               (CASE WHEN i%5 = 0 THEN 8 + 8*(i%2) ELSE -1 END)::INT AS bit_depth,
+               (CASE WHEN i%5 = 2 THEN (i%8)+1 ELSE -1 END)::INT AS orientation,
+               (CASE WHEN i%5 = 4 THEN (i%3)+1 ELSE -1 END)::INT AS n_tracks,
+               CASE WHEN i%5 = 4 THEN list_value({codecs})[(i%3)+1]
+                    ELSE '' END AS codec,
+               (CASE WHEN i%5 = 3 THEN 8000*(1+i%3) ELSE -1 END)::INT AS sample_rate,
+               (CASE i%5 WHEN 0 THEN {len_png} WHEN 1 THEN {len_gif}
+                         WHEN 2 THEN {len_jpeg} WHEN 3 THEN {len_wav}
+                         ELSE {mp4_base} + {mp4_per_track} * ((i%3)+1)
+                END)::BIGINT AS payload_bytes
+        FROM range({MM_N}) t(i)
+    """
+
+
+ORACLE_SQL["multimodal_meta"] = _multimodal_sql()
+
 # Twin of q_asof_attribution via DuckDB's native ASOF JOIN; the right side
 # is pre-deduped to max(event_id) per (user, ts) — same tie rule as the op.
 ORACLE_SQL["asof_attribution"] = """
@@ -2263,8 +2299,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "shingle_candidates": q_shingle_candidates,
     "dedup_clusters": q_dedup_clusters,
-    "events_window": q_events_window,
-    "events_hopping": q_events_hopping,
+    "events_windows": q_events_windows,
     "sessions": q_sessions,
     "asof_attribution": q_asof_attribution,
     "range_active_sessions": q_range_active_sessions,
@@ -2278,20 +2313,16 @@ QUERIES = {
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
-    "transcript_bm25_sharded": q_transcript_bm25_sharded,
     "transcript_rerank": q_transcript_rerank,
     "index_verify": q_index_verify,
-    "math_tuple_stats": q_math_tuple_stats,
-    "expr_reorder_stats": q_expr_reorder_stats,
+    "math_corpus_stats": q_math_corpus_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
     "ann_ivf": q_ann_ivf,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
-    "media_features": q_media_features,
-    "image_dims": q_image_dims,
-    "media_durations": q_media_durations,
+    "multimodal_meta": q_multimodal_meta,
     "golden_replay": q_golden_replay,
     "formula_topk": q_formula_topk,
 }

@@ -111,7 +111,7 @@ def formula_search(
     eol: str = "small",
     topk: int = 20,
     corpus_json: str = "transcripts",
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> pa.Table:
     """Top-k expressions per query, one row per (docid, pos) instance.
 
@@ -120,7 +120,12 @@ def formula_search(
     import ray.data
 
     from tangent_ray.sources.corpus import corpus_from_json
+    from tangent_ray.util import actor_pool
 
+    if concurrency is None:
+        # cluster-sized autoscaling pool — a hard (1, 4) cap starved the
+        # corpus sweep to 4 busy cores on a 32-core node
+        concurrency = actor_pool()
     corpus = corpus_from_json(corpus_json)
     ds = ray.data.read_parquet(corpus_files, columns=list(corpus.columns))
     partial = ds.map_batches(
@@ -141,21 +146,34 @@ def formula_search(
         everything)."""
         if batch.num_rows == 0:
             return batch
-        import pandas as pd
+        import pyarrow.compute as pc
 
-        df = batch.to_pandas()
-        parts = []
-        for _qid, g in df.groupby("query_id", sort=False):
-            exprs = (
-                g[["expr", "score"]]
-                .drop_duplicates("expr")
-                .sort_values(["score", "expr"], ascending=[False, True])
-                .head(topk)
-            )
-            parts.append(g[g["expr"].isin(set(exprs["expr"]))])
-        return pa.Table.from_pandas(
-            pd.concat(parts), preserve_index=False
-        ).cast(batch.schema)
+        def _enc(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.dictionary_encode(col)
+
+        qenc, eenc = _enc(batch["query_id"]), _enc(batch["expr"])
+        qc = qenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ec = eenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # lexicographic rank of each distinct expr; Arrow sorts strings by
+        # UTF-8 bytes == code-point order, matching the driver merge's
+        # Python sort, so the tie order is the SAME total order
+        d_order = pc.sort_indices(eenc.dictionary).to_numpy(zero_copy_only=False)
+        erank = np.empty(len(d_order), dtype=np.int64)
+        erank[d_order] = np.arange(len(d_order))
+        er = erank[ec]
+        combo = qc * len(d_order) + er
+        scores = batch["score"].to_numpy(zero_copy_only=False)
+        # one row per DISTINCT (query, expr): score is a pure function of
+        # the pair, so any representative instance carries it
+        ukey, uidx = np.unique(combo, return_index=True)
+        o = np.lexsort((er[uidx], -scores[uidx], qc[uidx]))
+        sq = qc[uidx][o]
+        new = np.concatenate([[True], sq[1:] != sq[:-1]])
+        rank = np.arange(len(sq)) - np.flatnonzero(new)[np.cumsum(new) - 1]
+        kept = ukey[o[rank < topk]]
+        return batch.filter(pa.array(np.isin(combo, kept)))
 
     rows = partial.map_batches(
         batch_expr_topk, batch_format="pyarrow"

@@ -896,19 +896,32 @@ def search_sharded(
     whole = shard_ds[0]
     for d in shard_ds[1:]:
         whole = whole.union(d)
-    got = whole.take_all()
-    if not got:
-        return RESULT_SCHEMA.empty_table()
-    merged = pa.Table.from_pylist(got).to_pandas()
-    out = []
-    for qid, g in merged.groupby("query_id"):
-        k = topk_of.get(qid, default_k)
-        g = g.sort_values(["score", "docid"], ascending=[False, True], kind="stable")
-        g = g.head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        out.append(g)
-    import pandas as pd
+    # Arrow-native merge (bounded: shards x queries x topk rows): one
+    # concat + sort, then a vectorized per-query rank/cut — no pylist or
+    # pandas round-trip. (score, docid) is a total order per query (docs
+    # live in exactly one shard), so the re-sort reproduces ``search``.
+    import ray as _ray
 
-    return pa.Table.from_pandas(
-        pd.concat(out, ignore_index=True), preserve_index=False
-    ).cast(RESULT_SCHEMA)
+    tabs = [t for t in _ray.get(whole.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return RESULT_SCHEMA.empty_table()
+    merged = pa.concat_tables(
+        [t.select(RESULT_SCHEMA.names).cast(RESULT_SCHEMA) for t in tabs]
+    ).sort_by(
+        [("query_id", "ascending"), ("score", "descending"),
+         ("docid", "ascending")]
+    )
+    qids = merged["query_id"].to_numpy(zero_copy_only=False)
+    new = np.concatenate([[True], qids[1:] != qids[:-1]])
+    starts = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    rank = np.arange(len(qids)) - starts[run_id] + 1
+    ks = np.array(
+        [topk_of.get(q, default_k) for q in qids[starts]], dtype=np.int64
+    )
+    keep = rank <= ks[run_id]
+    out = merged.filter(pa.array(keep))
+    i = out.column_names.index("rank")
+    return out.set_column(
+        i, "rank", pa.array(rank[keep].astype(np.int32), type=pa.int32())
+    )

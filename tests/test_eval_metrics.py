@@ -159,3 +159,39 @@ def test_top_n_per_group_vs_bruteforce(ray_session):
         want[["grp", "event_id", "value", "rank"]],
         check_dtype=False,
     )
+
+
+def test_top_n_per_group_int64_min_and_null_rejection(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from tangent_ray.ops.streaming import top_n_per_group
+
+    lo = np.iinfo(np.int64).min
+    t = pa.table(
+        {
+            "grp": pa.array(["g", "g", "g"]),
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            # -INT64_MIN wraps to itself: the old negation key ranked the
+            # MINIMUM value first on descending order
+            "value": pa.array([lo, 5, 7], type=pa.int64()),
+        }
+    )
+    out = top_n_per_group(
+        ray.data.from_arrow(t), "grp", "value", 2, id_col="event_id", shards=2
+    ).to_pandas().sort_values("rank")
+    assert out["event_id"].tolist() == [3, 2]  # 7, 5 — NOT INT64_MIN first
+
+    with_null = pa.table(
+        {
+            "grp": pa.array(["g", "g"]),
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "value": pa.array([1, None], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="null order_col"):
+        top_n_per_group(
+            ray.data.from_arrow(with_null), "grp", "value", 1,
+            id_col="event_id", shards=2,
+        ).take_all()

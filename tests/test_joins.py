@@ -347,3 +347,77 @@ def test_asof_join_rejects_string_key(ray_session):
     )
     with pytest.raises(ValueError, match="must be integer"):
         asof_join(ray.data.from_arrow(t), ray.data.from_arrow(t))
+
+
+def test_broadcast_join_right_with_empty_schemaless_block(ray_session):
+    # the driver's 25-row nation table materialized as 26 blocks, the last
+    # one zero-row with a ZERO-COLUMN schema — concat_tables used to raise
+    # ArrowInvalid (CORRECTNESS_r02 customer_nation_bc)
+    from tangent_ray.ops.joins import broadcast_join, hash_join
+
+    right = ray.data.from_arrow([_r_tbl(), pa.table({})])
+    for how in ("inner", "left"):
+        bc = broadcast_join(
+            ray.data.from_arrow(_l_tbl()), right, on="k", how=how
+        )
+        sh = hash_join(
+            ray.data.from_arrow(_l_tbl()), ray.data.from_arrow(_r_tbl()),
+            on="k", how=how, shards=4,
+        )
+        assert _rows(bc) == _rows(sh)
+
+
+def test_broadcast_join_entirely_empty_right(ray_session):
+    from tangent_ray.ops.joins import broadcast_join
+
+    empty_right = ray.data.from_arrow(_r_tbl().slice(0, 0))
+    inner = broadcast_join(
+        ray.data.from_arrow(_l_tbl()), empty_right, on="k", how="inner"
+    )
+    assert inner.count() == 0
+    left = broadcast_join(
+        ray.data.from_arrow(_l_tbl()), empty_right, on="k", how="left"
+    )
+    rows = _rows(left)
+    assert len(rows) == _l_tbl().num_rows
+    # every right column is null on a left join against nothing
+    df = left.to_pandas()
+    assert df["v_r"].isna().all() and df["w"].isna().all()
+
+
+def test_asof_join_rejects_null_ts(ray_session):
+    import pytest
+
+    from tangent_ray.ops.joins import asof_join
+
+    left = _events([1], [1], [5])
+    right = pa.table(
+        {
+            "event_id": pa.array([2], type=pa.int64()),
+            "user_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([None], type=pa.timestamp("us")),
+        }
+    )
+    with pytest.raises(ValueError, match="null timestamps"):
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), shards=2
+        ).materialize()
+
+
+def test_range_count_rejects_null_bounds(ray_session):
+    import pytest
+
+    from tangent_ray.ops.joins import range_count
+
+    points = pa.table(
+        {"event_id": pa.array([1], type=pa.int64()), "ts": _ts([100])}
+    )
+    intervals = pa.table(
+        {"lo": pa.array([None], type=pa.timestamp("us")), "hi": _ts([150])}
+    )
+    # Ray may wrap the remote ValueError in RayTaskError/UserCodeException
+    with pytest.raises(Exception, match="null timestamps"):
+        range_count(
+            ray.data.from_arrow(points), ray.data.from_arrow(intervals),
+            bucket_us=1000,
+        ).materialize()

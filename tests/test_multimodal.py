@@ -188,3 +188,67 @@ def test_sessionize_null_keys_dropped(ray_session):
     got = sessionize(ray.data.from_arrow(t), gap_minutes=30).take_all()
     assert {r["user_id"] for r in got} == {"a"}
     assert sum(r["n_events"] for r in got) == 2
+
+
+def test_media_meta_roundtrip():
+    """Unified header-metadata kernel: every fact parsed from the bytes
+    must equal the generation parameter it was synthesized from (the same
+    contract the multimodal_meta DuckDB twin enforces via range(n))."""
+    from tangent_ray.ops.multimodal import (
+        MM_CODECS,
+        media_meta_batch,
+        synth_multimodal_table,
+    )
+
+    n = 30
+    meta = media_meta_batch(synth_multimodal_table(n)).to_pylist()
+    for i, r in enumerate(meta):
+        m = i % 5
+        fmt = ["png", "gif", "jpeg", "wav", "mp4"][m]
+        assert r["format"] == fmt
+        if m <= 2:
+            assert (r["width"], r["height"]) == (
+                (i * 37) % 1920 + 1, (i * 53) % 1080 + 1
+            )
+            assert r["duration_ms"] == -1
+        else:
+            assert r["duration_ms"] == (i + 1) * 250
+        assert r["bit_depth"] == (8 + 8 * (i % 2) if m == 0 else -1)
+        assert r["orientation"] == ((i % 8) + 1 if m == 2 else -1)
+        assert r["sample_rate"] == (8000 * (1 + i % 3) if m == 3 else -1)
+        assert r["n_tracks"] == ((i % 3) + 1 if m == 4 else -1)
+        assert r["codec"] == (MM_CODECS[i % 3] if m == 4 else "")
+
+
+def test_media_meta_little_endian_exif_and_junk():
+    """The EXIF walker must handle II (little-endian) TIFF order too, and
+    junk payloads must come back all-sentinel, never raise."""
+    import struct
+
+    from tangent_ray.ops.multimodal import jpeg_orientation, media_meta_batch
+
+    # hand-build an II-order APP1: tag/type/count/value little-endian
+    tiff = (
+        b"II\x2a\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x0112, 3, 1)
+        + struct.pack("<HH", 6, 0)
+        + struct.pack("<I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 10, 20, 1) + b"\x01\x11\x00"
+    assert jpeg_orientation(b"\xff\xd8" + app1 + sof0) == 6
+
+    import pyarrow as pa
+
+    junk = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "payload": pa.array([b"", b"garbage", None], type=pa.binary()),
+        }
+    )
+    rows = media_meta_batch(junk).to_pylist()
+    for r in rows:
+        assert r["format"] == "unknown"
+        assert r["width"] == -1 and r["duration_ms"] == -1
