@@ -941,6 +941,8 @@ def q_golden_replay(sf_dir: str):
                 "concrete_ok": ok,
                 "wildcard_rows": 0,
                 "wildcard_ok": 0,
+                "wildcard_drift_queries": 0,
+                "wildcard_max_delta": 0.0,
             }
         )
     return pa.Table.from_pylist(rows)

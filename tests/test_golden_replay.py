@@ -98,6 +98,12 @@ def test_golden_scores_replay(fname, wc_floor):
     assert s["concrete_ok"] == s["concrete_rows"] > 0
     # wildcard scores: near-exact (see module docstring for the residual)
     assert s["wildcard_ok"] >= wc_floor * s["wildcard_rows"]
+    # the residual is quantified, not just counted: drift touches a handful
+    # of queries (measured max 10/40 at w2_e1 across all 15 conditions) and
+    # its magnitude is bounded (construction-order artifact shifts cc by at
+    # most a few duplicate-tuple claims; measured max |delta| 0.121)
+    assert s["wildcard_drift_queries"] <= 10
+    assert s["wildcard_max_delta"] <= 0.13
 
 
 def test_golden_scores_replay_all_files_concrete_exact():
