@@ -70,6 +70,77 @@ def test_latex_errors():
     with pytest.raises(LaTeXError):
         latex_to_slt(r"\frac{x}{y")  # unterminated group
     with pytest.raises(LaTeXError):
-        latex_to_slt(r"\begin{aligned}x\end{aligned}")  # unsupported env
+        latex_to_slt(r"\begin{tikzpicture}x\end{tikzpicture}")  # unsupported env
     with pytest.raises(LaTeXError):
         latex_to_slt("")
+
+
+# Every construct pairs a LaTeX source with the Presentation MathML
+# LaTeXML would emit for it; both paths must serialize to the SAME SLT —
+# the repo's internal-consistency bar for M3 (the reference's own
+# latexmlmath was broken, so there is no external golden output to replay).
+MATHML_PARITY = [
+    (r"\hat{x}", "<math><mover><mi>x</mi><mo>^</mo></mover></math>"),
+    (r"\bar{y}+1",
+     "<math><mover><mi>y</mi><mo>¯</mo></mover><mo>+</mo><mn>1</mn></math>"),
+    (r"\vec{v}\cdot\vec{w}",
+     "<math><mover><mi>v</mi><mo>→</mo></mover><mo>⋅</mo>"
+     "<mover><mi>w</mi><mo>→</mo></mover></math>"),
+    (r"\underline{z}", "<math><munder><mi>z</mi><mo>¯</mo></munder></math>"),
+    (r"\overbrace{a+b}",
+     "<math><mover><mrow><mi>a</mi><mo>+</mo><mi>b</mi></mrow>"
+     "<mo>⏞</mo></mover></math>"),
+    (r"\binom{n}{k}",
+     "<math><mrow><mo>(</mo><mfrac><mi>n</mi><mi>k</mi></mfrac><mo>)</mo></mrow></math>"),
+    (r"\dfrac{a}{b}", "<math><mfrac><mi>a</mi><mi>b</mi></mfrac></math>"),
+    (r"\text{speed limit}", "<math><mtext>speed limit</mtext></math>"),
+    (r"\operatorname{argmax}_x f",
+     "<math><msub><mi>argmax</mi><mi>x</mi></msub><mi>f</mi></math>"),
+    (r"\mathbb{R}^n", "<math><msup><mi>ℝ</mi><mi>n</mi></msup></math>"),
+    (r"\mathcal{L}(x)",
+     "<math><mi>ℒ</mi><mo>(</mo><mi>x</mi><mo>)</mo></math>"),
+    (r"\mathfrak{g}", "<math><mi>\U0001d524</mi></math>"),
+    (r"\mathrm{max}", "<math><mi>max</mi></math>"),
+    (r"f'(x)",
+     "<math><msup><mi>f</mi><mo>′</mo></msup><mo>(</mo><mi>x</mi><mo>)</mo></math>"),
+    (r"f''", "<math><msup><mi>f</mi><mo>′′</mo></msup></math>"),
+    (r"a\,b", '<math><mi>a</mi><mspace width="0.2em"/><mi>b</mi></math>'),
+    (r"x \bmod 2", "<math><mi>x</mi><mo>mod</mo><mn>2</mn></math>"),
+    (r"\{x\}", "<math><mo>{</mo><mi>x</mi><mo>}</mo></math>"),
+    (r"\begin{cases}x & y \\ 1 & 0\end{cases}",
+     "<math><mrow><mo>{</mo><mtable><mtr><mtd><mi>x</mi></mtd><mtd><mi>y</mi>"
+     "</mtd></mtr><mtr><mtd><mn>1</mn></mtd><mtd><mn>0</mn></mtd></mtr>"
+     "</mtable></mrow></math>"),
+    (r"\begin{array}{cc}a & b\end{array}",
+     "<math><mtable><mtr><mtd><mi>a</mi></mtd><mtd><mi>b</mi></mtd></mtr></mtable></math>"),
+    (r"\begin{aligned}x &= 1 \\ y &= 2\end{aligned}",
+     "<math><mtable><mtr><mtd><mi>x</mi></mtd><mtd><mo>=</mo><mn>1</mn></mtd>"
+     "</mtr><mtr><mtd><mi>y</mi></mtd><mtd><mo>=</mo><mn>2</mn></mtd></mtr>"
+     "</mtable></math>"),
+]
+
+
+@pytest.mark.parametrize("tex,mml", MATHML_PARITY)
+def test_latex_mathml_parity(tex, mml):
+    from tangent_ray.tokenize.mathml import mathml_to_slt
+
+    assert latex_to_slt(tex).serialize() == mathml_to_slt(mml).serialize()
+
+
+@pytest.mark.parametrize(
+    "src,slt",
+    [
+        # \sum\limits_{i}: \limits is dropped at tokenize time so the
+        # script still binds to the sum (over/under for an operator base)
+        (r"\sum\limits_{i=1}^{n} i", "[∑[V!i],o[V!n],u[V!i[=[N!1]]]]"),
+        # null delimiters emit nothing
+        (r"\left. x \right.", "[V!x]"),
+        # spacing commands vanish from chains like mspace does
+        (r"a \quad b", "[V!a[V!b]]"),
+        # letter-like command symbols are identifiers
+        (r"\ell_2", "[V!ℓ,b[N!2]]"),
+        (r"\hbar\omega", "[V!ℏ[V!ω]]"),
+    ],
+)
+def test_latex_layout_commands(src, slt):
+    assert latex_to_slt(src).serialize() == slt
