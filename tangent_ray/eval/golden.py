@@ -205,7 +205,7 @@ def replay_file(path: str, max_queries: int | None = None) -> dict:
             stats[f"{kind}_rows"] += 1
             if ok:
                 stats[f"{kind}_ok"] += 1
-            else:
+            elif kind == "wildcard":  # concrete drift is asserted zero upstream
                 q_drifted = True
                 stats["wildcard_max_delta"] = max(
                     stats["wildcard_max_delta"], abs(got - want)

@@ -62,12 +62,14 @@ _GREEK = {
     "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ", "epsilon": "ϵ",
     "zeta": "ζ", "eta": "η", "theta": "θ", "iota": "ι", "kappa": "κ",
     "lambda": "λ", "mu": "μ", "nu": "ν", "xi": "ξ", "pi": "π", "rho": "ρ",
-    "sigma": "σ", "tau": "τ", "upsilon": "υ", "phi": "φ", "chi": "χ",
+    # TeX \phi is the straight PHI SYMBOL, \varphi the loopy letter —
+    # same symbol-vs-letter split as the \epsilon/\varepsilon pair
+    "sigma": "σ", "tau": "τ", "upsilon": "υ", "phi": "ϕ", "chi": "χ",
     "psi": "ψ", "omega": "ω",
     "Gamma": "Γ", "Delta": "Δ", "Theta": "Θ", "Lambda": "Λ", "Xi": "Ξ",
     "Pi": "Π", "Sigma": "Σ", "Phi": "Φ", "Psi": "Ψ", "Omega": "Ω",
     "varepsilon": "ε", "vartheta": "ϑ", "varpi": "ϖ", "varrho": "ϱ",
-    "varsigma": "ς", "varphi": "ϕ",
+    "varsigma": "ς", "varphi": "φ",
     # letter-LIKE symbols (identifiers, not operators)
     "aleph": "ℵ", "hbar": "ℏ", "ell": "ℓ", "Re": "ℜ", "Im": "ℑ",
     "wp": "℘", "imath": "ı", "jmath": "ȷ",
@@ -174,8 +176,11 @@ _MATRIX_FENCES = {
     "Vmatrix": ("∥", "∥"),
 }
 # bare (fence-less) alignment environments — all mtable in LaTeXML
-_BARE_ENVS = {"array", "aligned", "align", "align*", "alignat", "gathered",
-              "gather", "gather*", "split", "eqnarray", "eqnarray*"}
+_BARE_ENVS = {"array", "aligned", "align", "align*", "alignat", "alignat*",
+              "alignedat", "gathered", "gather", "gather*", "split",
+              "eqnarray", "eqnarray*"}
+# environments with a mandatory layout argument after \begin{...}
+_ARG_ENVS = {"alignat", "alignat*", "alignedat"}
 # cases: LaTeXML emits mrow(mo "{", mtable) — an OPENING fence only, which
 # the MathML path keeps as a flat chain (fenced-row detection needs both)
 
@@ -247,9 +252,26 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise LaTeXError("unexpected end of input")
         t = self.toks[self.i]
         self.i += 1
         return t
+
+    def _skip_braced_group(self) -> None:
+        """Consume a balanced ``{ ... }`` group without emitting nodes
+        (layout arguments: array colspec, alignat column count)."""
+        if self.peek() != ("op", "{"):
+            return
+        depth = 0
+        while True:
+            t = self.next()  # raises LaTeXError at end of input
+            if t == ("op", "{"):
+                depth += 1
+            elif t == ("op", "}"):
+                depth -= 1
+                if depth == 0:
+                    return
 
     # -- grammar ----------------------------------------------------------
 
@@ -429,8 +451,14 @@ class _Parser:
                 return MMLNode(_OPS[val])
             if val in _FUNCS:
                 return MMLNode("V!" + val)
-            if val in ("quad", "qquad", ",", ";", "!", " "):
+            if val in ("quad", "qquad"):
                 return MMLNode("W!")
+            if val in ("text", "textrm", "textbf", "textit", "textsf",
+                       "texttt", "mbox", "hbox", "operatorname"):
+                # the tokenizer captures these with a flat-brace argument;
+                # reaching here means nested braces (or a missing brace) —
+                # fail loudly rather than indexing text content as math
+                raise LaTeXError(f"\\{val}: argument must be a flat group")
             # unknown command: keep its name as an operator token (clean()
             # escapes anything structural)
             return MMLNode(clean("\\" + val))
@@ -444,19 +472,12 @@ class _Parser:
             # skip the optional [pos] and the mandatory {colspec} — pure
             # layout, no MathML output
             if self.peek() == ("op", "["):
-                while self.peek() is not None and self.peek() != ("op", "]"):
-                    self.next()
+                while self.peek() != ("op", "]"):
+                    self.next()  # raises LaTeXError at end of input
                 self.next()
-            if self.peek() == ("op", "{"):
-                depth = 0
-                while self.peek() is not None:
-                    t = self.next()
-                    if t == ("op", "{"):
-                        depth += 1
-                    elif t == ("op", "}"):
-                        depth -= 1
-                        if depth == 0:
-                            break
+            self._skip_braced_group()
+        elif env in _ARG_ENVS:
+            self._skip_braced_group()  # {n} column count — pure layout
         rows: list[MMLNode | None] = []
         cells: list[MMLNode | None] = []
         while True:

@@ -73,6 +73,32 @@ def test_latex_errors():
         latex_to_slt(r"\begin{tikzpicture}x\end{tikzpicture}")  # unsupported env
     with pytest.raises(LaTeXError):
         latex_to_slt("")
+    # truncated inputs raise LaTeXError, never a raw IndexError
+    for src in (r"\sqrt[3", r"\begin{array}[t", r"\begin{array}{cc",
+                r"\begin{alignat}{2"):
+        with pytest.raises(LaTeXError):
+            latex_to_slt(src)
+    # \text captures a FLAT brace group; nested braces fail loudly instead
+    # of indexing text content as math identifiers
+    with pytest.raises(LaTeXError):
+        latex_to_slt(r"\text{a{b}}")
+
+
+def test_latex_alignat_column_arg_skipped():
+    # the {2} layout argument is not a math token
+    got = latex_to_slt(r"\begin{alignat}{2}x &= 1\end{alignat}").serialize()
+    assert got == "[M!1x2,w[V!x,e[=[N!1]]]]"
+    assert latex_to_slt(r"\begin{alignat*}{2}y\end{alignat*}").serialize() == \
+        "[M!1x1,w[V!y]]"
+
+
+def test_latex_phi_convention():
+    # symbol-vs-letter split mirrors the epsilon pair: \phi is the straight
+    # PHI SYMBOL (U+03D5), \varphi the loopy GREEK SMALL LETTER PHI (U+03C6)
+    assert latex_to_slt(r"\phi").serialize() == "[V!ϕ]"
+    assert latex_to_slt(r"\varphi").serialize() == "[V!φ]"
+    assert latex_to_slt(r"\epsilon").serialize() == "[V!ϵ]"
+    assert latex_to_slt(r"\varepsilon").serialize() == "[V!ε]"
 
 
 # Every construct pairs a LaTeX source with the Presentation MathML
