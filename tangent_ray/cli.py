@@ -1,0 +1,233 @@
+"""Command-line parity layer for the reference's three entry points.
+
+The reference drives everything from a control ("cntl") file plus three
+commands (SURVEY.md §3): ``python index.py [cntl]`` (corpus -> index),
+``python query.py`` + engine (queries -> raw top-k results TSV) and
+``python rerank_results.py cntl results.tsv metric out.tsv`` (+ HTML).
+This module is the Ray-Data-native analogue::
+
+    python -m tangent_ray index  cntl.json
+    python -m tangent_ray query  cntl.json --queries q.parquet --out r.parquet
+    python -m tangent_ray rerank cntl.json --queries q.parquet --metric v04 \
+        --out reranked.parquet [--serp serp_dir]
+    python -m tangent_ray verify cntl.json
+
+The cntl file is JSON (the S1 control-file analogue; ``EngineConfig``
+round-trips through its ``config`` key)::
+
+    {
+      "input": "/path/to/corpus_parquet",     # file or directory
+      "index_dir": "/path/to/index",
+      "corpus": "transcripts",                # or "documents"
+      "config": {"window": 2, "eol": "small", "stem": true, "math": true,
+                 "partitions": 1}             # any EngineConfig field
+    }
+
+Queries are a Parquet table with columns ``(query_id, kind, text[, topk])``
+— ``kind`` in ``text | math | mixed``; math fragments are ``$SLT$`` spans
+or Presentation MathML, exactly what the query reader (S5) accepts.
+Results are Parquet (``RESULT_SCHEMA`` / ``RERANK_SCHEMA``), the Parquet
+analogue of the reference's R-row TSVs; ``--serp`` additionally renders
+the S15 HTML result pages.
+
+The CLI owns its Ray session (guarded — under ``ray job submit`` the
+cluster session is reused); library code never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_cntl(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        cntl = json.load(f)
+    for key in ("input", "index_dir"):
+        if key not in cntl:
+            raise SystemExit(f"cntl file {path}: missing required key {key!r}")
+    return cntl
+
+
+def _config_of(cntl: dict):
+    from tangent_ray.config import EngineConfig
+
+    return EngineConfig.from_json(json.dumps(cntl.get("config", {})))
+
+
+def _corpus_of(cntl: dict):
+    from tangent_ray.sources.corpus import DocumentsCorpus, TranscriptsCorpus
+
+    name = cntl.get("corpus", "transcripts")
+    try:
+        return {"transcripts": TranscriptsCorpus, "documents": DocumentsCorpus}[
+            name
+        ]()
+    except KeyError:
+        raise SystemExit(f"unknown corpus {name!r} (transcripts | documents)")
+
+
+def _read_queries(path: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    missing = {"query_id", "kind", "text"} - set(t.schema.names)
+    if missing:
+        raise SystemExit(f"queries parquet: missing columns {sorted(missing)}")
+    return t
+
+
+def cmd_index(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    _ensure_ray(args.num_cpus)
+    from tangent_ray.index.build import build_index
+
+    manifest = build_index(
+        cntl["input"],
+        cntl["index_dir"],
+        _config_of(cntl),
+        _corpus_of(cntl),
+        resume=not args.no_resume,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_query(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    _ensure_ray(args.num_cpus)
+    from tangent_ray.query.scorer import search, search_sharded
+
+    queries = _read_queries(args.queries)
+    if args.sharded:
+        table = search_sharded(
+            queries, cntl["index_dir"], topk=args.topk,
+            n_shards=args.shards,
+            concurrency_per_shard=args.concurrency,
+        )
+    else:
+        res = search(
+            queries, cntl["index_dir"], topk=args.topk,
+            concurrency=args.concurrency,
+        )
+        import pyarrow as pa
+
+        import ray
+
+        tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        table = (
+            pa.concat_tables(tabs) if tabs
+            else pa.table({n: [] for n in ("query_id", "docid", "score", "rank")})
+        )
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, args.out)
+    print(json.dumps({"results": table.num_rows, "out": args.out}))
+    return 0
+
+
+def cmd_rerank(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    _ensure_ray(args.num_cpus)
+    from tangent_ray.index.build import list_input_files
+    from tangent_ray.rerank.pipeline import rerank_search
+
+    queries = _read_queries(args.queries)
+    table = rerank_search(
+        queries,
+        cntl["index_dir"],
+        list_input_files(cntl["input"]),
+        topk=args.topk,
+        metric=args.metric,
+        concurrency=args.concurrency,
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, args.out)
+    pages: list[str] = []
+    if args.serp:
+        from tangent_ray.eval.serp import write_serp
+
+        pages = write_serp(table, queries, args.serp)
+    print(json.dumps({"results": table.num_rows, "out": args.out,
+                      "serp_pages": len(pages)}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    _ensure_ray(args.num_cpus)
+    from tangent_ray.index.merge import verify_index
+
+    report = verify_index(cntl["index_dir"])
+    print(json.dumps(report))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m tangent_ray", description=__doc__.splitlines()[0]
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("cntl", help="control file (JSON)")
+    common.add_argument("--num-cpus", type=int, default=None,
+                        help="ray.init num_cpus (default: Ray's choice)")
+
+    p = sub.add_parser("index", parents=[common],
+                       help="build (or resume) the index from the cntl corpus")
+    p.add_argument("--no-resume", action="store_true",
+                   help="rebuild finished partitions instead of skipping")
+    p.set_defaults(fn=cmd_index)
+
+    qcommon = argparse.ArgumentParser(add_help=False, parents=[common])
+    qcommon.add_argument("--queries", required=True,
+                         help="Parquet with (query_id, kind, text)")
+    qcommon.add_argument("--out", required=True, help="output Parquet path")
+    qcommon.add_argument("--topk", type=int, default=100)
+    qcommon.add_argument("--concurrency", type=int, default=2,
+                         help="scorer actor-pool size")
+
+    p = sub.add_parser("query", parents=[qcommon],
+                       help="raw top-k results (query.py + engine analogue)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard segments across the actor pool (hot queries)")
+    p.add_argument("--shards", type=int, default=2,
+                   help="partial-index shard groups with --sharded")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("rerank", parents=[qcommon],
+                       help="two-stage search + similarity rerank "
+                            "(rerank_results.py analogue)")
+    p.add_argument("--metric", default="mss",
+                   help="registry metric: mss | v00..v11 (default mss/v04)")
+    p.add_argument("--serp", default=None,
+                   help="also write S15 HTML result pages to this directory")
+    p.set_defaults(fn=cmd_rerank)
+
+    p = sub.add_parser("verify", parents=[common],
+                       help="distributed index invariant check (A4 verifyIndex)")
+    p.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
