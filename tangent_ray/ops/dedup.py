@@ -815,3 +815,110 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
         verify_shard, batch_format="pyarrow"
     )
     return _distinct_pairs(cand, ["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level cross-document dedup
+
+
+def paragraph_hash_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Explode each document into its non-empty paragraphs (split on a
+    blank line, i.e. LF LF) and emit one NARROW row per paragraph:
+    (id, para_idx, phash, phash2). ``para_idx`` is the paragraph's 1-based
+    position among ALL splits of its document (empties included), so the
+    index is stable under the dedup itself. The 128-bit dual-siphash key
+    follows ``content_hash_batch`` — paragraph TEXT never leaves the map
+    task, so the downstream shuffle moves 28 B per paragraph regardless of
+    paragraph size."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(pc.coalesce(texts, ""), "\n\n")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    idx1 = np.arange(len(flat), dtype=np.int64) - offsets[parents] + 1
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parents, idx1 = parents[keep], idx1[keep]
+    paras = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[parents]
+    h1 = pd.util.hash_array(paras).astype(np.uint64)
+    h2 = pd.util.hash_array(paras, hash_key="tangent_ray_dup2").astype(np.uint64)
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
+            "para_idx": pa.array(idx1, type=pa.int64()),
+            "phash": pa.array(h1.astype(np.int64), type=pa.int64()),
+            "phash2": pa.array(h2.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _mark_first_paras(g: pa.Table, id_col: str) -> pa.Table:
+    """Within one hash shard: keep = this row is the global first
+    occurrence (min (id, para_idx)) of its (phash, phash2) group. All rows
+    of a hash group land in one shard, so the flag is final here. One
+    lexsort, no Python per group."""
+    if g.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "para_idx": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+            }
+        )
+    ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = g["para_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h1 = g["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h2 = g["phash2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((idx, ids, h2, h1))
+    sh1, sh2 = h1[order], h2[order]
+    first = np.concatenate(
+        [[True], (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])]
+    )
+    keep = np.empty(len(first), dtype=bool)
+    keep[order] = first
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            "para_idx": pa.array(idx, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.bool_()),
+        }
+    )
+
+
+def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    shards: int | None = None):
+    """Corpus-wide paragraph dedup flags — the paragraph-granularity
+    analogue of exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a paragraph is kept only
+    at its first occurrence across the WHOLE corpus, first = minimum
+    (id, para_idx).
+
+    Returns (id, para_idx, keep) per non-empty paragraph. ONE narrow
+    shuffle, keyed by the 128-bit paragraph hash (28 B/paragraph); the
+    rebuild (filter each document's paragraphs by the flags) composes as a
+    hash_join on (id) followed by an in-doc sort — kept separate so the
+    flags table can also drive audits without touching payload bytes.
+    """
+    from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+    nsh = shards or DEFAULT_SHARDS
+    return (
+        ds.map_batches(
+            lambda b: paragraph_hash_batch(b, text_col, id_col),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: shard_column(b, ["phash", "phash2"], nsh),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: _mark_first_paras(g, id_col), batch_format="pyarrow"
+        )
+    )

@@ -454,3 +454,153 @@ def split_assign_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
             "split": pa.array(split.tolist(), type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+
+
+def _gram_keys(th: np.ndarray, parents: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit keys of in-doc token n-grams (n=2 or 3) from per-token hashes:
+    chained splitmix combine (same kernel family as the bigram LM). Returns
+    (keys, gram_parents)."""
+    from tangent_ray.ops.lm import _bigram_key
+
+    if len(th) < n:
+        return np.empty(0, np.uint64), np.empty(0, parents.dtype)
+    same = parents[n - 1:] == parents[: len(parents) - n + 1]
+    key = th[: len(th) - n + 1]
+    for i in range(1, n):
+        key = _bigram_key(key, th[i : len(th) - n + 1 + i])
+    return key[same], parents[: len(parents) - n + 1][same]
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition signals (the Gopher/RefinedWeb family):
+
+    - ``dup_line_frac``      — fraction of non-empty lines (split on LF)
+                                belonging to a line value that occurs >=2
+                                times in the document (every member counts);
+    - ``dup_line_char_frac`` — same numerator weighted by line length, over
+                                total non-empty-line characters;
+    - ``top2gram_frac``      — occurrences of the most frequent token
+                                2-gram x 2 / n_tokens;
+    - ``top3gram_frac``      — most frequent token 3-gram x 3 / n_tokens;
+    - ``dup3gram_frac``      — min(1, tokens covered by 3-gram TYPES that
+                                occur >=2 times / n_tokens) — overlapping
+                                occurrences are each counted, hence the cap.
+
+    Tokenization is the shared ``[^a-z0-9]+``-on-lower definition, so the
+    DuckDB twin (``tests/test_repetition.py``) reproduces every value
+    exactly. One vectorized pass per batch: lines via one Arrow
+    ``split_pattern`` + per-(row, line-hash) run counting on a lexsorted
+    key, n-grams via zero-copy shifted views of the flat token-hash array.
+    No shuffle — pure map, scale-safe at any corpus size.
+    """
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = batch.num_rows
+    from tangent_ray.tokenize.text import md5_u64
+
+    # --- line stats -------------------------------------------------------
+    lists = pc.split_pattern(pc.coalesce(texts, ""), "\n")
+    flat = pc.list_flatten(lists)
+    lparents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    lparents = lparents[keep]
+    lines = flat.filter(pa.array(keep))
+    llen = pc.utf8_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    # EXACT line identity: per-batch dictionary codes, not a hash — equal
+    # codes iff equal strings (the n-gram keys below do use 64-bit hash
+    # combines; at ~1e6 grams/batch the in-batch birthday odds are ~3e-8,
+    # the same accepted trade as every hash-keyed op in this package)
+    lh = pc.dictionary_encode(lines).indices.to_numpy(zero_copy_only=False)
+
+    n_lines = np.zeros(n_rows, np.int64)
+    line_chars = np.zeros(n_rows, np.int64)
+    dup_lines = np.zeros(n_rows, np.int64)
+    dup_line_chars = np.zeros(n_rows, np.int64)
+    if len(lparents):
+        np.add.at(n_lines, lparents, 1)
+        np.add.at(line_chars, lparents, llen)
+        # group by (row, line hash): lexsort, then run counting
+        order = np.lexsort((lh, lparents))
+        sp, sh, sl = lparents[order], lh[order], llen[order]
+        bound = np.concatenate(
+            [[True], (sp[1:] != sp[:-1]) | (sh[1:] != sh[:-1])]
+        )
+        starts = np.flatnonzero(bound)
+        lengths = np.diff(np.concatenate([starts, [len(sp)]]))
+        dup = lengths >= 2
+        if dup.any():
+            np.add.at(dup_lines, sp[starts[dup]], lengths[dup])
+            np.add.at(
+                dup_line_chars, sp[starts[dup]], lengths[dup] * sl[starts[dup]]
+            )
+
+    # --- n-gram stats -------------------------------------------------------
+    parents, tokens, _pos = split_tokens(texts)
+    th = md5_u64(tokens)
+    n_tokens = np.zeros(n_rows, np.int64)
+    if len(parents):
+        np.add.at(n_tokens, parents, 1)
+
+    def _gram_stats(n: int) -> tuple[np.ndarray, np.ndarray]:
+        """(max run per row, tokens-in-dup-types per row) for n-grams."""
+        top = np.zeros(n_rows, np.int64)
+        dup_tok = np.zeros(n_rows, np.int64)
+        keys, gp = _gram_keys(th, parents, n)
+        if len(keys):
+            order = np.lexsort((keys, gp))
+            sp, sk = gp[order], keys[order]
+            bound = np.concatenate(
+                [[True], (sp[1:] != sp[:-1]) | (sk[1:] != sk[:-1])]
+            )
+            starts = np.flatnonzero(bound)
+            lengths = np.diff(np.concatenate([starts, [len(sp)]]))
+            np.maximum.at(top, sp[starts], lengths)
+            dup = lengths >= 2
+            if dup.any():
+                np.add.at(dup_tok, sp[starts[dup]], lengths[dup] * n)
+        return top, dup_tok
+
+    top2, _ = _gram_stats(2)
+    top3, dup3 = _gram_stats(3)
+
+    def _frac(num, den):
+        return round_half_away(
+            np.divide(
+                num.astype(np.float64),
+                den.astype(np.float64),
+                out=np.zeros(n_rows, np.float64),
+                where=den > 0,
+            ),
+            6,
+        )
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "dup_line_frac": pa.array(_frac(dup_lines, n_lines), type=pa.float64()),
+            "dup_line_char_frac": pa.array(
+                _frac(dup_line_chars, line_chars), type=pa.float64()
+            ),
+            "top2gram_frac": pa.array(_frac(top2 * 2, n_tokens), type=pa.float64()),
+            "top3gram_frac": pa.array(_frac(top3 * 3, n_tokens), type=pa.float64()),
+            "dup3gram_frac": pa.array(
+                _frac(np.minimum(dup3, n_tokens), n_tokens), type=pa.float64()
+            ),
+        }
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset-level repetition signals: stateless vectorized map, no
+    shuffle."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col, id_col), batch_format="pyarrow"
+    )
