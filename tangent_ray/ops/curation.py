@@ -350,3 +350,132 @@ def chunk_spans_batch(batch: pa.Table, max_tokens: int = CHUNK_TOKENS,
             "n_tok": pa.array(rep_n, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix resampling (data-mixture reweighting)
+
+
+def mix_multipliers(
+    totals: dict[str, int],
+    weights: dict[str, float],
+    total_tokens: int | None = None,
+    max_epochs: float = 10.0,
+) -> dict[str, float]:
+    """Per-source replication multiplier for a target token mixture: source
+    ``s`` should contribute ``weight_s / sum(weights) * budget`` tokens, so
+    its documents are repeated ``m_s = target_s / actual_s`` times (The
+    Pile / DoReMi-style epoch weighting). Pure driver math over the tiny
+    per-source totals dict — ONE definition shared by the operator and its
+    DuckDB-twin test.
+
+    ``total_tokens`` defaults to the current corpus total (rebalance at
+    constant size). Sources absent from ``weights`` get multiplier 0
+    (dropped); multipliers cap at ``max_epochs`` to bound upsampling of a
+    tiny source."""
+    w_sum = float(sum(weights.values()))
+    if w_sum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budget = float(
+        total_tokens if total_tokens is not None else sum(totals.values())
+    )
+    out: dict[str, float] = {}
+    for s, toks in totals.items():
+        w = float(weights.get(s, 0.0))
+        m = (w / w_sum) * budget / toks if (w > 0 and toks > 0) else 0.0
+        out[s] = min(m, float(max_epochs))
+    return out
+
+
+def _resample_epochs(
+    batch: pa.Table, mult: dict[str, float], id_col: str, source_col: str
+) -> pa.Table:
+    """Replicate each (id, source, n_tok) row into its epochs: epochs
+    ``0..floor(m)-1`` always, plus epoch ``floor(m)`` iff
+    ``md5_bucket(id, prefix='e{floor(m)}:') < threshold(frac(m))`` — the
+    fractional epoch is a deterministic Bernoulli keyed off the id with an
+    epoch-salted prefix, so it is independent of the `s:` sample bucket and
+    replayable in SQL. Vectorized: one np.repeat, buckets computed once per
+    UNIQUE floor(m) value (a handful per batch)."""
+    from tangent_ray.tokenize.text import md5_bucket
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch[source_col].to_numpy(zero_copy_only=False)
+    n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(src, return_inverse=True)
+    m_u = np.array([float(mult.get(s, 0.0)) for s in uniq], dtype=np.float64)
+    k_u = np.floor(m_u).astype(np.int64)
+    thr_u = np.array(
+        [sample_threshold(m - k) for m, k in zip(m_u, k_u)], dtype=np.int64
+    )
+    k, thr = k_u[inv], thr_u[inv]
+    frac_keep = np.zeros(len(ids), dtype=bool)
+    need = thr > 0
+    for kk in np.unique(k[need]):
+        sel = need & (k == kk)
+        frac_keep[sel] = (
+            md5_bucket(ids[sel], SAMPLE_BUCKETS, prefix=f"e{int(kk)}:")
+            < thr[sel]
+        )
+    reps = k + frac_keep
+    rep_idx = np.repeat(np.arange(len(ids)), reps)
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    epoch = np.arange(int(reps.sum()), dtype=np.int64) - starts
+    return pa.table(
+        {
+            id_col: pa.array(ids[rep_idx], type=pa.int64()),
+            source_col: pa.array(src[rep_idx].tolist(), type=pa.string()),
+            "epoch": pa.array(epoch, type=pa.int64()),
+            "n_tok": pa.array(n_tok[rep_idx], type=pa.int64()),
+        }
+    )
+
+
+def source_mix_resample(
+    ds,
+    weights: dict[str, float],
+    total_tokens: int | None = None,
+    max_epochs: float = 10.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Resample a corpus to a target per-source token mixture. Returns the
+    epoch-assignment Dataset ``(id, source, epoch, n_tok)``: a document
+    appears once per training epoch it participates in (0-based), with the
+    fractional last epoch drawn deterministically per id.
+
+    Two passes over a NARROW per-doc token table, never the payload:
+    pass 1 tokenizes once into ``(id, source, n_tok)`` (24 B/doc) and
+    materializes it — metadata-rate, spillable; per-source totals then come
+    from a #sources-row groupby, and pass 2 is a stateless replicating map
+    over the same materialized table. The text re-join (epoch table x
+    corpus) composes as ``hash_join`` on ``id`` downstream, so payload
+    bytes move zero times here."""
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parents, _tokens, _ = split_tokens(texts)
+        n_tok = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(parents):
+            np.add.at(n_tok, parents, 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                source_col: batch[source_col],
+                "n_tok": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+    totals = {
+        r[source_col]: int(r["sum(n_tok)"])
+        for r in narrow.groupby(source_col).sum("n_tok").take_all()
+    }
+    mult = mix_multipliers(totals, weights, total_tokens, max_epochs)
+    return narrow.map_batches(
+        lambda b: _resample_epochs(b, mult, id_col, source_col),
+        batch_format="pyarrow",
+    )
