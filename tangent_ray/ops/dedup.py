@@ -922,3 +922,240 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             lambda g: _mark_first_paras(g, id_col), batch_format="pyarrow"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-window dedup (Lee et al. 2022, arXiv:2107.06499)
+
+#: odd multipliers -> invertible mod 2^64, so the rolling hash is O(n);
+#: two independent 64-bit keys = the package's standard 128-bit dedup key
+#: (a single 64-bit window hash WOULD collide at 100 TB: ~2e13 windows
+#: -> millions of birthday pairs, each falsely cutting a w-token span)
+_ROLL_R = np.uint64(0x9E3779B97F4A7C15 | 1)
+_ROLL_R2 = np.uint64(0xC2B2AE3D27D4EB4F | 1)
+
+
+def _rolling_window_keys(th: np.ndarray, w: int,
+                         r: np.uint64 = _ROLL_R) -> np.ndarray:
+    """64-bit polynomial rolling hash of every w-token window of one
+    document's token-hash array: key_i = sum_{j<w} th[i+j] * r^j (mod 2^64)
+    = (S[i+w] - S[i]) * r^-i, with S the prefix sum of th[j] * r^j. All
+    arithmetic is native uint64 wraparound -> one vectorized pass whatever
+    ``w`` is (the chained-combine alternative costs w passes)."""
+    n = len(th)
+    if n < w:
+        return np.empty(0, np.uint64)
+    rinv_c = np.uint64(pow(int(r), -1, 2**64))
+    with np.errstate(over="ignore"):
+        rpow = np.empty(n + 1, np.uint64)
+        rpow[0] = 1
+        np.multiply.accumulate(np.full(n, r), out=rpow[1:])
+        s = np.empty(n + 1, np.uint64)
+        s[0] = 0
+        np.cumsum(th * rpow[:n], out=s[1:])
+        rinv = np.empty(n - w + 1, np.uint64)
+        rinv[0] = 1
+        np.multiply.accumulate(np.full(n - w, rinv_c), out=rinv[1:])
+        key = (s[w:] - s[: n - w + 1]) * rinv
+        # splitmix finalizer: the raw polynomial is linear in the inputs
+        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return key ^ (key >> np.uint64(31))
+
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _winnow_select(keys: np.ndarray, valid: np.ndarray, s: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, MOSS):
+    position i is selected iff its key is the minimum of SOME s-window of
+    consecutive positions containing i. Content-defined, so two copies of
+    a duplicated substring select the SAME windows whatever their offsets
+    — a fixed ``pos % s`` stride would miss every dup pair whose copies
+    are misaligned mod s. Guarantee: every duplicated substring of
+    >= w + s - 1 tokens shares >= s consecutive key positions, and the min
+    of that full s-window is selected in both copies.
+
+    Invalid positions (cross-document windows) read as +inf; docs are
+    separated by >= s - 1 such positions (enforced by ``stride <= w``), and
+    the flat array is padded with s - 1 +inf keys per side, so selection
+    near every document's edges is identical whatever batch the doc landed
+    in. Vectorized: 2s shifted-min/max passes, no Python per position."""
+    m = len(keys)
+    if s <= 1 or m == 0:
+        return valid.copy()
+    pad = np.full(s - 1, _U64_MAX, dtype=np.uint64)
+    k = np.concatenate([pad, np.where(valid, keys, _U64_MAX), pad])
+    # wmin[t] = min(k[t : t+s]), t in [0, m + s - 1)
+    nt = m + s - 1
+    wmin = k[:nt].copy()
+    for j in range(1, s):
+        np.minimum(wmin, k[j : j + nt], out=wmin)
+    # selected[i] <=> max(wmin[t] for windows containing i) == keys[i]
+    # (wmin[t] <= k[i] for every containing t, so equality <=> some window
+    # has i as its minimum)
+    wmax = wmin[: m].copy()
+    for j in range(1, s):
+        np.maximum(wmax, wmin[j : j + m], out=wmax)
+    return valid & (wmax == keys)
+
+
+def window_hash_batch(batch: pa.Table, w: int = 50, stride: int = 1,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """One NARROW row (id, pos, whash) per SELECTED w-token window of each
+    document (shared ``[^a-z0-9]+``-on-lower tokenizer). ``stride=1``
+    keeps every window — the exact substring-dedup granularity;
+    ``stride=s`` winnows to local-min fingerprints (~2/(s+1) of positions)
+    and still detects every duplicated substring of >= w + stride - 1
+    tokens at ANY alignment — the scale knob for the O(total tokens)
+    shuffle this op implies (Lee et al. use suffix arrays on one box; a
+    rolling-hash window shuffle is the distributed equivalent). Window
+    TEXT never leaves the map task."""
+    if not 1 <= stride <= w:
+        raise ValueError("stride must be in [1, w]")
+    from tangent_ray.tokenize.text import md5_u64, split_tokens
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, tokens, _ = split_tokens(texts)
+    th = md5_u64(tokens)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "whash": pa.array([], type=pa.int64()),
+            "whash2": pa.array([], type=pa.int64()),
+        }
+    )
+    n = len(th)
+    if n < w:
+        return empty
+    # ONE rolling-hash pass over the whole flat token stream, then mask out
+    # windows that cross a document boundary — no per-doc Python loop
+    keys = _rolling_window_keys(th, w)
+    keys2 = _rolling_window_keys(th, w, _ROLL_R2)
+    wp = parents[: n - w + 1]
+    first = np.searchsorted(parents, wp, side="left")  # doc's flat start
+    pos = np.arange(n - w + 1, dtype=np.int64) - first
+    valid = parents[w - 1 :] == wp
+    keep = _winnow_select(keys, valid, stride)
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            id_col: pa.array(ids[wp[keep]], type=pa.int64()),
+            "pos": pa.array(pos[keep], type=pa.int64()),
+            "whash": pa.array(
+                keys[keep].astype(np.int64), type=pa.int64()
+            ),
+            "whash2": pa.array(
+                keys2[keep].astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def _mark_dup_windows(g: pa.Table, id_col: str) -> pa.Table:
+    """Within one hash shard: drop = the window's whash group has >= 2
+    members and this row is NOT its minimum (id, pos). Emits ONLY dropped
+    windows (dup spans are rare; the kept majority would dominate the
+    output otherwise)."""
+    if g.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
+    ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = g["whash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h2 = g["whash2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, ids, h2, h))
+    sh, sh2 = h[order], h2[order]
+    first = np.concatenate([[True], (sh[1:] != sh[:-1]) | (sh2[1:] != sh2[:-1])])
+    drop_sorted = ~first
+    drop = np.empty(len(first), dtype=bool)
+    drop[order] = drop_sorted
+    return pa.table(
+        {
+            id_col: pa.array(ids[drop], type=pa.int64()),
+            "pos": pa.array(pos[drop], type=pa.int64()),
+        }
+    )
+
+
+def merge_window_spans(flags: pa.Table, w: int,
+                       id_col: str = "doc_id") -> pa.Table:
+    """Collapse dropped windows (id, pos) into per-doc merged token spans
+    [tok_start, tok_end): windows overlapping or touching chain into one
+    span. Vectorized: one lexsort over the (bounded: dup windows only)
+    flag table, boundary = new doc or gap > w."""
+    if flags.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "tok_start": pa.array([], type=pa.int64()),
+                "tok_end": pa.array([], type=pa.int64()),
+            }
+        )
+    ids = flags[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = flags["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, ids))
+    sid, spos = ids[order], pos[order]
+    new = np.concatenate(
+        [[True], (sid[1:] != sid[:-1]) | (spos[1:] > spos[:-1] + w)]
+    )
+    starts = np.flatnonzero(new)
+    ends = np.concatenate([starts[1:], [len(sid)]]) - 1
+    return pa.table(
+        {
+            id_col: pa.array(sid[starts], type=pa.int64()),
+            "tok_start": pa.array(spos[starts], type=pa.int64()),
+            "tok_end": pa.array(spos[ends] + w, type=pa.int64()),
+        }
+    )
+
+
+def window_dedup(ds, w: int = 50, stride: int = 1, text_col: str = "text",
+                 id_col: str = "doc_id", shards: int | None = None):
+    """Exact substring-window dedup: every w-token window that appeared
+    earlier anywhere in the corpus (earlier = smaller (id, pos)) is flagged
+    for removal, and flagged windows merge into per-doc token spans
+    ``(id, tok_start, tok_end)`` ready to cut (the cut itself composes as a
+    tokenize + span-mask map over the corpus).
+
+    Cost model at 100 TB: the window shuffle is O(total tokens / stride)
+    rows x 20 B — narrow but token-rate; crank ``stride`` (detects dups of
+    length >= w + stride - 1) and/or raise ``shards``. The span-merge
+    reshuffle only moves DUPLICATED windows, which is boilerplate-rate, not
+    corpus-rate."""
+    from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+    nsh = shards or DEFAULT_SHARDS
+    flags = (
+        ds.map_batches(
+            lambda b: window_hash_batch(b, w, stride, text_col, id_col),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: shard_column(b, ["whash", "whash2"], nsh),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(lambda g: _mark_dup_windows(g, id_col),
+                    batch_format="pyarrow")
+    )
+    return (
+        flags.map_batches(
+            lambda b: shard_column(b, [id_col], nsh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: merge_window_spans(g.drop_columns(["shard"]), w, id_col),
+            batch_format="pyarrow",
+        )
+    )

@@ -265,6 +265,23 @@ def main() -> None:
                 batch_format="pyarrow",
             ),
             "source", "L", 5, id_col="doc_id")),
+        # w=20 fits the ~80-token synthetic docs; stride=5 is the winnowed
+        # scale path (detects dups >= 24 tokens at any alignment)
+        ("window_dedup", lambda: __import__(
+            "tangent_ray.ops.dedup", fromlist=["window_dedup"]
+        ).window_dedup(ds(), w=20, stride=5)),
+        ("repetition_stats", lambda: __import__(
+            "tangent_ray.ops.textstats", fromlist=["repetition_stats"]
+        ).repetition_stats(ds())),
+        ("paragraph_dedup", lambda: __import__(
+            "tangent_ray.ops.dedup", fromlist=["paragraph_dedup"]
+        ).paragraph_dedup(ds())),
+        # upweight a quarter of the sources 4x, drop one: the general shape
+        ("source_mix_resample", lambda: __import__(
+            "tangent_ray.ops.curation", fromlist=["source_mix_resample"]
+        ).source_mix_resample(
+            ds(), {f"src{i}": (4.0 if i < 5 else 1.0) for i in range(19)}
+        )),
         # decontam: hold out every 512th doc as the "benchmark" set
         ("decontam", lambda: decontaminate(
             ds(), ds().map_batches(
