@@ -460,3 +460,103 @@ def lsh_knn(ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
 
     cand = ds.map_batches(in_probed, batch_format="pyarrow", zero_copy_batch=True)
     return knn_cosine(cand, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# K-means corpus clustering + semantic dedup (SemDeDup)
+
+
+def kmeans_cluster(ds, k: int, iters: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Cluster every vector: (id, cluster, sim) with ``sim`` the cosine to
+    its own centroid — the corpus-partitioning primitive for
+    cluster-scoped curation (SemDeDup, density filtering, topic caps).
+    Centroids come from the distributed sample+Lloyd of ``ivf_centroids``
+    (never materializes the dataset); assignment is one broadcast matmul
+    per batch. No shuffle at all — the output streams."""
+    import ray
+
+    cents = _normalize(ivf_centroids(ds, k, id_col, vec_col, iters=iters))
+    cref = ray.put(cents)
+
+    class _Assign(IVFAssign):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch[self.vec_col]))
+            sims = m @ self.centroids.T
+            cluster = np.argmax(sims, axis=1).astype(np.int32)
+            return pa.table(
+                {
+                    self.id_col: batch[self.id_col],
+                    "cluster": pa.array(cluster, type=pa.int32()),
+                    "sim": pa.array(
+                        sims[np.arange(len(cluster)), cluster],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        _Assign, fn_constructor_args=(cref, id_col, vec_col),
+        batch_format="pyarrow", concurrency=actor_pool(),
+    )
+
+
+def semantic_dedup(ds, k: int = 16, threshold: float = 0.95, iters: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Semantic dedup (Abbas et al. 2023, SemDeDup, arXiv:2303.09540):
+    k-means-cluster the embeddings, then WITHIN each cluster drop every
+    vector that has an earlier (smaller-id) vector at cosine >=
+    ``threshold`` — first-wins, the same keep rule as every dedup op here.
+    Returns (id, cluster, keep, max_sim) for every vector, ``max_sim`` the
+    cosine to the nearest EARLIER in-cluster vector (null-equivalent -1.0
+    for each cluster's first).
+
+    Cross-cluster near-dups are invisible by construction — that is
+    SemDeDup's published accuracy/cost trade, not an implementation gap.
+    Scale note: one payload-rate shuffle (vectors move to their cluster
+    group) + an O(m^2 / k) in-cluster matmul; pick k so m/k vectors fit a
+    worker (the paper uses k ~ sqrt(N))."""
+    import ray
+
+    cents = _normalize(ivf_centroids(ds, k, id_col, vec_col, iters=iters))
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(cref, id_col, vec_col),
+        batch_format="pyarrow", concurrency=actor_pool(),
+    )
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int32()),
+                "keep": pa.array([], type=pa.bool_()),
+                "max_sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_to_matrix(g[vec_col]))[order]
+        sims = m @ m.T
+        # max cosine to any EARLIER (smaller-id) vector: strict lower
+        # triangle only (upper + diagonal forced below any cosine, so the
+        # first row reports -1)
+        sims[np.triu_indices(len(ids))] = -1.0
+        max_sim = sims.max(axis=1)
+        keep = max_sim < threshold
+        cl = np.full(len(ids), int(g["cluster"][0].as_py()), dtype=np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(cl, type=pa.int32()),
+                "keep": pa.array(keep, type=pa.bool_()),
+                "max_sim": pa.array(max_sim, type=pa.float64()),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow"
+    )
