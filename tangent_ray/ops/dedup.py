@@ -1159,3 +1159,131 @@ def window_dedup(ds, w: int = 50, stride: int = 1, text_col: str = "text",
             batch_format="pyarrow",
         )
     )
+
+
+def _rebuild_shard(g: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """One id-hash shard of the doc/span UNION: doc rows carry text, span
+    rows carry (tok_start, tok_end). Vectorized rebuild: tokenize the
+    shard's docs once, turn spans into a +1/-1 difference array over the
+    flat token stream, cumsum -> cut mask, re-join kept tokens per doc
+    with one Arrow list kernel. No Python per doc or per span."""
+    import pyarrow.compute as pc
+
+    from tangent_ray.tokenize.text import split_tokens
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), (text_col, pa.string()),
+         ("n_cut_tokens", pa.int64())]
+    )
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    is_doc = pc.is_valid(g[text_col]).to_numpy(zero_copy_only=False)
+    docs = g.filter(pa.array(is_doc))
+    spans = g.filter(pa.array(~is_doc))
+    ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if spans.num_rows == 0:
+        return pa.table(
+            {
+                id_col: docs[id_col],
+                text_col: docs[text_col],
+                "n_cut_tokens": pa.array(
+                    np.zeros(docs.num_rows, np.int64), type=pa.int64()
+                ),
+            }
+        ).cast(out_schema)
+    order = np.argsort(ids, kind="stable")
+    docs = docs.take(pa.array(order))
+    ids = ids[order]
+    texts = docs[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parents, tokens, _ = split_tokens(texts)
+    n_tok = np.zeros(docs.num_rows, np.int64)
+    if len(parents):
+        np.add.at(n_tok, parents, 1)
+    flat_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    # spans -> difference array over the flat token stream (clipped)
+    s_ids = spans[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.searchsorted(ids, s_ids)
+    # a span whose doc is outside this shard's docs would misroute — the
+    # shared shard_column guarantees co-location, so this is an assert
+    if len(row_of) and (
+        (row_of >= len(ids)).any() or (ids[np.minimum(row_of, len(ids) - 1)] != s_ids).any()
+    ):
+        raise ValueError("apply_span_cuts: span for an unknown doc id")
+    lo = spans["tok_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = spans["tok_end"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.clip(lo, 0, n_tok[row_of])
+    hi = np.clip(hi, lo, n_tok[row_of])
+    total = int(n_tok.sum())
+    diff = np.zeros(total + 1, np.int64)
+    np.add.at(diff, flat_start[row_of] + lo, 1)
+    np.add.at(diff, flat_start[row_of] + hi, -1)
+    cut = np.cumsum(diff[:total]) > 0
+    keep = ~cut
+    cut_per_doc = np.zeros(docs.num_rows, np.int64)
+    if total:
+        np.add.at(cut_per_doc, parents, cut.astype(np.int64))
+    # per-doc kept-token lists -> one join kernel
+    kept_per_doc = n_tok - cut_per_doc
+    offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    kept_tokens = tokens.filter(pa.array(keep))
+    lists = pa.ListArray.from_arrays(pa.array(offsets), kept_tokens)
+    joined = pc.binary_join(lists, " ")
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            text_col: joined.cast(pa.string()),
+            "n_cut_tokens": pa.array(cut_per_doc, type=pa.int64()),
+        }
+    ).cast(out_schema)
+
+
+def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
+                    id_col: str = "doc_id", shards: int | None = None):
+    """Cut ``window_dedup`` spans out of the corpus: each doc's text is
+    rebuilt as its kept tokens (shared normalized tokenizer, single-space
+    joined — token coordinates are what the spans are expressed in; docs
+    with NO spans pass through byte-identical). Returns
+    (id, text, n_cut_tokens).
+
+    Co-location without a join: docs and spans are UNIONED into one
+    Dataset (schema-harmonized with nulls), sharded by the SAME id hash,
+    and rebuilt per shard — ONE payload-rate shuffle total. At 100 TB with
+    a low dup rate, pre-filter the doc side against a broadcast set/Bloom
+    of span doc-ids so only touched docs shuffle."""
+    from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+    nsh = shards or DEFAULT_SHARDS
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                text_col: b[text_col].cast(pa.string()),
+                "tok_start": pa.nulls(b.num_rows, pa.int64()),
+                "tok_end": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+        return shard_column(t, [id_col], nsh)
+
+    def span_side(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                text_col: pa.nulls(b.num_rows, pa.string()),
+                "tok_start": b["tok_start"].cast(pa.int64()),
+                "tok_end": b["tok_end"].cast(pa.int64()),
+            }
+        )
+        return shard_column(t, [id_col], nsh)
+
+    union = docs_ds.map_batches(doc_side, batch_format="pyarrow").union(
+        spans_ds.map_batches(span_side, batch_format="pyarrow")
+    )
+    return union.groupby("shard").map_groups(
+        lambda g: _rebuild_shard(g.drop_columns(["shard"]), text_col, id_col),
+        batch_format="pyarrow",
+    )
