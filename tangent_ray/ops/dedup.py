@@ -900,7 +900,9 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     (id, para_idx).
 
     Returns (id, para_idx, keep) per non-empty paragraph. ONE narrow
-    shuffle, keyed by the 128-bit paragraph hash (28 B/paragraph); the
+    shuffle, keyed by the 128-bit paragraph hash (28 B/paragraph — size
+    ``shards`` so one shard group fits a worker heap: shards ~
+    n_paragraphs x 28 B / 1 GB); the
     rebuild (filter each document's paragraphs by the flags) composes as a
     hash_join on (id) followed by an in-doc sort — kept separate so the
     flags table can also drive audits without touching payload bytes.
@@ -1129,10 +1131,12 @@ def window_dedup(ds, w: int = 50, stride: int = 1, text_col: str = "text",
     tokenize + span-mask map over the corpus).
 
     Cost model at 100 TB: the window shuffle is O(total tokens / stride)
-    rows x 20 B — narrow but token-rate; crank ``stride`` (detects dups of
-    length >= w + stride - 1) and/or raise ``shards``. The span-merge
-    reshuffle only moves DUPLICATED windows, which is boilerplate-rate, not
-    corpus-rate."""
+    rows x 28 B — narrow but token-rate; crank ``stride`` (detects dups of
+    length >= w + stride - 1) and size ``shards`` so one shard group fits a
+    worker heap: shards ~ (tokens / stride) x 28 B / 1 GB (e.g. 2e13 tokens
+    at stride 10 -> ~56k shards; a map_groups group materializes whole).
+    The span-merge reshuffle only moves DUPLICATED windows, which is
+    boilerplate-rate, not corpus-rate."""
     from tangent_ray.util import DEFAULT_SHARDS, shard_column
 
     nsh = shards or DEFAULT_SHARDS

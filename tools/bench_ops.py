@@ -72,6 +72,51 @@ def gen_docs(lo: int, hi: int) -> pa.Table:
     )
 
 
+def gen_vecs(lo: int, hi: int, dim: int = 64) -> pa.Table:
+    """Deterministic embeddings: splitmix-seeded uniform floats; every
+    128th vector is a near-copy of its predecessor (planted semantic
+    dups so the dedup stage has real work)."""
+    k = np.arange(lo, hi, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (k[:, None] * np.uint64(0x9E3779B97F4A7C15)
+             + np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9))
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+    m = (h >> np.uint64(40)).astype(np.float32) / np.float32(2**24) - 0.5
+    ids = k.astype(np.int64)
+    dup = (ids % 128 == 0) & (ids > 0)
+    if dup.any():
+        with np.errstate(over="ignore"):
+            hp = ((ids[dup].astype(np.uint64) - np.uint64(1))[:, None]
+                  * np.uint64(0x9E3779B97F4A7C15)
+                  + np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9))
+            hp ^= hp >> np.uint64(31)
+            hp *= np.uint64(0x94D049BB133111EB)
+        prev = (hp >> np.uint64(40)).astype(np.float32) / np.float32(2**24) - 0.5
+        m[dup] = prev + np.float32(1e-4)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [row for row in m.tolist()], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def write_vecs(out_dir: str, n_vecs: int, files: int = 32) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    step = (n_vecs + files - 1) // files
+    for f in range(files):
+        path = os.path.join(out_dir, f"part-{f:04d}.parquet")
+        if os.path.exists(path):
+            continue
+        tmp = path + ".tmp"
+        pq.write_table(gen_vecs(f * step, min((f + 1) * step, n_vecs)), tmp)
+        os.replace(tmp, path)
+    return out_dir
+
+
 _EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
 
 
@@ -324,6 +369,21 @@ def main() -> None:
         ("hash_join", lambda: hash_join(
             ev(), sessionize(ev()), on="user_id", how="inner",
         )),
+    ]
+    # embedding ops over an equally-sized synthetic vector table
+    vecs = write_vecs(f"/tmp/tangent_ray_cache/vecbench-{n_docs}", n_docs)
+
+    def vc():
+        return ray.data.read_parquet(vecs)
+
+    from tangent_ray.ops.ann import kmeans_cluster, semantic_dedup
+
+    # k ~ sqrt(N) per the SemDeDup paper: bounds the in-cluster O(m^2)
+    nlist = max(16, int(n_docs ** 0.5))
+    jobs += [
+        ("kmeans_cluster", lambda: kmeans_cluster(vc(), k=nlist, iters=1)),
+        ("semantic_dedup", lambda: semantic_dedup(
+            vc(), k=nlist, threshold=0.99, iters=1)),
     ]
     out = {}
     for name, fn in jobs:
