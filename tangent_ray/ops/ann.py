@@ -543,8 +543,15 @@ def semantic_dedup(ds, k: int = 16, threshold: float = 0.95, iters: int = 3,
         sims = m @ m.T
         # max cosine to any EARLIER (smaller-id) vector: strict lower
         # triangle only (upper + diagonal forced below any cosine, so the
-        # first row reports -1)
-        sims[np.triu_indices(len(ids))] = -1.0
+        # first row reports -1). Masked in row CHUNKS — np.triu_indices(m)
+        # would allocate two O(m^2) int64 arrays, tripling the peak beyond
+        # the sims matrix itself
+        n_rows = len(ids)
+        col = np.arange(n_rows)
+        for st in range(0, n_rows, 1024):
+            en = min(st + 1024, n_rows)
+            blk = sims[st:en]
+            blk[col[None, :] >= np.arange(st, en)[:, None]] = -1.0
         max_sim = sims.max(axis=1)
         keep = max_sim < threshold
         cl = np.full(len(ids), int(g["cluster"][0].as_py()), dtype=np.int32)

@@ -46,21 +46,30 @@ def _distinct_pairs(cand, id_cols: list[str]):
     return cand.groupby(id_cols).count().select_columns(id_cols)
 
 
-def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """128-bit content hash per row as TWO independently-keyed vectorized
-    C siphashes (deterministic across processes; the hash only ever keys
-    equality groupbys, so the function choice is free and per-row Python
-    hashing of full document bytes would dominate the dedup pipeline).
+def _dual_hash(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The package's ONE 128-bit dedup key: two independently-keyed
+    vectorized C siphashes over a string array (deterministic across
+    processes; the key only ever keys equality groupbys, so the function
+    choice is free — per-row Python hashing of full payload bytes would
+    dominate the dedup pipeline).
 
-    Two 64-bit columns, not one: a single 64-bit key reaches birthday
-    collision odds ~40% at 4x10^9 docs — a colliding pair of DISTINCT
-    documents would silently merge and one would be flagged a duplicate.
-    At 128 bits the same odds are ~1e-20 at 10^12 docs."""
+    Two 64-bit halves, not one: a single 64-bit key reaches birthday
+    collision odds ~40% at 4x10^9 items — a colliding pair of DISTINCT
+    items would silently merge and one would be flagged a duplicate. At
+    128 bits the same odds are ~1e-20 at 10^12 items. Shared by content
+    (doc) and paragraph dedup so the key can only ever change in one
+    place."""
     import pandas as pd
 
+    h1 = pd.util.hash_array(values).astype(np.uint64)
+    h2 = pd.util.hash_array(values, hash_key="tangent_ray_dup2").astype(np.uint64)
+    return h1, h2
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """128-bit whole-document content hash rows (see ``_dual_hash``)."""
     texts = batch[text_col].to_numpy(zero_copy_only=False)
-    h1 = pd.util.hash_array(texts).astype(np.uint64)
-    h2 = pd.util.hash_array(texts, hash_key="tangent_ray_dup2").astype(np.uint64)
+    h1, h2 = _dual_hash(texts)
     return pa.table(
         {
             id_col: batch[id_col],
@@ -828,10 +837,9 @@ def paragraph_hash_batch(batch: pa.Table, text_col: str = "text",
     (id, para_idx, phash, phash2). ``para_idx`` is the paragraph's 1-based
     position among ALL splits of its document (empties included), so the
     index is stable under the dedup itself. The 128-bit dual-siphash key
-    follows ``content_hash_batch`` — paragraph TEXT never leaves the map
+    is the shared ``_dual_hash`` — paragraph TEXT never leaves the map
     task, so the downstream shuffle moves 28 B per paragraph regardless of
     paragraph size."""
-    import pandas as pd
     import pyarrow.compute as pc
 
     texts = batch[text_col]
@@ -846,8 +854,7 @@ def paragraph_hash_batch(batch: pa.Table, text_col: str = "text",
     parents, idx1 = parents[keep], idx1[keep]
     paras = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
     ids = batch[id_col].to_numpy(zero_copy_only=False)[parents]
-    h1 = pd.util.hash_array(paras).astype(np.uint64)
-    h2 = pd.util.hash_array(paras, hash_key="tangent_ray_dup2").astype(np.uint64)
+    h1, h2 = _dual_hash(paras)
     return pa.table(
         {
             id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
@@ -1166,11 +1173,14 @@ def window_dedup(ds, w: int = 50, stride: int = 1, text_col: str = "text",
 
 
 def _rebuild_shard(g: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """One id-hash shard of the doc/span UNION: doc rows carry text, span
-    rows carry (tok_start, tok_end). Vectorized rebuild: tokenize the
-    shard's docs once, turn spans into a +1/-1 difference array over the
-    flat token stream, cumsum -> cut mask, re-join kept tokens per doc
-    with one Arrow list kernel. No Python per doc or per span."""
+    """One id-hash shard of the doc/span UNION: doc rows (is_doc) carry
+    text, span rows carry (tok_start, tok_end). ONLY docs that actually
+    have a span in this shard are re-tokenized and rebuilt — every other
+    doc passes through byte-identical (including null text). Vectorized
+    rebuild: tokenize the touched docs once, turn spans into a +1/-1
+    difference array over the flat token stream, cumsum -> cut mask,
+    re-join kept tokens per doc with one Arrow list kernel. No Python per
+    doc or per span."""
     import pyarrow.compute as pc
 
     from tangent_ray.tokenize.text import split_tokens
@@ -1181,20 +1191,29 @@ def _rebuild_shard(g: pa.Table, text_col: str, id_col: str) -> pa.Table:
     )
     if g.num_rows == 0:
         return out_schema.empty_table()
-    is_doc = pc.is_valid(g[text_col]).to_numpy(zero_copy_only=False)
-    docs = g.filter(pa.array(is_doc))
+    is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+    all_docs = g.filter(pa.array(is_doc))
     spans = g.filter(pa.array(~is_doc))
-    ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    if spans.num_rows == 0:
+    all_ids = all_docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    span_ids = spans[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    touched = np.isin(all_ids, span_ids)
+
+    def passthrough(d: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: docs[id_col],
-                text_col: docs[text_col],
+                id_col: d[id_col],
+                text_col: d[text_col],
                 "n_cut_tokens": pa.array(
-                    np.zeros(docs.num_rows, np.int64), type=pa.int64()
+                    np.zeros(d.num_rows, np.int64), type=pa.int64()
                 ),
             }
         ).cast(out_schema)
+
+    untouched = passthrough(all_docs.filter(pa.array(~touched)))
+    if spans.num_rows == 0:
+        return untouched
+    docs = all_docs.filter(pa.array(touched))
+    ids = all_ids[touched]
     order = np.argsort(ids, kind="stable")
     docs = docs.take(pa.array(order))
     ids = ids[order]
@@ -1207,7 +1226,7 @@ def _rebuild_shard(g: pa.Table, text_col: str, id_col: str) -> pa.Table:
         np.add.at(n_tok, parents, 1)
     flat_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
     # spans -> difference array over the flat token stream (clipped)
-    s_ids = spans[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ids = span_ids
     row_of = np.searchsorted(ids, s_ids)
     # a span whose doc is outside this shard's docs would misroute — the
     # shared shard_column guarantees co-location, so this is an assert
@@ -1236,13 +1255,14 @@ def _rebuild_shard(g: pa.Table, text_col: str, id_col: str) -> pa.Table:
     kept_tokens = tokens.filter(pa.array(keep))
     lists = pa.ListArray.from_arrays(pa.array(offsets), kept_tokens)
     joined = pc.binary_join(lists, " ")
-    return pa.table(
+    rebuilt = pa.table(
         {
             id_col: pa.array(ids, type=pa.int64()),
             text_col: joined.cast(pa.string()),
             "n_cut_tokens": pa.array(cut_per_doc, type=pa.int64()),
         }
     ).cast(out_schema)
+    return pa.concat_tables([untouched, rebuilt])
 
 
 def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
@@ -1263,12 +1283,15 @@ def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
     nsh = shards or DEFAULT_SHARDS
 
     def doc_side(b: pa.Table) -> pa.Table:
+        # explicit marker, not text-validity: a doc with NULL text must
+        # stay a doc row (and pass through as-is), never read as a span
         t = pa.table(
             {
                 id_col: b[id_col].cast(pa.int64()),
                 text_col: b[text_col].cast(pa.string()),
                 "tok_start": pa.nulls(b.num_rows, pa.int64()),
                 "tok_end": pa.nulls(b.num_rows, pa.int64()),
+                "is_doc": pa.array(np.ones(b.num_rows, bool)),
             }
         )
         return shard_column(t, [id_col], nsh)
@@ -1280,6 +1303,7 @@ def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
                 text_col: pa.nulls(b.num_rows, pa.string()),
                 "tok_start": b["tok_start"].cast(pa.int64()),
                 "tok_end": b["tok_end"].cast(pa.int64()),
+                "is_doc": pa.array(np.zeros(b.num_rows, bool)),
             }
         )
         return shard_column(t, [id_col], nsh)

@@ -484,9 +484,10 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
                                 times in the document (every member counts);
     - ``dup_line_char_frac`` — same numerator weighted by line length, over
                                 total non-empty-line characters;
-    - ``top2gram_frac``      — occurrences of the most frequent token
-                                2-gram x 2 / n_tokens;
-    - ``top3gram_frac``      — most frequent token 3-gram x 3 / n_tokens;
+    - ``top2gram_frac``      — min(1, occurrences of the most frequent
+                                token 2-gram x 2 / n_tokens) — overlapping
+                                occurrences each count, hence the cap;
+    - ``top3gram_frac``      — min(1, most frequent 3-gram x 3 / n_tokens);
     - ``dup3gram_frac``      — min(1, tokens covered by 3-gram TYPES that
                                 occur >=2 times / n_tokens) — overlapping
                                 occurrences are each counted, hence the cap.
@@ -589,8 +590,14 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
             "dup_line_char_frac": pa.array(
                 _frac(dup_line_chars, line_chars), type=pa.float64()
             ),
-            "top2gram_frac": pa.array(_frac(top2 * 2, n_tokens), type=pa.float64()),
-            "top3gram_frac": pa.array(_frac(top3 * 3, n_tokens), type=pa.float64()),
+            "top2gram_frac": pa.array(
+                _frac(np.minimum(top2 * 2, n_tokens), n_tokens),
+                type=pa.float64(),
+            ),
+            "top3gram_frac": pa.array(
+                _frac(np.minimum(top3 * 3, n_tokens), n_tokens),
+                type=pa.float64(),
+            ),
             "dup3gram_frac": pa.array(
                 _frac(np.minimum(dup3, n_tokens), n_tokens), type=pa.float64()
             ),

@@ -65,10 +65,10 @@ SELECT tc.doc_id,
            AS dup_line_frac,
        round(coalesce(ls.dup_line_chars / nullif(ls.line_chars, 0), 0), 6)
            AS dup_line_char_frac,
-       round(coalesce(2 * g2s.top2 / nullif(tc.n_tokens, 0), 0), 6)
-           AS top2gram_frac,
-       round(coalesce(3 * g3s.top3 / nullif(tc.n_tokens, 0), 0), 6)
-           AS top3gram_frac,
+       round(coalesce(least(coalesce(2 * g2s.top2, 0), tc.n_tokens)
+                      / nullif(tc.n_tokens, 0), 0), 6) AS top2gram_frac,
+       round(coalesce(least(coalesce(3 * g3s.top3, 0), tc.n_tokens)
+                      / nullif(tc.n_tokens, 0), 0), 6) AS top3gram_frac,
        round(coalesce(least(coalesce(g3s.dup3, 0), tc.n_tokens)
                       / nullif(tc.n_tokens, 0), 0), 6) AS dup3gram_frac
 FROM tc
@@ -127,6 +127,7 @@ def test_repetition_matches_duckdb_twin_fixtures():
         "a b c a b c a b c d",
         "line one\nline two\nline one\n\n\nline two",
         "Mixed CASE tokens mixed case TOKENS",
+        "x x x x",  # top 2-gram (x,x) occurs 3x of 4 tokens: capped at 1.0
         "",
         "solo",
     ])

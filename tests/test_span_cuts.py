@@ -94,6 +94,26 @@ def test_apply_span_cuts_fixtures(ray_session):
     assert got["text"].to_pylist()[2] == ""
 
 
+def test_untouched_docs_byte_identical_even_sharing_a_shard(ray_session):
+    """shards=1 forces EVERY doc into the spanned doc's shard: docs with
+    no spans must still come back byte-identical (case, punctuation,
+    whitespace), and a NULL-text doc must pass through as a doc row."""
+    texts = ["cut me now please", "Hello, World!  MIXED case\tkeep-me", None]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = _run(tbl, _spans([(0, 1, 3)]), shards=1)
+    assert got["text"].to_pylist() == [
+        "cut please",
+        "Hello, World!  MIXED case\tkeep-me",
+        None,
+    ]
+    assert got["n_cut_tokens"].to_pylist() == [2, 0, 0]
+
+
 def test_apply_span_cuts_unknown_doc_raises(ray_session):
     import pytest
     import ray
