@@ -611,3 +611,152 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: repetition_batch(b, text_col, id_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed Gopher quality filter (Rae et al. 2021, Table A1)
+
+#: the 8 Gopher "stop words" — a document must contain >= 2 DISTINCT ones
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: rule bit positions in ``fail_mask`` (a set bit = the rule REJECTED the
+#: doc); thresholds are the published Gopher values, tokenization adapted
+#: to the shared [^a-z0-9]+ definition
+GOPHER_RULES = (
+    "word_count",          # bit 0: n_words outside [50, 100000]
+    "mean_word_len",       # bit 1: mean token length outside [3, 10]
+    "symbol_ratio",        # bit 2: (# + ellipsis) / n_words > 0.1
+    "bullet_ellipsis",     # bit 3: >90% bullet-start or >30% ellipsis-end lines
+    "alpha_words",         # bit 4: <80% of words contain a letter
+    "stopwords",           # bit 5: <2 distinct Gopher stop words
+    "dup_line",            # bit 6: dup_line_frac > 0.30
+    "dup_line_char",       # bit 7: dup_line_char_frac > 0.20
+    "top2gram",            # bit 8: top2gram_frac > 0.20
+    "top3gram",            # bit 9: top3gram_frac > 0.18
+    "dup3gram",            # bit 10: dup3gram_frac > 0.16
+)
+
+
+def gopher_filter_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_words: int = 50, max_words: int = 100_000) -> pa.Table:
+    """Per-doc Gopher quality gate: (id, n_words, fail_mask, keep) where
+    ``fail_mask`` sets one bit per violated rule (see ``GOPHER_RULES``)
+    and ``keep = fail_mask == 0``. One vectorized pass composing the
+    repetition signals with the doc/line/word-shape rules — no shuffle,
+    scale-safe at any corpus size. The DuckDB twin
+    (``tests/test_gopher.py``) reproduces every bit exactly."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = batch.num_rows
+    filled = pc.coalesce(texts, "")
+    rep = repetition_batch(batch, text_col, id_col)
+    n_words = rep["n_tokens"].to_numpy(zero_copy_only=False)
+
+    parents, tokens, _pos = split_tokens(texts)
+    tok_len = pc.utf8_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    len_sum = np.zeros(n_rows, np.int64)
+    alpha_words = np.zeros(n_rows, np.int64)
+    if len(parents):
+        np.add.at(len_sum, parents, tok_len)
+        has_alpha = pc.match_substring_regex(tokens, "[a-z]").to_numpy(
+            zero_copy_only=False
+        )
+        np.add.at(alpha_words, parents, has_alpha.astype(np.int64))
+    mean_len = np.divide(
+        len_sum.astype(np.float64), n_words,
+        out=np.zeros(n_rows, np.float64), where=n_words > 0,
+    )
+
+    # symbols: '#' occurrences + ellipsis occurrences ('...' or the
+    # one-char U+2026), counted on the RAW text
+    n_hash = pc.count_substring(filled, "#").to_numpy(zero_copy_only=False)
+    n_ell = (
+        pc.count_substring_regex(filled, r"\.{3}").to_numpy(zero_copy_only=False)
+        + pc.count_substring(filled, "…").to_numpy(zero_copy_only=False)
+    )
+    symbol_ratio = np.divide(
+        (n_hash + n_ell).astype(np.float64), n_words,
+        out=np.full(n_rows, np.inf), where=n_words > 0,
+    )
+
+    # line shapes: fraction of non-empty lines starting with a bullet or
+    # ending with an ellipsis
+    lists = pc.split_pattern(filled, "\n")
+    flat = pc.list_flatten(lists)
+    lparents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    lparents = lparents[nonempty]
+    lines = flat.filter(pa.array(nonempty))
+    n_lines = np.zeros(n_rows, np.int64)
+    bullet = np.zeros(n_rows, np.int64)
+    ell_end = np.zeros(n_rows, np.int64)
+    if len(lparents):
+        np.add.at(n_lines, lparents, 1)
+        is_bullet = pc.match_substring_regex(
+            lines, r"^\s*([-*•‣▪●])"
+        ).to_numpy(zero_copy_only=False)
+        is_ell = pc.match_substring_regex(
+            lines, r"(\.{3}|…)\s*$"
+        ).to_numpy(zero_copy_only=False)
+        np.add.at(bullet, lparents, is_bullet.astype(np.int64))
+        np.add.at(ell_end, lparents, is_ell.astype(np.int64))
+    bullet_frac = np.divide(
+        bullet.astype(np.float64), n_lines,
+        out=np.zeros(n_rows, np.float64), where=n_lines > 0,
+    )
+    ell_frac = np.divide(
+        ell_end.astype(np.float64), n_lines,
+        out=np.zeros(n_rows, np.float64), where=n_lines > 0,
+    )
+
+    # distinct Gopher stopwords per doc (index_in nulls = misses)
+    stop_idx = pc.index_in(
+        tokens, value_set=pa.array(GOPHER_STOPWORDS, type=pa.string())
+    )
+    n_stop = np.zeros(n_rows, np.int64)
+    valid = pc.is_valid(stop_idx).to_numpy(zero_copy_only=False)
+    if valid.any():
+        si = stop_idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(parents[valid].astype(np.int64) * 8 + si[valid])
+        np.add.at(n_stop, (uniq // 8).astype(np.int64), 1)
+
+    alpha_frac = np.divide(
+        alpha_words.astype(np.float64), n_words,
+        out=np.zeros(n_rows, np.float64), where=n_words > 0,
+    )
+
+    def col(name):
+        return rep[name].to_numpy(zero_copy_only=False)
+
+    fail = np.zeros(n_rows, np.int64)
+    fail |= ((n_words < min_words) | (n_words > max_words)).astype(np.int64) << 0
+    fail |= ((mean_len < 3) | (mean_len > 10)).astype(np.int64) << 1
+    fail |= (symbol_ratio > 0.1).astype(np.int64) << 2
+    fail |= ((bullet_frac > 0.9) | (ell_frac > 0.3)).astype(np.int64) << 3
+    fail |= (alpha_frac < 0.8).astype(np.int64) << 4
+    fail |= (n_stop < 2).astype(np.int64) << 5
+    fail |= (col("dup_line_frac") > 0.30).astype(np.int64) << 6
+    fail |= (col("dup_line_char_frac") > 0.20).astype(np.int64) << 7
+    fail |= (col("top2gram_frac") > 0.20).astype(np.int64) << 8
+    fail |= (col("top3gram_frac") > 0.18).astype(np.int64) << 9
+    fail |= (col("dup3gram_frac") > 0.16).astype(np.int64) << 10
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "fail_mask": pa.array(fail, type=pa.int64()),
+            "keep": pa.array(fail == 0, type=pa.bool_()),
+        }
+    )
+
+
+def gopher_filter(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_words: int = 50, max_words: int = 100_000):
+    """Dataset-level Gopher quality gate: stateless vectorized map, no
+    shuffle."""
+    return ds.map_batches(
+        lambda b: gopher_filter_batch(b, text_col, id_col, min_words, max_words),
+        batch_format="pyarrow",
+    )

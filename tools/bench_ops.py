@@ -318,6 +318,9 @@ def main() -> None:
         ("repetition_stats", lambda: __import__(
             "tangent_ray.ops.textstats", fromlist=["repetition_stats"]
         ).repetition_stats(ds())),
+        ("gopher_filter", lambda: __import__(
+            "tangent_ray.ops.textstats", fromlist=["gopher_filter"]
+        ).gopher_filter(ds())),
         ("paragraph_dedup", lambda: __import__(
             "tangent_ray.ops.dedup", fromlist=["paragraph_dedup"]
         ).paragraph_dedup(ds())),
