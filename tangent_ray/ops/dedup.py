@@ -1315,3 +1315,131 @@ def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
         lambda g: _rebuild_shard(g.drop_columns(["shard"]), text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def _rebuild_paragraph_shard(g: pa.Table, text_col: str,
+                             id_col: str) -> pa.Table:
+    """One id-hash shard of the doc/flag UNION: rebuild each flagged doc
+    as its kept paragraphs re-joined with blank lines; docs with no DROP
+    flags in the shard pass through byte-identical. Vectorized: one
+    split_pattern over the touched docs, one boolean gather, one list
+    re-join."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), (text_col, pa.string()),
+         ("n_cut_paras", pa.int64())]
+    )
+    if g.num_rows == 0:
+        return out_schema.empty_table()
+    is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+    all_docs = g.filter(pa.array(is_doc))
+    flags = g.filter(pa.array(~is_doc))
+    # only DROP flags matter; keep=true rows change nothing
+    drop = flags.filter(pc.equal(pc.coalesce(flags["keep"], True), False))
+    all_ids = all_docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    d_ids = drop[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    touched = np.isin(all_ids, d_ids)
+
+    untouched = pa.table(
+        {
+            id_col: all_docs.filter(pa.array(~touched))[id_col],
+            text_col: all_docs.filter(pa.array(~touched))[text_col],
+            "n_cut_paras": pa.array(
+                np.zeros(int((~touched).sum()), np.int64), type=pa.int64()
+            ),
+        }
+    ).cast(out_schema)
+    if drop.num_rows == 0:
+        return untouched
+    docs = all_docs.filter(pa.array(touched))
+    ids = all_ids[touched]
+    order = np.argsort(ids, kind="stable")
+    docs = docs.take(pa.array(order))
+    ids = ids[order]
+    texts = docs[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(pc.coalesce(texts, ""), "\n\n")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    n_para = np.diff(offsets)  # ALL splits incl. empties (para_idx basis)
+    idx1 = np.arange(len(flat), dtype=np.int64) - offsets[parents] + 1
+    # mark dropped (doc, para_idx) positions
+    row_of = np.searchsorted(ids, d_ids)
+    if len(row_of) and (
+        (row_of >= len(ids)).any()
+        or (ids[np.minimum(row_of, len(ids) - 1)] != d_ids).any()
+    ):
+        raise ValueError("apply_paragraph_cuts: flag for an unknown doc id")
+    d_idx = drop["para_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    valid_flag = (d_idx >= 1) & (d_idx <= n_para[row_of])
+    cut = np.zeros(len(flat), dtype=bool)
+    cut[offsets[row_of[valid_flag]] + d_idx[valid_flag] - 1] = True
+    keep = ~cut
+    cut_per_doc = np.zeros(docs.num_rows, np.int64)
+    np.add.at(cut_per_doc, parents[cut], 1)
+    kept_per_doc = n_para - cut_per_doc
+    new_off = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    kept = flat.filter(pa.array(keep))
+    out_lists = pa.ListArray.from_arrays(pa.array(new_off), kept)
+    joined = pc.binary_join(out_lists, "\n\n")
+    rebuilt = pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            text_col: joined.cast(pa.string()),
+            "n_cut_paras": pa.array(cut_per_doc, type=pa.int64()),
+        }
+    ).cast(out_schema)
+    return pa.concat_tables([untouched, rebuilt])
+
+
+def apply_paragraph_cuts(docs_ds, flags_ds, text_col: str = "text",
+                         id_col: str = "doc_id", shards: int | None = None):
+    """Apply ``paragraph_dedup`` flags: each doc whose flags mark DROPPED
+    paragraphs is rebuilt as its kept splits re-joined with blank lines
+    (empty splits between kept paragraphs are preserved as splits, so
+    para_idx stays consistent under iteration); docs with no dropped
+    paragraph pass through byte-identical. Returns (id, text,
+    n_cut_paras). Same co-location shape as ``apply_span_cuts``: UNION +
+    one id-hash shard groupby, no join machinery."""
+    from tangent_ray.util import DEFAULT_SHARDS, shard_column
+
+    nsh = shards or DEFAULT_SHARDS
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                text_col: b[text_col].cast(pa.string()),
+                "para_idx": pa.nulls(b.num_rows, pa.int64()),
+                "keep": pa.nulls(b.num_rows, pa.bool_()),
+                "is_doc": pa.array(np.ones(b.num_rows, bool)),
+            }
+        )
+        return shard_column(t, [id_col], nsh)
+
+    def flag_side(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                text_col: pa.nulls(b.num_rows, pa.string()),
+                "para_idx": b["para_idx"].cast(pa.int64()),
+                "keep": b["keep"].cast(pa.bool_()),
+                "is_doc": pa.array(np.zeros(b.num_rows, bool)),
+            }
+        )
+        return shard_column(t, [id_col], nsh)
+
+    union = docs_ds.map_batches(doc_side, batch_format="pyarrow").union(
+        flags_ds.map_batches(flag_side, batch_format="pyarrow")
+    )
+    return union.groupby("shard").map_groups(
+        lambda g: _rebuild_paragraph_shard(
+            g.drop_columns(["shard"]), text_col, id_col
+        ),
+        batch_format="pyarrow",
+    )
