@@ -1340,13 +1340,13 @@ def _rebuild_paragraph_shard(g: pa.Table, text_col: str,
     all_ids = all_docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     d_ids = drop[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     touched = np.isin(all_ids, d_ids)
-
+    pass_docs = all_docs.filter(pa.array(~touched))
     untouched = pa.table(
         {
-            id_col: all_docs.filter(pa.array(~touched))[id_col],
-            text_col: all_docs.filter(pa.array(~touched))[text_col],
+            id_col: pass_docs[id_col],
+            text_col: pass_docs[text_col],
             "n_cut_paras": pa.array(
-                np.zeros(int((~touched).sum()), np.int64), type=pa.int64()
+                np.zeros(pass_docs.num_rows, np.int64), type=pa.int64()
             ),
         }
     ).cast(out_schema)
@@ -1365,7 +1365,6 @@ def _rebuild_paragraph_shard(g: pa.Table, text_col: str,
     parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     offsets = lists.offsets.to_numpy(zero_copy_only=False)
     n_para = np.diff(offsets)  # ALL splits incl. empties (para_idx basis)
-    idx1 = np.arange(len(flat), dtype=np.int64) - offsets[parents] + 1
     # mark dropped (doc, para_idx) positions
     row_of = np.searchsorted(ids, d_ids)
     if len(row_of) and (
@@ -1374,9 +1373,15 @@ def _rebuild_paragraph_shard(g: pa.Table, text_col: str,
     ):
         raise ValueError("apply_paragraph_cuts: flag for an unknown doc id")
     d_idx = drop["para_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    valid_flag = (d_idx >= 1) & (d_idx <= n_para[row_of])
+    # a para_idx outside the doc's split count means the flags were
+    # computed against a DIFFERENT corpus version — as loud as the
+    # unknown-doc check above, not a silent no-op
+    if len(d_idx) and ((d_idx < 1) | (d_idx > n_para[row_of])).any():
+        raise ValueError(
+            "apply_paragraph_cuts: para_idx out of range (stale flags?)"
+        )
     cut = np.zeros(len(flat), dtype=bool)
-    cut[offsets[row_of[valid_flag]] + d_idx[valid_flag] - 1] = True
+    cut[offsets[row_of] + d_idx - 1] = True
     keep = ~cut
     cut_per_doc = np.zeros(docs.num_rows, np.int64)
     np.add.at(cut_per_doc, parents[cut], 1)

@@ -475,8 +475,24 @@ def _gram_keys(th: np.ndarray, parents: np.ndarray, n: int) -> tuple[np.ndarray,
     return key[same], parents[: len(parents) - n + 1][same]
 
 
+def _split_lines(texts) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Non-empty LF-split lines of a string array: (line_parents, lines,
+    line_lengths) — the ONE line definition shared by the repetition
+    signals and the Gopher gate (so the expensive split runs once when
+    they compose)."""
+    lists = pc.split_pattern(pc.coalesce(texts, ""), "\n")
+    flat = pc.list_flatten(lists)
+    lparents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    lparents = lparents[keep]
+    lines = flat.filter(pa.array(keep))
+    llen = pc.utf8_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    return lparents, lines, llen
+
+
 def repetition_batch(batch: pa.Table, text_col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
+                     id_col: str = "doc_id", *, _tok=None,
+                     _lines=None) -> pa.Table:
     """Per-document repetition signals (the Gopher/RefinedWeb family):
 
     - ``dup_line_frac``      — fraction of non-empty lines (split on LF)
@@ -505,14 +521,10 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
     n_rows = batch.num_rows
     from tangent_ray.tokenize.text import md5_u64
 
-    # --- line stats -------------------------------------------------------
-    lists = pc.split_pattern(pc.coalesce(texts, ""), "\n")
-    flat = pc.list_flatten(lists)
-    lparents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    lparents = lparents[keep]
-    lines = flat.filter(pa.array(keep))
-    llen = pc.utf8_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    # --- line stats (``_tok``/``_lines`` let a composing caller — the
+    # Gopher gate — reuse its own tokenize/line-split instead of re-paying
+    # the two most expensive passes) ----------------------------------------
+    lparents, lines, llen = _lines if _lines is not None else _split_lines(texts)
     # EXACT line identity: per-batch dictionary codes, not a hash — equal
     # codes iff equal strings (the n-gram keys below do use 64-bit hash
     # combines; at ~1e6 grams/batch the in-batch birthday odds are ~3e-8,
@@ -542,7 +554,7 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
             )
 
     # --- n-gram stats -------------------------------------------------------
-    parents, tokens, _pos = split_tokens(texts)
+    parents, tokens = _tok if _tok is not None else split_tokens(texts)[:2]
     th = md5_u64(tokens)
     n_tokens = np.zeros(n_rows, np.int64)
     if len(parents):
@@ -620,8 +632,12 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 #: rule bit positions in ``fail_mask`` (a set bit = the rule REJECTED the
-#: doc); thresholds are the published Gopher values, tokenization adapted
-#: to the shared [^a-z0-9]+ definition
+#: doc). Doc-shape thresholds (bits 0-5) are the published Gopher values;
+#: the repetition caps (bits 6-10) are ADAPTED to this package's five
+#: signals — Gopher's n-gram rules are CHARACTER fractions over 2..10-gram
+#: families, these are token-count fractions over the 2/3-gram signals
+#: repetition_batch computes (bit 10 reuses Gopher's 0.16 from its top-
+#: 4-gram rule as the dup-3-gram cap), tokenization the shared [^a-z0-9]+
 GOPHER_RULES = (
     "word_count",          # bit 0: n_words outside [50, 100000]
     "mean_word_len",       # bit 1: mean token length outside [3, 10]
@@ -651,10 +667,14 @@ def gopher_filter_batch(batch: pa.Table, text_col: str = "text",
         texts = texts.combine_chunks()
     n_rows = batch.num_rows
     filled = pc.coalesce(texts, "")
-    rep = repetition_batch(batch, text_col, id_col)
+    parents, tokens, _pos = split_tokens(texts)
+    lparents, lines, llen = _split_lines(texts)
+    rep = repetition_batch(
+        batch, text_col, id_col,
+        _tok=(parents, tokens), _lines=(lparents, lines, llen),
+    )
     n_words = rep["n_tokens"].to_numpy(zero_copy_only=False)
 
-    parents, tokens, _pos = split_tokens(texts)
     tok_len = pc.utf8_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
     len_sum = np.zeros(n_rows, np.int64)
     alpha_words = np.zeros(n_rows, np.int64)
@@ -682,13 +702,7 @@ def gopher_filter_batch(batch: pa.Table, text_col: str = "text",
     )
 
     # line shapes: fraction of non-empty lines starting with a bullet or
-    # ending with an ellipsis
-    lists = pc.split_pattern(filled, "\n")
-    flat = pc.list_flatten(lists)
-    lparents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    lparents = lparents[nonempty]
-    lines = flat.filter(pa.array(nonempty))
+    # ending with an ellipsis (lines from the shared split above)
     n_lines = np.zeros(n_rows, np.int64)
     bullet = np.zeros(n_rows, np.int64)
     ell_end = np.zeros(n_rows, np.int64)
@@ -718,9 +732,10 @@ def gopher_filter_batch(batch: pa.Table, text_col: str = "text",
     n_stop = np.zeros(n_rows, np.int64)
     valid = pc.is_valid(stop_idx).to_numpy(zero_copy_only=False)
     if valid.any():
+        nsw = len(GOPHER_STOPWORDS)
         si = stop_idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = np.unique(parents[valid].astype(np.int64) * 8 + si[valid])
-        np.add.at(n_stop, (uniq // 8).astype(np.int64), 1)
+        uniq = np.unique(parents[valid].astype(np.int64) * nsw + si[valid])
+        np.add.at(n_stop, (uniq // nsw).astype(np.int64), 1)
 
     alpha_frac = np.divide(
         alpha_words.astype(np.float64), n_words,

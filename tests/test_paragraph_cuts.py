@@ -84,6 +84,16 @@ def test_apply_paragraph_cuts_fixtures(ray_session):
     assert got1["text"].to_pylist()[3] == "a\n\n"
 
 
+def test_stale_flags_raise(ray_session):
+    import pytest
+
+    # para_idx beyond the doc's split count = flags from another corpus
+    with pytest.raises(Exception, match="out of range"):
+        _run(_docs(["a\n\nb"]), _flags([(0, 5, False)]))
+    with pytest.raises(Exception, match="unknown doc id"):
+        _run(_docs(["a\n\nb"]), _flags([(42, 1, False)]))
+
+
 def test_paragraph_dedup_then_cuts_e2e(ray_session):
     import ray
     import ray.data
