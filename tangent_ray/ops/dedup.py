@@ -1266,7 +1266,8 @@ def _rebuild_shard(g: pa.Table, text_col: str, id_col: str) -> pa.Table:
 
 
 def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
-                    id_col: str = "doc_id", shards: int | None = None):
+                    id_col: str = "doc_id", shards: int | None = None,
+                    prefilter: bool = False):
     """Cut ``window_dedup`` spans out of the corpus: each doc's text is
     rebuilt as its kept tokens (shared normalized tokenizer, single-space
     joined — token coordinates are what the spans are expressed in; docs
@@ -1275,12 +1276,44 @@ def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
 
     Co-location without a join: docs and spans are UNIONED into one
     Dataset (schema-harmonized with nulls), sharded by the SAME id hash,
-    and rebuilt per shard — ONE payload-rate shuffle total. At 100 TB with
-    a low dup rate, pre-filter the doc side against a broadcast set/Bloom
-    of span doc-ids so only touched docs shuffle."""
+    and rebuilt per shard — ONE payload-rate shuffle total.
+
+    ``prefilter=True`` is the 100-TB low-dup-rate path: span doc-ids build
+    a distributed Bloom filter (ops/bloom: OR-tree of per-block bitsets,
+    bitset broadcast once per worker); definite non-members stream STRAIGHT
+    to the output with no shuffle, only the (dup-rate + FP-rate) fraction
+    of docs pays the co-location shuffle. Bloom false positives are safe —
+    an FP doc rides the shuffle and exits via the rebuild path's own
+    byte-identical passthrough. Two pruned payload reads replace one full
+    payload shuffle; output is identical either way (tested)."""
     from tangent_ray.util import DEFAULT_SHARDS, shard_column
 
     nsh = shards or DEFAULT_SHARDS
+    if prefilter:
+        from tangent_ray.ops.bloom import build_bloom, filter_by_bloom
+
+        spans_ds = spans_ds.materialize()  # consumed twice: bloom + union
+        bloom = build_bloom(spans_ds.select_columns([id_col]), id_col)
+
+        def passthrough(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: b[id_col].cast(pa.int64()),
+                    text_col: b[text_col].cast(pa.string()),
+                    "n_cut_tokens": pa.array(
+                        np.zeros(b.num_rows, np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        untouched = filter_by_bloom(
+            docs_ds, bloom, id_col, keep_hits=False
+        ).map_batches(passthrough, batch_format="pyarrow")
+        candidates = filter_by_bloom(docs_ds, bloom, id_col, keep_hits=True)
+        cut = apply_span_cuts(
+            candidates, spans_ds, text_col, id_col, shards, prefilter=False
+        )
+        return cut.union(untouched)
 
     def doc_side(b: pa.Table) -> pa.Table:
         # explicit marker, not text-validity: a doc with NULL text must

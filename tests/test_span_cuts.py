@@ -94,6 +94,36 @@ def test_apply_span_cuts_fixtures(ray_session):
     assert got["text"].to_pylist()[2] == ""
 
 
+def test_prefilter_output_identical(ray_session):
+    """prefilter=True (Bloom split: untouched stream + shuffled rebuild)
+    must produce exactly the same rows as the plain path."""
+    import ray
+    import ray.data
+
+    texts = [f"unique{i} words here for doc {i} " * 3 for i in range(40)]
+    texts[7] = "cut this span right here now"
+    texts[23] = None
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    spans = _spans([(7, 1, 3), (12, 0, 2)])
+    plain = _run(tbl, spans, shards=3)
+    out = apply_span_cuts(
+        ray.data.from_arrow(tbl), ray.data.from_arrow(spans),
+        shards=3, prefilter=True,
+    )
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    pre = pa.concat_tables(
+        [x.select(["doc_id", "text", "n_cut_tokens"]) for x in tabs]
+    )
+    order = np.argsort(pre["doc_id"].to_numpy(zero_copy_only=False))
+    pre = pre.take(pa.array(order))
+    assert pre.to_pydict() == plain.to_pydict()
+
+
 def test_untouched_docs_byte_identical_even_sharing_a_shard(ray_session):
     """shards=1 forces EVERY doc into the spanned doc's shard: docs with
     no spans must still come back byte-identical (case, punctuation,
