@@ -479,3 +479,88 @@ def source_mix_resample(
         lambda b: _resample_epochs(b, mult, id_col, source_col),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filter (Raffel et al. 2020, the C4 cleaning rules)
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_filter_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_line_words: int = C4_MIN_LINE_WORDS,
+                    min_kept_lines: int = C4_MIN_KEPT_LINES) -> pa.Table:
+    """The C4 cleaning pass, line-level rules vectorized in one map:
+
+    - keep a line iff it ends in terminal punctuation (``.!?"``) AND has
+      >= ``min_line_words`` words (shared ``[^a-z0-9]+`` tokenizer);
+    - rebuild the doc from kept lines (LF-joined);
+    - ``keep`` = doc retains >= ``min_kept_lines`` lines (C4's 3-sentence
+      floor, line-as-sentence proxy) AND contains neither ``lorem ipsum``
+      nor a ``{`` (code pages). C4's word-blocklist rule is intentionally
+      omitted (no public-list shipping here); its 3-sentence-span dedup is
+      ``window_dedup``'s job.
+
+    Returns (id, text, n_kept_lines, n_dropped_lines, keep). Stateless
+    vectorized map — no shuffle. Exact DuckDB twin in
+    ``tests/test_c4.py``."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = batch.num_rows
+    filled = pc.coalesce(texts, "")
+    lists = pc.split_pattern(filled, "\n")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    terminal = pc.match_substring_regex(
+        flat, r'[.!?"]\s*$'
+    ).to_numpy(zero_copy_only=False)
+    lp, _tok, _ = split_tokens(flat)
+    words_per_line = np.zeros(len(flat), np.int64)
+    if len(lp):
+        np.add.at(words_per_line, lp, 1)
+    keep_line = terminal & (words_per_line >= min_line_words)
+
+    n_lines_tot = np.zeros(n_rows, np.int64)
+    n_kept = np.zeros(n_rows, np.int64)
+    np.add.at(n_lines_tot, parents, 1)
+    if keep_line.any():
+        np.add.at(n_kept, parents[keep_line], 1)
+
+    offsets = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    kept_lines = flat.filter(pa.array(keep_line))
+    out_lists = pa.ListArray.from_arrays(pa.array(offsets), kept_lines)
+    rebuilt = pc.binary_join(out_lists, "\n")
+
+    lower = pc.utf8_lower(filled)
+    lorem = pc.match_substring(lower, "lorem ipsum").to_numpy(
+        zero_copy_only=False
+    )
+    brace = pc.match_substring(filled, "{").to_numpy(zero_copy_only=False)
+    keep_doc = (n_kept >= min_kept_lines) & ~lorem & ~brace
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            text_col: rebuilt.cast(pa.string()),
+            "n_kept_lines": pa.array(n_kept, type=pa.int64()),
+            "n_dropped_lines": pa.array(n_lines_tot - n_kept, type=pa.int64()),
+            "keep": pa.array(keep_doc, type=pa.bool_()),
+        }
+    )
+
+
+def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id",
+              min_line_words: int = C4_MIN_LINE_WORDS,
+              min_kept_lines: int = C4_MIN_KEPT_LINES):
+    """Dataset-level C4 cleaning pass: stateless vectorized map, no
+    shuffle."""
+    return ds.map_batches(
+        lambda b: c4_filter_batch(
+            b, text_col, id_col, min_line_words, min_kept_lines
+        ),
+        batch_format="pyarrow",
+    )

@@ -321,6 +321,9 @@ def main() -> None:
         ("gopher_filter", lambda: __import__(
             "tangent_ray.ops.textstats", fromlist=["gopher_filter"]
         ).gopher_filter(ds())),
+        ("c4_filter", lambda: __import__(
+            "tangent_ray.ops.curation", fromlist=["c4_filter"]
+        ).c4_filter(ds())),
         ("paragraph_dedup", lambda: __import__(
             "tangent_ray.ops.dedup", fromlist=["paragraph_dedup"]
         ).paragraph_dedup(ds())),
