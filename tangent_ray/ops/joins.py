@@ -49,7 +49,13 @@ def _ts_i8(col, what: str) -> np.ndarray:
     return a.astype("datetime64[us]").astype(np.int64)
 
 
-_JOIN_TYPES = {"inner": "inner", "left": "left outer"}
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+    "outer": "full outer",
+}
 
 
 def _right_renames(left_names, right_names, on, suffix: str) -> dict[str, str]:
@@ -96,12 +102,16 @@ def broadcast_join(left_ds, right, on, how: str = "inner", suffix: str = "_r"):
     here, ``ray.put`` once, deserialized once per actor, and probed per
     batch with Arrow's C++ hash join — the left side never shuffles, which
     is the correct plan whenever the right side fits a worker's heap.
-    ``how`` is ``inner`` or ``left``.
+    ``how`` is ``inner``, ``left``, ``semi`` or ``anti`` (NOT ``outer``:
+    the right table is probed once per batch, so unmatched right rows
+    would be emitted once per batch — use ``hash_join`` for full outer).
     """
     import ray
 
     from tangent_ray.util import actor_pool
 
+    if how == "outer":
+        raise ValueError("broadcast_join: use hash_join for how='outer'")
     join_type = _JOIN_TYPES[how]
     if not isinstance(right, pa.Table):
         # A Dataset can contain zero-row blocks whose Arrow schema has NO
@@ -142,9 +152,13 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     Both sides are padded to a common (union) schema with a side tag,
     unioned, hash-sharded on the key columns so every row of a key lands on
     one shard, and each shard runs a single C++ hash join over its two
-    sides. ``how`` is ``inner`` or ``left``; right non-key columns that
-    collide with left names get ``suffix``. Key columns must have equal
-    types on both sides (cast upstream — this operator does not coerce).
+    sides. ``how`` is ``inner``, ``left``, ``outer`` (full), ``semi`` or
+    ``anti`` (semi/anti emit LEFT columns only); right non-key columns
+    that collide with left names get ``suffix``. Key columns must have
+    equal types on both sides (cast upstream — this operator does not
+    coerce). Per-shard joins compose correctly for every mode because the
+    key-hash co-location is total: a key's rows from BOTH sides land on
+    exactly one shard.
     """
     join_type = _JOIN_TYPES[how]
     on = [on] if isinstance(on, str) else list(on)
@@ -166,7 +180,7 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         + [(_SIDE, pa.int8())]
     )
     union_schema = pa.schema(union_fields)
-    out_names = on + l_extra + r_extra
+    out_names = on + l_extra if how in ("semi", "anti") else on + l_extra + r_extra
 
     def pad(side: int, rename: dict[str, str]):
         def f(batch: pa.Table) -> pa.Table:
@@ -207,8 +221,14 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         right = pa.table(
             {n: g[n].filter(pa.array(~is_l)) for n in on + r_extra}
         )
-        if left.num_rows == 0 or (right.num_rows == 0 and how == "inner"):
+        if left.num_rows == 0 and how != "outer":
             return empty_out
+        if right.num_rows == 0:
+            if how in ("inner", "semi"):
+                return empty_out
+            if how == "anti":
+                return left.select(out_names)
+            # left/outer: Acero emits lefts with null right columns
         return left.join(right, keys=on, join_type=join_type).select(out_names)
 
     return both.groupby(_SHARD).map_groups(per_shard, batch_format="pyarrow")

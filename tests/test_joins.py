@@ -421,3 +421,133 @@ def test_range_count_rejects_null_bounds(ray_session):
             ray.data.from_arrow(points), ray.data.from_arrow(intervals),
             bucket_us=1000,
         ).materialize()
+
+
+def test_hash_join_semi_anti_outer_match_duckdb(ray_session):
+    from tangent_ray.ops.joins import hash_join
+
+    cases = (
+        ("semi", "SELECT l.k, l.a, l.v FROM l SEMI JOIN r USING (k)"),
+        ("anti", "SELECT l.k, l.a, l.v FROM l ANTI JOIN r USING (k)"),
+        ("outer",
+         "SELECT TRUE AS m, coalesce(l.k, r.k) AS k, "
+         "l.a, l.v, r.v AS v_r, r.w FROM l FULL JOIN r ON l.k = r.k"),
+    )
+    for how, sql in cases:
+        out = hash_join(
+            ray.data.from_arrow(_l_tbl()), ray.data.from_arrow(_r_tbl()),
+            on="k", how=how, shards=4,
+        )
+        def nkey(rows):
+            return sorted(
+                rows,
+                key=lambda t: tuple((v is None, str(type(v)), v or 0)
+                                    for v in t),
+            )
+
+        if how == "outer":
+            # engine emits ONE k column; DuckDB's FULL JOIN keeps two —
+            # the twin coalesces them plus a constant-true marker column
+            # to keep the arity equal for the sorted-row comparison
+            import duckdb
+
+            df = out.to_pandas()
+            df.insert(0, "m", True)
+            got = [
+                tuple(None if x != x else x for x in row)
+                for row in df[sorted(df.columns)].itertuples(index=False)
+            ]
+            l, r = _l_tbl(), _r_tbl()  # noqa: F841
+            wdf = duckdb.sql(sql).df()
+            want = [
+                tuple(
+                    None if x != x
+                    else (int(x) if isinstance(x, float) else x)
+                    for x in row
+                )
+                for row in wdf[sorted(wdf.columns)].itertuples(index=False)
+            ]
+            assert nkey(got) == nkey(want)
+        else:
+            assert _rows(out) == _duck_rows(sql)
+
+
+def test_hash_join_semi_anti_empty_right(ray_session):
+    from tangent_ray.ops.joins import hash_join
+
+    empty_r = ray.data.from_arrow(_r_tbl().slice(0, 0))
+    semi = hash_join(ray.data.from_arrow(_l_tbl()), empty_r, on="k",
+                     how="semi", shards=4)
+    assert semi.count() == 0
+    anti = hash_join(ray.data.from_arrow(_l_tbl()), empty_r, on="k",
+                     how="anti", shards=4)
+    assert _rows(anti) == sorted(
+        tuple(None if x != x else x for x in row)
+        for row in _l_tbl().to_pandas()[sorted(_l_tbl().column_names)]
+        .itertuples(index=False)
+    )
+
+
+def test_broadcast_join_semi_anti(ray_session):
+    from tangent_ray.ops.joins import broadcast_join, hash_join
+
+    import pytest
+
+    for how in ("semi", "anti"):
+        bc = broadcast_join(
+            ray.data.from_arrow(_l_tbl()), _r_tbl(), on="k", how=how
+        )
+        sh = hash_join(
+            ray.data.from_arrow(_l_tbl()), ray.data.from_arrow(_r_tbl()),
+            on="k", how=how, shards=4,
+        )
+        assert _rows(bc) == _rows(sh)
+    with pytest.raises(ValueError, match="outer"):
+        broadcast_join(
+            ray.data.from_arrow(_l_tbl()), _r_tbl(), on="k", how="outer"
+        )
+
+
+def test_hash_join_semi_anti_outer_fuzz_vs_duckdb(ray_session):
+    import duckdb
+
+    from tangent_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        nl, nr = int(rng.integers(1, 50)), int(rng.integers(1, 35))
+        lk = rng.integers(0, 10, nl).astype(object)
+        rk = rng.integers(0, 10, nr).astype(object)
+        lk[rng.random(nl) < 0.15] = None
+        rk[rng.random(nr) < 0.15] = None
+        lt = pa.table(
+            {"k": pa.array(lk.tolist(), type=pa.int64()),
+             "a": pa.array(rng.integers(0, 999, nl), type=pa.int64())}
+        )
+        rt = pa.table(
+            {"k": pa.array(rk.tolist(), type=pa.int64()),
+             "b": pa.array(rng.integers(0, 999, nr), type=pa.int64())}
+        )
+        left = ray.data.from_arrow(lt)
+        for how, sql, cols in (
+            ("semi", "SELECT * FROM lt SEMI JOIN rt USING (k)", ["k", "a"]),
+            ("anti", "SELECT * FROM lt ANTI JOIN rt USING (k)", ["k", "a"]),
+            ("outer",
+             "SELECT coalesce(lt.k, rt.k) AS k, a, b FROM lt "
+             "FULL JOIN rt ON lt.k = rt.k", ["k", "a", "b"]),
+        ):
+            got = hash_join(
+                left, ray.data.from_arrow(rt), on="k", how=how, shards=5
+            ).to_pandas()
+            want = duckdb.sql(sql).df()
+
+            def canon(df):
+                rows = [
+                    tuple(None if v != v else int(v) for v in row)
+                    for row in df[cols].itertuples(index=False)
+                ]
+                return sorted(
+                    rows, key=lambda t: tuple((v is None, v or 0) for v in t)
+                )
+
+            assert canon(got) == canon(want), (trial, how)
