@@ -96,6 +96,10 @@ def build_bloom(ds, col: str, bits_log2: int = 27, k: int = 4):
 
     @ray.remote
     def partial(block: pa.Table) -> np.ndarray:
+        # a Dataset can contain zero-row blocks whose schema has NO
+        # columns (same Ray quirk broadcast_join guards against)
+        if block.num_rows == 0 or col not in block.schema.names:
+            return np.zeros(1 << (bits_log2 - 6), dtype=np.uint64)
         ids = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
         return _partial_bitset(ids, bits_log2, k)
 
