@@ -564,3 +564,53 @@ def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id",
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-size uniform sample
+
+SAMPLE_KEY_HEX = 15  # 60 bits: fits both int64 and DuckDB's BIGINT cast
+
+
+def sample_key(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 60-bit sample ordering key: first 15 hex digits of
+    ``md5('u:' + str(id))`` — engine-stable (the DuckDB twin computes the
+    identical key) and salt-decorrelated from both the holdout split and
+    the rate-based sample bucket. Metadata-rate Python md5 over ids only."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"u:{int(i)}".encode()).hexdigest()[:SAMPLE_KEY_HEX], 16)
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def uniform_sample(ds, k: int, id_col: str = "doc_id"):
+    """Fixed-size deterministic uniform sample: the k rows with the
+    smallest salted-md5 id keys (ties broken by id). Equivalent to
+    ``ORDER BY md5_key, id LIMIT k`` but never sorts the corpus: each
+    batch prunes to its own k smallest (vectorized argpartition), so the
+    final sort+limit sees only k x n_blocks rows. Deterministic across
+    runs AND across corpus growth in the same sense as a min-wise sketch:
+    a doc in the sample stays in it until k better keys exist."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = sample_key(ids)
+        if len(ids) > k:
+            cut = np.argpartition(keys, k - 1)[:k]
+            batch = batch.take(pa.array(cut))
+            keys = keys[cut]
+        return batch.append_column(
+            "sample_key", pa.array(keys, type=pa.int64())
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .sort(["sample_key", id_col])
+        .limit(k)
+    )
