@@ -123,3 +123,51 @@ def test_paragraph_explode_fuzz_vs_twin():
         # distinct texts -> distinct keys (128-bit: collision ~ impossible)
         all_keys = [next(iter(v)) for v in by_text.values()]
         assert len(set(all_keys)) == len(all_keys)
+
+
+def test_mix_resample_fuzz_vs_twin(ray_session):
+    import ray
+    import ray.data
+
+    from tests.test_mix_resample import COLS, _twin
+
+    from tangent_ray.ops.curation import source_mix_resample
+
+    rng = np.random.default_rng(31)
+    for seed in range(4):
+        n = 80
+        srcs = [f"s{int(x)}" for x in rng.integers(0, 5, n)]
+        texts = [
+            " ".join(rng.choice(WORDS, size=int(rng.integers(0, 20))))
+            for _ in range(n)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "source": pa.array(srcs, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        weights = {f"s{i}": float(w) for i, w in
+                   enumerate(rng.integers(0, 4, 5))}
+        if sum(weights.values()) == 0:
+            weights["s0"] = 1.0
+        ds = ray.data.from_arrow(tbl)
+        refs = source_mix_resample(ds, weights, max_epochs=7.0).to_arrow_refs()
+        import ray as _r
+
+        tabs = [t for t in _r.get(refs) if t.num_rows]
+        if tabs:
+            got = pa.concat_tables([t.select(COLS) for t in tabs])
+            order = np.lexsort(
+                (
+                    got["epoch"].to_numpy(zero_copy_only=False),
+                    got["doc_id"].to_numpy(zero_copy_only=False),
+                )
+            )
+            got = got.take(pa.array(order)).to_pydict()
+        else:
+            got = {c: [] for c in COLS}
+        want = _twin(tbl, weights, max_epochs=7.0).to_pydict()
+        assert got == want, f"seed {seed} weights {weights}"
+        rng = np.random.default_rng(31 + seed + 1)
