@@ -60,9 +60,20 @@ def _partial_bitset(ids: np.ndarray, bits_log2: int, k: int) -> np.ndarray:
     return words
 
 
-def bloom_contains(bitset: np.ndarray, ids: np.ndarray, k: int = 4) -> np.ndarray:
+def bloom_contains(bloom, ids: np.ndarray, k: int | None = None) -> np.ndarray:
     """Vectorized membership probe: True = maybe present (FP possible),
-    False = definitely absent."""
+    False = definitely absent. ``bloom`` is either the ``build_bloom``
+    result dict (k travels WITH the bitset — probing with a different k
+    than the build would silently produce false negatives) or a raw packed
+    bitset plus an explicit ``k``."""
+    if isinstance(bloom, dict):
+        bitset, k = bloom["bits"], bloom["k"]
+    else:
+        bitset = bloom
+        if k is None:
+            raise ValueError("bloom_contains: raw bitset needs explicit k")
+    if not 1 <= k <= MAX_PROBES:
+        raise ValueError(f"bloom_contains: k must be in [1, {MAX_PROBES}]")
     bits_log2 = int(np.log2(len(bitset))) + 6
     if len(ids) == 0:
         return np.zeros(0, dtype=bool)
@@ -76,8 +87,10 @@ def bloom_contains(bitset: np.ndarray, ids: np.ndarray, k: int = 4) -> np.ndarra
 
 def build_bloom(ds, col: str, bits_log2: int = 27, k: int = 4):
     """Build the filter over ``ds[col]`` (int64) and return an ObjectRef to
-    the packed bitset (pass to ``bloom_contains`` after one ``ray.get`` per
-    actor, or keep as a ref for ``map_batches`` closures).
+    ``{"bits": packed bitset, "k": k}`` — k travels with the bitset so a
+    probe can never use a mismatched probe count (pass the ref to
+    ``bloom_contains`` after one ``ray.get`` per actor, or keep it as a
+    ref for ``map_batches`` closures).
 
     Per-block partials OR-combine pairwise in a tree of Ray tasks: depth
     log2(n_blocks), peak two bitsets per task — the full id list never
@@ -107,9 +120,15 @@ def build_bloom(ds, col: str, bits_log2: int = 27, k: int = 4):
     def combine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.bitwise_or(a, b)
 
+    @ray.remote
+    def wrap(bits: np.ndarray) -> dict:
+        return {"bits": bits, "k": k}
+
     refs = [partial.remote(b) for b in blocks]
     if not refs:
-        return ray.put(np.zeros(1 << (bits_log2 - 6), dtype=np.uint64))
+        return ray.put(
+            {"bits": np.zeros(1 << (bits_log2 - 6), dtype=np.uint64), "k": k}
+        )
     while len(refs) > 1:
         nxt = [
             combine.remote(refs[i], refs[i + 1])
@@ -118,24 +137,23 @@ def build_bloom(ds, col: str, bits_log2: int = 27, k: int = 4):
         if len(refs) % 2:
             nxt.append(refs[-1])
         refs = nxt
-    return refs[0]
+    return wrap.remote(refs[0])
 
 
-def filter_by_bloom(ds, bloom_ref, col: str, k: int = 4,
-                    keep_hits: bool = True):
+def filter_by_bloom(ds, bloom_ref, col: str, keep_hits: bool = True):
     """Stream ``ds`` through the membership filter: keep rows whose id is
     (maybe) in the filter (``keep_hits=True``) or definitely NOT in it
-    (``keep_hits=False``). The bitset ships to each worker once via the
-    object store, not per batch."""
+    (``keep_hits=False``). The bitset (with its build-time k) ships to
+    each worker once via the object store, not per batch."""
     import ray
 
     class _Probe:
         def __init__(self, ref):
-            self.bits = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            self.bloom = ray.get(ref) if not isinstance(ref, dict) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
-            hit = bloom_contains(self.bits, ids, k)
+            hit = bloom_contains(self.bloom, ids)
             return batch.filter(pa.array(hit if keep_hits else ~hit))
 
     from tangent_ray.util import actor_pool

@@ -574,19 +574,12 @@ SAMPLE_KEY_HEX = 15  # 60 bits: fits both int64 and DuckDB's BIGINT cast
 
 def sample_key(ids: np.ndarray) -> np.ndarray:
     """Deterministic 60-bit sample ordering key: first 15 hex digits of
-    ``md5('u:' + str(id))`` — engine-stable (the DuckDB twin computes the
-    identical key) and salt-decorrelated from both the holdout split and
-    the rate-based sample bucket. Metadata-rate Python md5 over ids only."""
-    import hashlib
+    ``md5('u:' + str(id))`` via the shared ``md5_key`` — engine-stable
+    (the DuckDB twin computes the identical key) and salt-decorrelated
+    from both the holdout split and the rate-based sample bucket."""
+    from tangent_ray.tokenize.text import md5_key
 
-    return np.fromiter(
-        (
-            int(hashlib.md5(f"u:{int(i)}".encode()).hexdigest()[:SAMPLE_KEY_HEX], 16)
-            for i in ids
-        ),
-        dtype=np.int64,
-        count=len(ids),
-    )
+    return md5_key(ids, prefix="u:", hex_digits=SAMPLE_KEY_HEX)
 
 
 def uniform_sample(ds, k: int, id_col: str = "doc_id"):
@@ -596,7 +589,10 @@ def uniform_sample(ds, k: int, id_col: str = "doc_id"):
     batch prunes to its own k smallest (vectorized argpartition), so the
     final sort+limit sees only k x n_blocks rows. Deterministic across
     runs AND across corpus growth in the same sense as a min-wise sketch:
-    a doc in the sample stays in it until k better keys exist."""
+    a doc in the sample stays in it until k better keys exist. Output
+    columns = the input's (the internal ordering key is dropped)."""
+    if "sample_key" in ds.schema().names:
+        raise ValueError("uniform_sample: column name 'sample_key' is reserved")
 
     def prune(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -613,4 +609,5 @@ def uniform_sample(ds, k: int, id_col: str = "doc_id"):
         ds.map_batches(prune, batch_format="pyarrow")
         .sort(["sample_key", id_col])
         .limit(k)
+        .drop_columns(["sample_key"])
     )

@@ -1293,7 +1293,14 @@ def apply_span_cuts(docs_ds, spans_ds, text_col: str = "text",
         from tangent_ray.ops.bloom import build_bloom, filter_by_bloom
 
         spans_ds = spans_ds.materialize()  # consumed twice: bloom + union
-        bloom = build_bloom(spans_ds.select_columns([id_col]), id_col)
+        # size the filter to the ACTUAL span count (~13 bits/id -> ~1% FP;
+        # a fixed size would saturate to FP ~ 1.0 at scale and silently
+        # shuffle the whole corpus anyway), capped at 2^30 bits = 128 MB
+        n_spans = max(1, spans_ds.count())
+        bits_log2 = min(30, max(16, int(np.ceil(np.log2(13 * n_spans)))))
+        bloom = build_bloom(
+            spans_ds.select_columns([id_col]), id_col, bits_log2=bits_log2
+        )
 
         def passthrough(b: pa.Table) -> pa.Table:
             return pa.table(

@@ -223,12 +223,10 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         )
         if left.num_rows == 0 and how != "outer":
             return empty_out
-        if right.num_rows == 0:
-            if how in ("inner", "semi"):
-                return empty_out
-            if how == "anti":
-                return left.select(out_names)
-            # left/outer: Acero emits lefts with null right columns
+        if right.num_rows == 0 and how in ("inner", "semi"):
+            return empty_out
+        # anti/left/outer handle an empty side in Acero directly (anti with
+        # empty right returns all lefts; left/outer emit null right cols)
         return left.join(right, keys=on, join_type=join_type).select(out_names)
 
     return both.groupby(_SHARD).map_groups(per_shard, batch_format="pyarrow")

@@ -49,7 +49,7 @@ def write_resumable(
     their inputs. ``pipeline`` must be a PURE function of its input
     Dataset (change ``tag`` when its logic changes — the tag is part of
     the lineage, so stale outputs rebuild). Returns
-    ``{"written": [...], "skipped": [...], "rows": total}``."""
+    ``{"written": [...], "skipped": [...], "removed": [...], "rows": n}``."""
     import ray.data
 
     files = list_input_files(input_path)
@@ -57,7 +57,18 @@ def write_resumable(
         raise ValueError(f"write_resumable: no parquet under {input_path!r}")
     os.makedirs(out_dir, exist_ok=True)
     written, skipped, total = [], [], 0
-    for i, chunk in enumerate(plan_partitions(files, partitions)):
+    parts = plan_partitions(files, partitions)
+    # orphans from a previous run with a different partition count (or
+    # crashed half-writes) would otherwise stay half-visible to any
+    # out_dir/*/*.parquet reader — remove anything this run will not own
+    own = {f"part-{i:04d}" for i in range(len(parts))}
+    removed = []
+    for entry in sorted(os.listdir(out_dir)):
+        base = entry[:-4] if entry.endswith(".tmp") else entry
+        if base.startswith("part-") and base not in own:
+            shutil.rmtree(os.path.join(out_dir, entry))
+            removed.append(entry)
+    for i, chunk in enumerate(parts):
         name = f"part-{i:04d}"
         pdir = os.path.join(out_dir, name)
         mpath = os.path.join(pdir, MANIFEST)
@@ -74,7 +85,10 @@ def write_resumable(
                 skipped.append(name)
                 total += int(m.get("rows", 0))
                 continue
-            # stale output (inputs or pipeline changed): rebuild
+        if os.path.exists(pdir):
+            # stale output (inputs or pipeline changed), or a manifest-less
+            # leftover from a crash mid-rebuild: clear it, else the final
+            # os.replace would fail ENOTEMPTY and wedge the sink
             shutil.rmtree(pdir)
         tmp = pdir + ".tmp"
         if os.path.exists(tmp):
@@ -96,4 +110,5 @@ def write_resumable(
         os.replace(tmp, pdir)
         written.append(name)
         total += rows
-    return {"written": written, "skipped": skipped, "rows": total}
+    return {"written": written, "skipped": skipped, "removed": removed,
+            "rows": total}

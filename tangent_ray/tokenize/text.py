@@ -100,24 +100,29 @@ def tokenize_text(
     )
 
 
-def md5_bucket(ids, n_buckets: int, prefix: str = "") -> np.ndarray:
-    """Deterministic id bucket: ``int(md5(prefix + str(id))[:8], 16) %
-    n_buckets`` — the one definition shared by the holdout split
-    (`ops.textstats.split_assign_batch`) and stratified sampling
-    (`ops.curation.sample_bucket`) and replayed verbatim by their DuckDB
-    twins. Id-only, so the Python md5 loop runs at metadata rate (~1M
+def md5_key(ids, prefix: str = "", hex_digits: int = 8) -> np.ndarray:
+    """Deterministic salted id key: ``int(md5(prefix + str(id))[:hex], 16)``
+    — the ONE md5-of-id definition behind the holdout split, stratified
+    sampling (both via ``md5_bucket``) and the fixed-size uniform sample
+    (``ops.curation.sample_key``), each replayed verbatim by its DuckDB
+    twin. Id-only, so the Python md5 loop runs at metadata rate (~1M
     ids/s/core), never at payload rate."""
     import hashlib
 
     return np.fromiter(
         (
-            int(hashlib.md5(f"{prefix}{int(i)}".encode()).hexdigest()[:8], 16)
-            % n_buckets
+            int(hashlib.md5(f"{prefix}{int(i)}".encode())
+                .hexdigest()[:hex_digits], 16)
             for i in ids
         ),
         count=len(ids),
         dtype=np.int64,
     )
+
+
+def md5_bucket(ids, n_buckets: int, prefix: str = "") -> np.ndarray:
+    """``md5_key(ids, prefix) % n_buckets`` (see ``md5_key``)."""
+    return md5_key(ids, prefix) % n_buckets
 
 
 def md5_u64(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:

@@ -44,11 +44,12 @@ def test_build_bloom_tree_reduce(ray_session):
         pa.table({"doc_id": pa.array(ids, type=pa.int64())})
     ).repartition(7)  # odd block count exercises the tree's carry branch
     ref = build_bloom(ds, "doc_id", bits_log2=18, k=4)
-    bs = ray.get(ref)
+    bloom = ray.get(ref)
+    assert bloom["k"] == 4
     # identical to the single-shot build over all ids
     single = _partial_bitset(ids, 18, 4)
-    assert np.array_equal(bs, single)
-    assert bloom_contains(bs, ids, 4).all()
+    assert np.array_equal(bloom["bits"], single)
+    assert bloom_contains(bloom, ids).all()
 
 
 def test_build_bloom_empty_and_bad_k(ray_session):
@@ -58,8 +59,13 @@ def test_build_bloom_empty_and_bad_k(ray_session):
     empty = ray.data.from_arrow(
         pa.table({"doc_id": pa.array([], type=pa.int64())})
     )
-    bs = ray.get(build_bloom(empty, "doc_id", bits_log2=12))
-    assert not bs.any()
+    bloom = ray.get(build_bloom(empty, "doc_id", bits_log2=12))
+    assert not bloom["bits"].any()
+    # probe-side guards
+    with pytest.raises(ValueError, match="explicit k"):
+        bloom_contains(bloom["bits"], np.arange(3))
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_contains(bloom["bits"], np.arange(3), k=99)
     with pytest.raises(ValueError):
         build_bloom(empty, "doc_id", k=99)
 

@@ -112,6 +112,30 @@ def test_corrupt_manifest_rebuilds(ray_session, corpus_dir, tmp_path):
     assert m["rows"] == 200
 
 
+def test_manifestless_partition_dir_recovers(ray_session, corpus_dir, tmp_path):
+    """A crash between manifest unlink and rmtree (or an operator deleting
+    the manifest to force a rebuild) must not wedge the sink."""
+    out = str(tmp_path / "out")
+    write_resumable(_pipeline, corpus_dir, out, partitions=2)
+    os.remove(os.path.join(out, "part-0001", MANIFEST))
+    r = write_resumable(_pipeline, corpus_dir, out, partitions=2)
+    assert r["written"] == ["part-0001"]
+    assert _read_all(out).num_rows == 400
+
+
+def test_orphan_partitions_removed(ray_session, corpus_dir, tmp_path):
+    """Re-running with fewer partitions removes the stale extras so
+    out_dir/*/*.parquet never double-counts."""
+    out = str(tmp_path / "out")
+    write_resumable(_pipeline, corpus_dir, out, partitions=4)
+    r = write_resumable(_pipeline, corpus_dir, out, partitions=2)
+    assert set(r["removed"]) == {"part-0002", "part-0003"}
+    assert sorted(
+        p for p in os.listdir(out) if os.path.isdir(os.path.join(out, p))
+    ) == ["part-0000", "part-0001"]
+    assert _read_all(out).num_rows == 400
+
+
 def test_empty_input_raises(ray_session, tmp_path):
     d = tmp_path / "none"
     d.mkdir()
