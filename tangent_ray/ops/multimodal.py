@@ -637,3 +637,71 @@ def synth_multimodal_table(n: int = 60) -> pa.Table:
             "payload": pa.array(payloads, type=pa.binary()),
         }
     )
+
+
+def make_gif_animated(width: int, height: int, frames: int = 1,
+                      gct_colors: int = 0) -> bytes:
+    """Structurally-valid animated GIF89a: logical screen descriptor
+    (+ optional global color table), a graphic-control extension + image
+    descriptor (+ 1-byte-min LZW data) per frame, trailer. Pixel data is
+    filler — the point is exercising every block type the parser walks."""
+    import struct
+
+    packed = 0
+    gct = b""
+    if gct_colors:
+        import math
+
+        bits = max(1, math.ceil(math.log2(gct_colors)))
+        packed = 0x80 | (bits - 1)
+        gct = bytes(3 * (1 << bits))
+    out = [b"GIF89a", struct.pack("<HH", width, height),
+           bytes([packed, 0, 0]), gct]
+    for f in range(frames):
+        # graphic control extension: introducer, label, block size 4,
+        # flags, delay, transparent idx, terminator
+        out.append(b"\x21\xf9\x04\x00\x0a\x00\x00\x00")
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+                   + b"\x00")  # image descriptor, no local color table
+        out.append(bytes([2, 2, ord("L"), ord("Z"), 0]))  # LZW min + data
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def gif_meta(payload: bytes) -> int:
+    """Frame count of a GIF payload by walking its block structure
+    (image descriptors 0x2C counted; extensions 0x21 and color tables
+    skipped via their declared lengths). Returns -1 for non-GIF or
+    truncated/malformed structures — header-rate work, no pixel decode."""
+    if len(payload) < 13 or payload[:4] != b"GIF8":
+        return -1
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (1 << ((packed & 0x07) + 1))
+    frames = 0
+    try:
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                return frames
+            if b == 0x21:  # extension: introducer + label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                frames += 1
+                lpacked = payload[pos + 9]
+                pos += 10
+                if lpacked & 0x80:
+                    pos += 3 * (1 << ((lpacked & 0x07) + 1))
+                pos += 1  # LZW minimum code size
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:
+                return -1  # unknown block: malformed
+    except IndexError:
+        return -1
+    return -1  # ran off the end without a trailer

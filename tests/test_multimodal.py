@@ -252,3 +252,27 @@ def test_media_meta_little_endian_exif_and_junk():
     for r in rows:
         assert r["format"] == "unknown"
         assert r["width"] == -1 and r["duration_ms"] == -1
+
+
+def test_gif_frame_count():
+    from tangent_ray.ops.multimodal import (
+        gif_meta,
+        image_dims,
+        make_gif,
+        make_gif_animated,
+    )
+
+    for frames in (1, 4, 9):
+        for gct in (0, 4, 64):
+            p = make_gif_animated(33, 17, frames, gct)
+            assert gif_meta(p) == frames
+            assert image_dims(p) == ("gif", 33, 17)
+    # the minimal dims-only stub has no trailer -> malformed for frames
+    assert gif_meta(make_gif(8, 8)) == -1
+    assert gif_meta(b"GIF8") == -1
+    assert gif_meta(b"") == -1
+    assert gif_meta(make_gif_animated(4, 4, 2)[:20]) == -1
+    # unknown block byte mid-stream
+    p = bytearray(make_gif_animated(4, 4, 1))
+    p[13] = 0x77
+    assert gif_meta(bytes(p)) == -1
