@@ -611,3 +611,126 @@ def uniform_sample(ds, k: int, id_col: str = "doc_id"):
         .limit(k)
         .drop_columns(["sample_key"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (conservative ftfy-style UTF-8-as-cp1252 undo)
+
+def _cp1252_char(b: int) -> str:
+    """Byte -> char under the lenient cp1252-with-latin1-gaps decode that
+    creates mojibake in the first place."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def _build_mojibake_re() -> str:
+    """Signature of UTF-8 mis-decoded as cp1252: a LEAD byte (0xC2-0xF4)
+    char immediately followed by a CONTINUATION byte (0x80-0xBF) char.
+    Covers Latin ("Ã©"), punctuation ("â€™") and CJK ("æ—¥") mojibake
+    alike; legit accented text ("château", "Ã is a letter") never pairs a
+    lead-class char with a continuation-class char. Detection only — the
+    strict UTF-8 round-trip in ``_try_repair`` is the correctness gate."""
+    import re
+
+    lead = "".join(_cp1252_char(b) for b in range(0xC2, 0xF5))
+    cont = "".join(_cp1252_char(b) for b in range(0x80, 0xC0))
+    return f"[{re.escape(lead)}][{re.escape(cont)}]"
+
+
+_MOJIBAKE_RE = _build_mojibake_re()
+
+
+def _cp1252_bytes(s: str) -> bytes | None:
+    """Inverse of the mojibake decode: cp1252 per char, with the 5 slots
+    cp1252 leaves undefined (0x81 8D 8F 90 9D) falling back to their
+    latin-1 byte — exactly how lenient decoders passed them through when
+    the mojibake was created (the same per-char fallback ftfy documents).
+    None when any char has no single-byte inverse (then the text cannot be
+    one-layer mojibake)."""
+    bs = bytearray()
+    for ch in s:
+        try:
+            bs += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o <= 0xFF:
+                bs.append(o)
+            else:
+                return None
+    return bytes(bs)
+
+
+def _try_repair(s: str, max_rounds: int = 3) -> str | None:
+    """Undo up to ``max_rounds`` layers of UTF-8-read-as-cp1252. Returns
+    the repaired string only if every step round-trips EXACTLY (strict
+    UTF-8 decode) — a legit text that merely looks mojibake-ish fails the
+    strict decode and passes through unchanged."""
+    import re
+
+    out = s
+    for _ in range(max_rounds):
+        if not re.search(_MOJIBAKE_RE, out):
+            break
+        raw = _cp1252_bytes(out)
+        if raw is None:
+            break
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if fixed == out:
+            break
+        out = fixed
+    return out if out != s else None
+
+
+def mojibake_repair_batch(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Repair UTF-8-decoded-as-cp1252 mojibake ("cafÃ©" -> "café",
+    "â€™" -> "’", double-encodings too). Detection is ONE vectorized RE2
+    pass over the batch; the Python repair loop runs only on the flagged
+    minority (mojibake rate on real corpora is well under 1%), so the hot
+    path stays Arrow-rate. Strictly conservative: a repair is applied only
+    when the cp1252->UTF-8 undo round-trips exactly. Returns
+    (id, text, repaired:bool)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flagged = pc.match_substring_regex(
+        pc.coalesce(texts, ""), _MOJIBAKE_RE
+    ).to_numpy(zero_copy_only=False)
+    if not flagged.any():
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: texts,
+                "repaired": pa.array(
+                    np.zeros(batch.num_rows, bool), type=pa.bool_()
+                ),
+            }
+        )
+    py = texts.to_pylist()
+    repaired = np.zeros(batch.num_rows, bool)
+    for i in np.flatnonzero(flagged):
+        fixed = _try_repair(py[i])
+        if fixed is not None:
+            py[i] = fixed
+            repaired[i] = True
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            text_col: pa.array(py, type=pa.string()),
+            "repaired": pa.array(repaired, type=pa.bool_()),
+        }
+    )
+
+
+def mojibake_repair(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset-level mojibake repair: stateless vectorized-detect map, no
+    shuffle."""
+    return ds.map_batches(
+        lambda b: mojibake_repair_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+    )
