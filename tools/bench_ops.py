@@ -324,6 +324,9 @@ def main() -> None:
         ("c4_filter", lambda: __import__(
             "tangent_ray.ops.curation", fromlist=["c4_filter"]
         ).c4_filter(ds())),
+        ("mojibake_repair", lambda: __import__(
+            "tangent_ray.ops.curation", fromlist=["mojibake_repair"]
+        ).mojibake_repair(ds())),
         ("paragraph_dedup", lambda: __import__(
             "tangent_ray.ops.dedup", fromlist=["paragraph_dedup"]
         ).paragraph_dedup(ds())),
