@@ -4,8 +4,11 @@ packing.
 
 All hot paths are vectorized Arrow kernels inside ``map_batches`` stages;
 every operator is deterministic and engine-independent (RE2 regexes, md5
-hashes), so each has an exact DuckDB oracle twin in
-``pipelines/entry_queries.py``.
+hashes); the classic curation ops have exact DuckDB oracle twins in
+``pipelines/entry_queries.py`` or in their pytest modules
+(``mojibake_repair`` is the exception: its repair ladder is
+Python-semantics by nature, verified against hand-built encodings and
+adversarial lookalikes in ``tests/test_mojibake.py``).
 
 Scale notes (100 TB corpus):
 - PII redaction and sampling are stateless per-batch maps — no shuffle.
@@ -639,7 +642,24 @@ def _build_mojibake_re() -> str:
     return f"[{re.escape(lead)}][{re.escape(cont)}]"
 
 
+def _build_strong_re() -> str:
+    """Like ``_build_mojibake_re`` but EXCLUDING the two ambiguous lead
+    chars x-sign (0xD7) and division-sign (0xF7): "800 ×\xa0600" is
+    ubiquitous legit typography whose cp1252 bytes happen to be valid
+    UTF-8 (Hebrew), so x/division pairs alone must never trigger a repair
+    — they are only undone when the SAME string carries unambiguous
+    evidence (any other lead byte)."""
+    import re
+
+    lead = "".join(
+        _cp1252_char(b) for b in range(0xC2, 0xF5) if b not in (0xD7,)
+    )
+    cont = "".join(_cp1252_char(b) for b in range(0x80, 0xC0))
+    return f"[{re.escape(lead)}][{re.escape(cont)}]"
+
+
 _MOJIBAKE_RE = _build_mojibake_re()
+_MOJIBAKE_STRONG_RE = _build_strong_re()
 
 
 def _cp1252_bytes(s: str) -> bytes | None:
@@ -663,12 +683,17 @@ def _cp1252_bytes(s: str) -> bytes | None:
 
 
 def _try_repair(s: str, max_rounds: int = 3) -> str | None:
-    """Undo up to ``max_rounds`` layers of UTF-8-read-as-cp1252. Returns
-    the repaired string only if every step round-trips EXACTLY (strict
-    UTF-8 decode) — a legit text that merely looks mojibake-ish fails the
-    strict decode and passes through unchanged."""
+    """Undo up to ``max_rounds`` layers of UTF-8-read-as-cp1252.
+    ALL-OR-NOTHING: a repair is returned only when (a) the string shows
+    UNAMBIGUOUS mojibake evidence (a signature pair whose lead is not the
+    legit-typography x-sign), (b) every undo step round-trips as strict
+    UTF-8, and (c) no unambiguous signature remains afterwards — a ladder
+    that stalls half-way (or legit text that merely looks mojibake-ish)
+    passes through unchanged."""
     import re
 
+    if not re.search(_MOJIBAKE_STRONG_RE, s):
+        return None
     out = s
     for _ in range(max_rounds):
         if not re.search(_MOJIBAKE_RE, out):
@@ -683,7 +708,9 @@ def _try_repair(s: str, max_rounds: int = 3) -> str | None:
         if fixed == out:
             break
         out = fixed
-    return out if out != s else None
+    if out == s or re.search(_MOJIBAKE_STRONG_RE, out):
+        return None
+    return out
 
 
 def mojibake_repair_batch(batch: pa.Table, text_col: str = "text",
@@ -699,29 +726,34 @@ def mojibake_repair_batch(batch: pa.Table, text_col: str = "text",
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     flagged = pc.match_substring_regex(
-        pc.coalesce(texts, ""), _MOJIBAKE_RE
+        pc.coalesce(texts, ""), _MOJIBAKE_STRONG_RE
     ).to_numpy(zero_copy_only=False)
+    untouched = pa.table(
+        {
+            id_col: batch[id_col],
+            text_col: texts,
+            "repaired": pa.array(
+                np.zeros(batch.num_rows, bool), type=pa.bool_()
+            ),
+        }
+    )
     if not flagged.any():
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                text_col: texts,
-                "repaired": pa.array(
-                    np.zeros(batch.num_rows, bool), type=pa.bool_()
-                ),
-            }
-        )
-    py = texts.to_pylist()
+        return untouched
+    # ONLY flagged rows cross the Arrow<->Python boundary; the unflagged
+    # majority stays zero-copy and is spliced back with one mask kernel
+    idx = np.flatnonzero(flagged)
+    sub = texts.take(pa.array(idx)).to_pylist()
+    fixed = [_try_repair(t) if t is not None else None for t in sub]
     repaired = np.zeros(batch.num_rows, bool)
-    for i in np.flatnonzero(flagged):
-        fixed = _try_repair(py[i])
-        if fixed is not None:
-            py[i] = fixed
-            repaired[i] = True
+    repaired[idx] = [f is not None for f in fixed]
+    if not repaired.any():
+        return untouched
+    repl = pa.array([f for f in fixed if f is not None], type=pa.string())
+    new_texts = pc.replace_with_mask(texts, pa.array(repaired), repl)
     return pa.table(
         {
             id_col: batch[id_col],
-            text_col: pa.array(py, type=pa.string()),
+            text_col: new_texts,
             "repaired": pa.array(repaired, type=pa.bool_()),
         }
     )

@@ -672,7 +672,10 @@ def gif_meta(payload: bytes) -> int:
     """Frame count of a GIF payload by walking its block structure
     (image descriptors 0x2C counted; extensions 0x21 and color tables
     skipped via their declared lengths). Returns -1 for non-GIF or
-    truncated/malformed structures — header-rate work, no pixel decode."""
+    mid-block-truncated/malformed structures; a file that parses cleanly
+    to its end but lost only the final 0x3B trailer (the classic
+    interrupted-download artifact) still reports its full frame count —
+    header-rate work, no pixel decode."""
     if len(payload) < 13 or payload[:4] != b"GIF8":
         return -1
     packed = payload[10]
@@ -703,5 +706,7 @@ def gif_meta(payload: bytes) -> int:
             else:
                 return -1  # unknown block: malformed
     except IndexError:
-        return -1
-    return -1  # ran off the end without a trailer
+        return -1  # mid-block truncation
+    # pos > len means a declared skip ran past the data (truncated inside
+    # a table/sub-block); pos == len is a clean end missing only 0x3B
+    return frames if pos == len(payload) else -1

@@ -62,6 +62,34 @@ def test_legit_lookalikes_untouched():
         assert _try_repair(s) is None, s
 
 
+def test_multiplication_sign_typography_never_repaired():
+    """The cp1252 bytes of 'x-sign + NBSP' are VALID UTF-8 (Hebrew), so a
+    naive round-trip gate would rewrite dimension typography into Hebrew;
+    the x-sign lead is excluded from the trigger signature."""
+    legit = [
+        "800 ×\xa0600 resolution",
+        "3×¾ inch bolts",
+        "a 2×3 matrix and 4 × 5 grid",
+        "÷ and × are operators",
+    ]
+    for s in legit:
+        assert _try_repair(s) is None, s
+    # but inside a doc with UNAMBIGUOUS mojibake, the x-pair rides along
+    # (if the doc was corrupted, those bytes really were the other script)
+    mixed = "cafÃ© at 800 ×\xa0600"
+    fixed = _try_repair(mixed)
+    assert fixed is not None and fixed.startswith("café")
+
+
+def test_partial_ladder_never_emitted():
+    """A string where the undo stalls with unambiguous signatures left
+    must pass through unchanged, not come out half-repaired."""
+    # valid single-layer mojibake + a byte sequence that breaks round 2's
+    # strict decode while still carrying a strong signature
+    stuck = _moji("café", 1) + " Ã" + chr(0x2603)  # snowman: no 1-byte inverse
+    assert _try_repair(stuck) is None
+
+
 def test_batch_surface_and_nulls(ray_session):
     import ray
     import ray.data

@@ -267,8 +267,12 @@ def test_gif_frame_count():
             p = make_gif_animated(33, 17, frames, gct)
             assert gif_meta(p) == frames
             assert image_dims(p) == ("gif", 33, 17)
-    # the minimal dims-only stub has no trailer -> malformed for frames
-    assert gif_meta(make_gif(8, 8)) == -1
+    # the minimal dims-only stub ends cleanly right after the LSD with no
+    # blocks at all: clean end, zero frames
+    assert gif_meta(make_gif(8, 8)) == 0
+    # trailer-stripped file still counts its frames (clean end)
+    full = make_gif_animated(6, 6, 5)
+    assert gif_meta(full[:-1]) == 5
     assert gif_meta(b"GIF8") == -1
     assert gif_meta(b"") == -1
     assert gif_meta(make_gif_animated(4, 4, 2)[:20]) == -1
