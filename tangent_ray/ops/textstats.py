@@ -775,3 +775,50 @@ def gopher_filter(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda b: gopher_filter_batch(b, text_col, id_col, min_words, max_words),
         batch_format="pyarrow",
     )
+
+
+def token_entropy_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Per-doc unigram token entropy in bits (H = -sum p*log2 p over the
+    doc's token distribution) — low entropy flags degenerate/repetitive
+    text that n-gram caps can miss, high entropy flags hash/gibberish
+    pages. Vectorized: dictionary codes fuse with doc ids into one int64
+    key, np.unique run counts, one log2 pass; empty docs report 0.0.
+    Rounded to 6 like every ratio here; exact DuckDB twin in
+    ``tests/test_entropy.py``."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = batch.num_rows
+    parents, tokens, _pos = split_tokens(texts)
+    n_tokens = np.zeros(n_rows, np.int64)
+    entropy = np.zeros(n_rows, np.float64)
+    if len(parents):
+        np.add.at(n_tokens, parents, 1)
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        codes = pc.dictionary_encode(tokens).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        key = parents.astype(np.int64) * (codes.max() + 1) + codes
+        pair, cnt = np.unique(key, return_counts=True)
+        pp = (pair // (codes.max() + 1)).astype(np.int64)
+        p = cnt / n_tokens[pp]
+        np.add.at(entropy, pp, -p * np.log2(p))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "token_entropy": pa.array(
+                round_half_away(entropy, 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset-level token entropy: stateless vectorized map, no shuffle."""
+    return ds.map_batches(
+        lambda b: token_entropy_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+    )
