@@ -1,0 +1,291 @@
+"""Positional index sidecar + exact phrase search.
+
+The main transcript index stores only FIRST positions per (term, doc) —
+reference parity (``mathindexbase.h:248-255`` keeps one position per
+SubObject). Phrase queries need EVERY position, so they get a separate
+sidecar stream, the same layout decision Lucene makes (positions live in
+``.pos``, apart from the doc/freq stream): the core index stays
+rank-identical to the reference, and pipelines that never issue phrase
+queries never pay for positions.
+
+Layout (doc-sharded, not term-sharded — the point of the design):
+
+- Build is ONE streaming pass, NO shuffle: each batch explodes to
+  (shard = splitmix(docid) % S, term, docid, positions:list<int32>) rows
+  and appends to partitioned Parquet. Every row of a given doc lands in
+  the same shard by construction.
+- Query reads the sidecar with ``columns=`` pruning and a pushed-down
+  ``term IN phrase_terms`` filter (only matching postings leave storage),
+  then ONE small ``groupby(shard)`` over the filtered stream — grouped by
+  doc-shard, each group holds complete per-doc postings for all phrase
+  terms, so adjacency verification is shard-local. Query cost scales with
+  the matching postings, not the corpus, and shards verify in parallel
+  with no all-to-all.
+
+Adjacency check is fully vectorized: encode (doc, pos) as one uint64 key
+(doc code << 32 | pos) and chain ``np.intersect1d(keys_i - i)`` across the
+phrase terms — a doc position p survives iff term_i appears at p+i for
+every i, i.e. an exact phrase occurrence. Counts are integers end-to-end,
+so the DuckDB twin (positions self-join) matches bit-for-bit — no float
+scoring in the driver-gated surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.tokenize.text import split_tokens
+
+#: doc -> shard must be stable across build and query; splitmix64 finalizer
+#: (same constants as ops/lm.py) so consecutive docids spread evenly.
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _doc_shard(docids: np.ndarray, num_shards: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = docids.astype(np.uint64) + _C1
+        z = (z ^ (z >> np.uint64(30))) * _C2
+        z = (z ^ (z >> np.uint64(27))) * _C3
+        z = z ^ (z >> np.uint64(31))
+    return (z % np.uint64(num_shards)).astype(np.int32)
+
+
+def _positions_partial(batch: pa.Table, id_col: str, text_col: str,
+                       num_shards: int) -> pa.Table:
+    """Explode one batch to (shard, term, docid, positions) rows — one row
+    per distinct (doc, term), positions the full sorted occurrence list."""
+    parents, tokens, pos = split_tokens(batch[text_col])
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int32()),
+            "term": pa.array([], pa.string()),
+            "docid": pa.array([], pa.int64()),
+            "positions": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+    if len(tokens) == 0:
+        return empty
+    docids_all = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # group occurrences by (row, term): lexsort on (term code, row) then
+    # run-length offsets -> list array, positions already row-ordered so
+    # each list comes out ascending
+    dict_arr = tokens.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, codes, parents))
+    sp, sc, spos = parents[order], codes[order], pos[order]
+    boundary = np.empty(len(sp), dtype=bool)
+    boundary[0] = True
+    np.not_equal(sp[1:], sp[:-1], out=boundary[1:])
+    boundary[1:] |= sc[1:] != sc[:-1]
+    starts = np.flatnonzero(boundary)
+    offsets = np.empty(len(starts) + 1, dtype=np.int32)
+    offsets[:-1] = starts
+    offsets[-1] = len(sp)
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(spos.astype(np.int32), pa.int32())
+    )
+    group_rows = sp[starts]
+    group_docids = docids_all[group_rows]
+    terms = dict_arr.dictionary.take(pa.array(sc[starts], pa.int64()))
+    return pa.table(
+        {
+            "shard": pa.array(_doc_shard(group_docids, num_shards), pa.int32()),
+            "term": terms,
+            "docid": pa.array(group_docids, pa.int64()),
+            "positions": lists,
+        }
+    )
+
+
+def build_position_index(ds, out_dir: str, num_shards: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus -> positional sidecar at ``out_dir`` (partitioned Parquet).
+
+    One streaming map, no shuffle; Parquet's dictionary+RLE handles the
+    repeated term strings. ``num_shards`` bounds the query-time group size
+    (size it so one shard's phrase-term postings fit a worker)."""
+    (
+        ds.map_batches(
+            lambda b: _positions_partial(b, id_col, text_col, num_shards),
+            batch_format="pyarrow",
+        ).write_parquet(out_dir)
+    )
+
+
+def positions_dataset(index_dir: str, terms: list[str]):
+    """Pruned sidecar read: only the phrase terms' postings leave storage."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    return ray.data.read_parquet(
+        index_dir,
+        columns=["shard", "term", "docid", "positions"],
+        filter=pads.field("term").isin(terms),
+    )
+
+
+def _phrase_counts_group(
+    group: pa.Table, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, counts) of exact phrase occurrences within one doc-complete
+    group of (term, docid, positions) rows."""
+    term_col = group["term"].combine_chunks()
+    docid_np = group["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_docs, doc_codes = np.unique(docid_np, return_inverse=True)
+
+    lists = group["positions"].combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    sizes = lists.value_lengths().to_numpy(zero_copy_only=False)
+    row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
+    key_all = (doc_codes[row_of_pos].astype(np.uint64) << np.uint64(32)) | flat
+
+    survivors: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        rows = pc.equal(term_col, t).to_numpy(zero_copy_only=False)
+        keys_i = key_all[rows[row_of_pos]]
+        if i:
+            keys_i = keys_i - np.uint64(i)
+        keys_i = np.sort(keys_i)
+        survivors = (
+            keys_i if survivors is None else survivors[
+                np.isin(survivors, keys_i, assume_unique=True)
+            ]
+        )
+        if survivors.size == 0:
+            break
+    if survivors is None or survivors.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_code = (survivors >> np.uint64(32)).astype(np.int64)
+    codes, counts = np.unique(doc_code, return_counts=True)
+    return uniq_docs[codes], counts.astype(np.int64)
+
+
+def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
+    """Exact phrase top-k from the positional sidecar.
+
+    Returns (docid, n_occurrences) sorted by (count desc, docid asc),
+    limit ``k``. Duplicate phrase terms are handled (each occurrence slot
+    checks the right offset even when terms repeat, e.g. "the the")."""
+    terms = _phrase_terms(phrase)
+    ds = positions_dataset(index_dir, sorted(set(terms)))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        docs, counts = _phrase_counts_group(group, terms)
+        # shard-local top-k: global top-k rows survive any shard's cut
+        if len(docs) > k:
+            order = np.lexsort((docs, -counts))[:k]
+            docs, counts = docs[order], counts[order]
+        return pa.table(
+            {
+                "docid": pa.array(docs, pa.int64()),
+                "n_occurrences": pa.array(counts, pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.groupby("shard")
+            .map_groups(per_shard, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "docid": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("n_occurrences", "descending"), ("docid", "ascending")],
+    )
+    return merged.take(idx.slice(0, k))
+
+
+def phrase_count_scan(ds, phrase: str, k: int = 10, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Index-free differential twin: the same phrase top-k by direct corpus
+    scan (stateless map, per-block partial top-k, bounded driver merge).
+    Use when the phrase is one-off; build the sidecar for repeated
+    queries."""
+    terms = _phrase_terms(phrase)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        parents, tokens, pos = split_tokens(batch[text_col])
+        out_empty = pa.table(
+            {
+                "docid": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+        if len(tokens) == 0:
+            return out_empty
+        docids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key_all = (parents.astype(np.uint64) << np.uint64(32)) | pos.astype(
+            np.uint64
+        )
+        survivors = None
+        for i, t in enumerate(terms):
+            keys_i = key_all[pc.equal(tokens, t).to_numpy(zero_copy_only=False)]
+            if i:
+                keys_i = keys_i - np.uint64(i)
+            keys_i = np.sort(keys_i)
+            survivors = (
+                keys_i
+                if survivors is None
+                else survivors[np.isin(survivors, keys_i, assume_unique=True)]
+            )
+            if survivors.size == 0:
+                return out_empty
+        rows = (survivors >> np.uint64(32)).astype(np.int64)
+        uniq_rows, counts = np.unique(rows, return_counts=True)
+        docs, cnts = docids[uniq_rows], counts.astype(np.int64)
+        if len(docs) > k:
+            order = np.lexsort((docs, -cnts))[:k]
+            docs, cnts = docs[order], cnts[order]
+        return pa.table(
+            {
+                "docid": pa.array(docs, pa.int64()),
+                "n_occurrences": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(per_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "docid": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("n_occurrences", "descending"), ("docid", "ascending")],
+    )
+    return merged.take(idx.slice(0, k))
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    terms = split_tokens(pa.array([phrase], pa.string()))[1].to_pylist()
+    if not terms:
+        raise ValueError("phrase_search: phrase has no tokens")
+    return terms

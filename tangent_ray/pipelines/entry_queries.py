@@ -487,6 +487,44 @@ def q_ann_ivf(sf_dir: str):
     return out.select(["vec_id", "score"])
 
 
+#: driver-gated phrase (present at every sf of the synthetic corpus)
+PHRASE_QUERY = "table hash"
+PHRASE_K = 20
+
+
+def _positions_sidecar(sf_dir: str) -> str:
+    """Build (once, cached per corpus lineage) the positional sidecar."""
+    import json
+
+    import ray.data
+
+    from tangent_ray.index.positions import build_position_index
+
+    src = _doc_path(sf_dir)
+    out = os.path.join(_TMP_ROOT, f"pos-{_lineage_token(src)}")
+
+    def build():
+        ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+        # parquet under data/ so the done-marker manifest.json is not
+        # swept up by the sidecar's own read_parquet
+        build_position_index(ds, os.path.join(out, "data"), num_shards=16)
+        with open(os.path.join(out, "manifest.json"), "w") as f:
+            json.dump({"src": src, "num_shards": 16}, f)
+
+    return os.path.join(_build_locked(out, build), "data")
+
+
+def q_phrase_topk(sf_dir: str):
+    """Exact phrase top-k from the positional sidecar (doc-sharded, term
+    pushdown at the read; see index/positions.py). Integer occurrence
+    counts, so the DuckDB positions-self-join twin matches bit-for-bit."""
+    from tangent_ray.index.positions import phrase_search
+
+    t = phrase_search(_positions_sidecar(sf_dir), PHRASE_QUERY, k=PHRASE_K)
+    t = t.rename_columns(["doc_id", "n_occurrences"])
+    return _cast64(t, ["doc_id", "n_occurrences"])
+
+
 def q_shingle_candidates(sf_dir: str):
     import ray.data
 
@@ -1409,6 +1447,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, doc_id, min(pos)::BIGINT AS first_pos
         FROM tok GROUP BY term, doc_id
     """,
+    # exact phrase occurrences ("table hash") via positions self-join:
+    # overlapping occurrences count, ties break by doc_id — the same
+    # conventions as index/positions.py phrase_search
+    "phrase_topk": """
+        WITH raw AS (
+          SELECT doc_id, ts[i] AS term, i
+          FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        ), tok AS (
+          SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+          FROM raw WHERE term <> ''
+        )
+        SELECT t0.doc_id, count(*)::BIGINT AS n_occurrences
+        FROM tok t0
+        JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        WHERE t0.term = 'table' AND t1.term = 'hash'
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
+    """,
     "bm25_topk": f"""
         WITH toks AS (SELECT * FROM {TOKS} WHERE term <> ''),
         tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
@@ -2320,7 +2378,7 @@ QUERIES = {
     "math_corpus_stats": q_math_corpus_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
-    "ann_ivf": q_ann_ivf,
+    "phrase_topk": q_phrase_topk,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
