@@ -128,6 +128,58 @@ def positions_dataset(index_dir: str, terms: list[str]):
     )
 
 
+def _chain_survivors(key_all: np.ndarray, masks) -> np.ndarray:
+    """Intersect-chain over (doc<<32|pos) keys: a key k survives iff for
+    every phrase slot i the i-th term occurs at k+i. ``masks`` yields one
+    boolean occurrence mask over ``key_all`` per phrase term, in order."""
+    survivors: np.ndarray | None = None
+    for i, m in enumerate(masks):
+        keys_i = key_all[m]
+        if i:
+            keys_i = keys_i - np.uint64(i)
+        keys_i = np.sort(keys_i)
+        survivors = (
+            keys_i if survivors is None else survivors[
+                np.isin(survivors, keys_i, assume_unique=True)
+            ]
+        )
+        if survivors.size == 0:
+            break
+    return survivors if survivors is not None else np.empty(0, np.uint64)
+
+
+def _partial_topk(docs: np.ndarray, counts: np.ndarray,
+                  k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shard/block-local (count desc, docid asc) cut — global top-k rows
+    survive any local cut, so the driver merge stays bounded at k*parts."""
+    if len(docs) > k:
+        order = np.lexsort((docs, -counts))[:k]
+        docs, counts = docs[order], counts[order]
+    return docs, counts
+
+
+def _result_table(docs: np.ndarray, counts: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "docid": pa.array(docs, pa.int64()),
+            "n_occurrences": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
+    """Driver epilogue shared by both phrase paths: concat the per-part
+    partial top-k tables, final (count desc, docid asc) sort, slice k."""
+    if not parts:
+        return _result_table(np.empty(0, np.int64), np.empty(0, np.int64))
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("n_occurrences", "descending"), ("docid", "ascending")],
+    )
+    return merged.take(idx.slice(0, k))
+
+
 def _phrase_counts_group(
     group: pa.Table, terms: list[str]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -143,21 +195,14 @@ def _phrase_counts_group(
     row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
     key_all = (doc_codes[row_of_pos].astype(np.uint64) << np.uint64(32)) | flat
 
-    survivors: np.ndarray | None = None
-    for i, t in enumerate(terms):
-        rows = pc.equal(term_col, t).to_numpy(zero_copy_only=False)
-        keys_i = key_all[rows[row_of_pos]]
-        if i:
-            keys_i = keys_i - np.uint64(i)
-        keys_i = np.sort(keys_i)
-        survivors = (
-            keys_i if survivors is None else survivors[
-                np.isin(survivors, keys_i, assume_unique=True)
-            ]
-        )
-        if survivors.size == 0:
-            break
-    if survivors is None or survivors.size == 0:
+    survivors = _chain_survivors(
+        key_all,
+        (
+            pc.equal(term_col, t).to_numpy(zero_copy_only=False)[row_of_pos]
+            for t in terms
+        ),
+    )
+    if survivors.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     doc_code = (survivors >> np.uint64(32)).astype(np.int64)
     codes, counts = np.unique(doc_code, return_counts=True)
@@ -175,16 +220,7 @@ def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
 
     def per_shard(group: pa.Table) -> pa.Table:
         docs, counts = _phrase_counts_group(group, terms)
-        # shard-local top-k: global top-k rows survive any shard's cut
-        if len(docs) > k:
-            order = np.lexsort((docs, -counts))[:k]
-            docs, counts = docs[order], counts[order]
-        return pa.table(
-            {
-                "docid": pa.array(docs, pa.int64()),
-                "n_occurrences": pa.array(counts, pa.int64()),
-            }
-        )
+        return _result_table(*_partial_topk(docs, counts, k))
 
     import ray
 
@@ -197,19 +233,7 @@ def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
         )
         if t.num_rows
     ]
-    if not parts:
-        return pa.table(
-            {
-                "docid": pa.array([], pa.int64()),
-                "n_occurrences": pa.array([], pa.int64()),
-            }
-        )
-    merged = pa.concat_tables(parts).combine_chunks()
-    idx = pc.sort_indices(
-        merged,
-        sort_keys=[("n_occurrences", "descending"), ("docid", "ascending")],
-    )
-    return merged.take(idx.slice(0, k))
+    return _merge_topk(parts, k)
 
 
 def phrase_count_scan(ds, phrase: str, k: int = 10, id_col: str = "doc_id",
@@ -222,43 +246,22 @@ def phrase_count_scan(ds, phrase: str, k: int = 10, id_col: str = "doc_id",
 
     def per_batch(batch: pa.Table) -> pa.Table:
         parents, tokens, pos = split_tokens(batch[text_col])
-        out_empty = pa.table(
-            {
-                "docid": pa.array([], pa.int64()),
-                "n_occurrences": pa.array([], pa.int64()),
-            }
-        )
         if len(tokens) == 0:
-            return out_empty
+            return _result_table(np.empty(0, np.int64), np.empty(0, np.int64))
         docids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         key_all = (parents.astype(np.uint64) << np.uint64(32)) | pos.astype(
             np.uint64
         )
-        survivors = None
-        for i, t in enumerate(terms):
-            keys_i = key_all[pc.equal(tokens, t).to_numpy(zero_copy_only=False)]
-            if i:
-                keys_i = keys_i - np.uint64(i)
-            keys_i = np.sort(keys_i)
-            survivors = (
-                keys_i
-                if survivors is None
-                else survivors[np.isin(survivors, keys_i, assume_unique=True)]
-            )
-            if survivors.size == 0:
-                return out_empty
+        survivors = _chain_survivors(
+            key_all,
+            (pc.equal(tokens, t).to_numpy(zero_copy_only=False) for t in terms),
+        )
+        if survivors.size == 0:
+            return _result_table(np.empty(0, np.int64), np.empty(0, np.int64))
         rows = (survivors >> np.uint64(32)).astype(np.int64)
         uniq_rows, counts = np.unique(rows, return_counts=True)
         docs, cnts = docids[uniq_rows], counts.astype(np.int64)
-        if len(docs) > k:
-            order = np.lexsort((docs, -cnts))[:k]
-            docs, cnts = docs[order], cnts[order]
-        return pa.table(
-            {
-                "docid": pa.array(docs, pa.int64()),
-                "n_occurrences": pa.array(cnts, pa.int64()),
-            }
-        )
+        return _result_table(*_partial_topk(docs, cnts, k))
 
     import ray
 
@@ -269,19 +272,7 @@ def phrase_count_scan(ds, phrase: str, k: int = 10, id_col: str = "doc_id",
         )
         if t.num_rows
     ]
-    if not parts:
-        return pa.table(
-            {
-                "docid": pa.array([], pa.int64()),
-                "n_occurrences": pa.array([], pa.int64()),
-            }
-        )
-    merged = pa.concat_tables(parts).combine_chunks()
-    idx = pc.sort_indices(
-        merged,
-        sort_keys=[("n_occurrences", "descending"), ("docid", "ascending")],
-    )
-    return merged.take(idx.slice(0, k))
+    return _merge_topk(parts, k)
 
 
 def _phrase_terms(phrase: str) -> list[str]:

@@ -51,7 +51,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tangent_ray.tokenize.text import split_tokens
-from tangent_ray.util import actor_pool
+from tangent_ray.util import actor_pool, distributed_topk
 
 logger = logging.getLogger(__name__)
 
@@ -106,31 +106,12 @@ def word_counts(ds, text_col: str = "text", min_freq: int = 1,
         )
     if top_m is None:
         return agg
-
-    def block_topm(b: pa.Table) -> pa.Table:
-        if b.num_rows <= top_m:
-            return b
-        idx = pc.sort_indices(
-            b, sort_keys=[("cnt", "descending"), ("word", "ascending")]
-        )
-        return b.take(idx.slice(0, top_m))
-
-    parts = [
-        t
-        for t in agg.map_batches(block_topm, batch_format="pyarrow").to_arrow_refs()
-    ]
-    import ray
-
-    tabs = [t for t in ray.get(parts) if t.num_rows]
-    if not tabs:
+    top = distributed_topk(agg, top_m, key_col="word", cnt_col="cnt")
+    if top is None:
         return pa.table(
             {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
         )
-    merged = pa.concat_tables(tabs).combine_chunks()
-    idx = pc.sort_indices(
-        merged, sort_keys=[("cnt", "descending"), ("word", "ascending")]
-    )
-    return merged.take(idx.slice(0, top_m))
+    return top
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +298,12 @@ class BPEEncode:
     tokenizer cannot compress).
     """
 
+    #: word-cache entry cap per actor. The cache persists for the actor's
+    #: lifetime; unbounded it grows with every unique word ever seen —
+    #: billions on a web corpus. Word frequency is Zipfian, so evicting the
+    #: oldest half when full keeps a near-identical hit rate at bounded RSS.
+    CACHE_CAP = 1 << 20
+
     def __init__(self, merges_ref, id_col: str = "doc_id",
                  text_col: str = "text"):
         import ray
@@ -339,6 +326,11 @@ class BPEEncode:
             codes = dict_arr.indices.to_numpy(zero_copy_only=False)
             per_uniq = np.empty(len(uniq), dtype=np.int64)
             cache = self._cache
+            if len(cache) >= self.CACHE_CAP:
+                # FIFO-evict the oldest half (dict preserves insertion
+                # order); hot Zipf-head words re-enter within a batch
+                for w in list(cache)[: len(cache) // 2]:
+                    del cache[w]
             for k, w in enumerate(uniq):
                 c = cache.get(w)
                 if c is None:
@@ -381,7 +373,18 @@ def train_bpe_pipeline(ds, num_merges: int = 64, min_freq: int = 1,
                        top_m: int | None = None, min_pair_freq: int = 2,
                        text_col: str = "text"):
     """End-to-end: corpus Dataset -> (merges, vocab). The distributed part
-    is ``word_counts``; the merge loop folds the bounded dictionary."""
+    is ``word_counts``; the merge loop folds the bounded dictionary.
+
+    The dictionary the driver folds is only bounded when ``min_freq > 1``
+    or ``top_m`` prunes it — with both at their defaults the FULL raw
+    vocabulary (billions of types on a web corpus) lands on the driver, so
+    that combination is warned against and belongs only in tests."""
+    if min_freq <= 1 and top_m is None:
+        logger.warning(
+            "train_bpe_pipeline: min_freq=1 with no top_m materializes the "
+            "entire raw vocabulary on the driver — set min_freq>1 and/or "
+            "top_m for any corpus-scale run"
+        )
     wc = word_counts(ds, text_col=text_col, min_freq=min_freq, top_m=top_m)
     if not isinstance(wc, pa.Table):
         tabs = [t for t in _collect_refs(wc) if t.num_rows]

@@ -164,14 +164,13 @@ def heavy_hitters(ds, k: int = 20, m: int = 4096, text_col: str = "text"):
 def _exact_topk(ds, k: int, text_col: str) -> pa.Table:
     """Exact fallback: full (term, count) groupby — the shuffle the sketch
     exists to avoid, used only when certification fails. The driver never
-    sees the vocabulary: after the groupby each block keeps only its local
-    top-k by the SAME (count desc, term asc) total order — post-groupby a
-    term is exactly one row globally, so any row cut from a block has >= k
-    strictly-preceding rows and cannot be in the global top-k. Driver input
+    sees the vocabulary: ``distributed_topk`` keeps only each block's local
+    top-k by the SAME (count desc, term asc) total order, so driver input
     is bounded by k x blocks, not vocab size (certification fails exactly
     when the vocabulary is near-uniform, i.e. huge)."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from tangent_ray.util import distributed_topk
 
     def part(batch: pa.Table) -> pa.Table:
         uniq, counts = _batch_counts(batch, text_col)
@@ -184,32 +183,19 @@ def _exact_topk(ds, k: int, text_col: str) -> pa.Table:
             {"term": uniq, "cnt": pa.array(counts, type=pa.int64())}
         )
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        if b.num_rows <= k:
-            return b
-        idx = pc.sort_indices(
-            b, sort_keys=[("cnt", "descending"), ("term", "ascending")]
-        )
-        return b.take(idx.slice(0, k))
-
     agg = (
         ds.map_batches(part, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .map_batches(block_topk, batch_format="pyarrow")
-        .take_all()
     )
-    ranked = sorted(
-        ((r["term"], r["cnt"]) for r in agg), key=lambda kv: (-kv[1], kv[0])
-    )[:k]
-    return pa.table(
-        {
-            "term": pa.array([t for t, _ in ranked], type=pa.string()),
-            "cnt": pa.array([c for _, c in ranked], type=pa.int64()),
-            "rank": pa.array(
-                np.arange(1, len(ranked) + 1, dtype=np.int64), type=pa.int64()
-            ),
-        }
+    top = distributed_topk(agg, k, key_col="term", cnt_col="cnt")
+    if top is None:
+        top = pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    return top.select(["term", "cnt"]).append_column(
+        "rank",
+        pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64), type=pa.int64()),
     )
 
 

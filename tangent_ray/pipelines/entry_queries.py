@@ -469,24 +469,6 @@ def q_embed_near_dup(sf_dir: str):
     )
 
 
-def q_ann_ivf(sf_dir: str):
-    """IVF-bucketed ANN: probe the nearest coarse clusters only (the scale
-    path for knn_cosine; approximate, so rows-only checked)."""
-    import pyarrow.parquet as pq
-
-    import ray.data
-
-    from tangent_ray.ops.ann import ivf_knn
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qrow = qt.filter(pc.equal(qt["vec_id"], KNN_QUERY_VEC_ID))
-    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)[None, :]
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    out = _collect(ivf_knn(ds, qvec, k=KNN_K, nlist=16, nprobe=4))
-    return out.select(["vec_id", "score"])
-
-
 #: driver-gated phrase (present at every sf of the synthetic corpus)
 PHRASE_QUERY = "table hash"
 PHRASE_K = 20
@@ -504,10 +486,18 @@ def _positions_sidecar(sf_dir: str) -> str:
     out = os.path.join(_TMP_ROOT, f"pos-{_lineage_token(src)}")
 
     def build():
+        import shutil
+
+        # crash-safe: a build that died after writing some parquet but
+        # before the manifest done-marker would otherwise have its partial
+        # files APPENDED to on retry (write_parquet adds uniquely-named
+        # files), doubling phrase counts
+        data_dir = os.path.join(out, "data")
+        shutil.rmtree(data_dir, ignore_errors=True)
         ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
         # parquet under data/ so the done-marker manifest.json is not
         # swept up by the sidecar's own read_parquet
-        build_position_index(ds, os.path.join(out, "data"), num_shards=16)
+        build_position_index(ds, data_dir, num_shards=16)
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump({"src": src, "num_shards": 16}, f)
 

@@ -113,6 +113,41 @@ def sorted_lookup(sorted_keys: np.ndarray, values: np.ndarray):
     return hit, pos_c
 
 
+def distributed_topk(agg, k: int, key_col: str, cnt_col: str):
+    """Exact top-k of an aggregated (key, cnt) Dataset WITHOUT a driver-side
+    vocabulary pull — the one shared 'bounded exact top-k' idiom (heavy-
+    hitters exact fallback, BPE ``top_m`` cap).
+
+    Each block keeps only its local top-k under the (cnt desc, key asc)
+    total order; post-aggregation a key is exactly one row globally, so any
+    row cut from a block has >= k strictly-preceding rows and cannot be in
+    the global top-k. Driver input is bounded by k x blocks, not vocab
+    size. Returns a pa.Table sorted by that order (length <= k), or None
+    when the Dataset is empty (callers own their empty schema)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    keys = [(cnt_col, "descending"), (key_col, "ascending")]
+
+    def block_topk(b):
+        if b.num_rows <= k:
+            return b
+        return b.take(pc.sort_indices(b, sort_keys=keys).slice(0, k))
+
+    tabs = [
+        t
+        for t in ray.get(
+            agg.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tabs:
+        return None
+    merged = pa.concat_tables(tabs).combine_chunks()
+    return merged.take(pc.sort_indices(merged, sort_keys=keys).slice(0, k))
+
+
 #: default shard count for bucket-key shuffles. Sizing rule: one shard's
 #: rows materialize as ONE in-memory table in a map_groups task, so pick
 #: shards ~ total_rows / rows-per-worker-heap (and >= cluster cores for

@@ -131,6 +131,9 @@ def _corpus_table():
         "low lower lowest",
         "newest widest the the the",
         "",
+        # underscore + digits: exercises the shared [^a-z0-9]+ splitter
+        # (underscore is a SEPARATOR — snake_case splits into two words)
+        "snake_case ids like user_42 split_apart",
     ]
     return pa.table(
         {
@@ -156,7 +159,7 @@ def test_word_counts_duckdb_twin(ray_session):
         """
         SELECT tok AS word, count(*)::BIGINT AS cnt
         FROM (
-          SELECT unnest(regexp_split_to_array(lower(text), '[^0-9a-za-z_]+'))
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
                  AS tok FROM docs
         ) WHERE tok <> '' GROUP BY 1 ORDER BY 1
         """
@@ -209,7 +212,7 @@ def test_pipeline_and_encode_stats(ray_session):
     for doc_id, text in enumerate(texts):
         import re
 
-        words = [w for w in re.split(r"[^0-9a-z_]+", text.lower()) if w]
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
         want_pieces = sum(len(encode_word(w, ranks)) for w in words)
         assert stats.loc[doc_id, "n_words"] == len(words)
         assert stats.loc[doc_id, "n_pieces"] == want_pieces
