@@ -169,6 +169,27 @@ def cmd_rerank(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    from tangent_ray.index.deletes import delete_docs
+
+    docids = [int(d) for d in args.docids.split(",")] if args.docids else None
+    dockeys = args.dockeys.split(",") if args.dockeys else None
+    out = delete_docs(cntl["index_dir"], docids=docids, dockeys=dockeys)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    _ensure_ray(args.num_cpus)
+    from tangent_ray.index.deletes import purge_deletes
+
+    manifest = purge_deletes(cntl["index_dir"])
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_verify(args) -> int:
     cntl = _load_cntl(args.cntl)
     _ensure_ray(args.num_cpus)
@@ -220,6 +241,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--serp", default=None,
                    help="also write S15 HTML result pages to this directory")
     p.set_defaults(fn=cmd_rerank)
+
+    p = sub.add_parser("delete", parents=[common],
+                       help="tombstone documents (Lucene-style live-docs; "
+                            "index stays queryable, stats change at purge)")
+    p.add_argument("--docids", default=None,
+                   help="comma-separated integer docids")
+    p.add_argument("--dockeys", default=None,
+                   help="comma-separated dockeys (e.g. conv_id:turn_idx)")
+    p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser("purge", parents=[common],
+                       help="physically remove tombstoned docs (full-fanin "
+                            "merge + re-finalize; forceMergeDeletes analogue)")
+    p.set_defaults(fn=cmd_purge)
 
     p = sub.add_parser("verify", parents=[common],
                        help="distributed index invariant check (A4 verifyIndex)")

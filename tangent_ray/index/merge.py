@@ -34,8 +34,14 @@ import ray.data
 
 from tangent_ray.config import EngineConfig
 from tangent_ray.index.build import MANIFEST_NAME, SEGMENT_SCHEMA
-from tangent_ray.index.codec import decode_skips, merge_postings
-from tangent_ray.util import DEFAULT_SHARDS, shard_column
+from tangent_ray.index.codec import (
+    _run_first_docid,
+    decode_postings,
+    decode_skips,
+    encode_postings,
+    merge_postings,
+)
+from tangent_ray.util import DEFAULT_SHARDS, shard_column, sorted_lookup
 
 
 def _merge_term_group(group: pa.Table, block_size: int) -> pa.Table:
@@ -65,9 +71,75 @@ def _merge_term_group(group: pa.Table, block_size: int) -> pa.Table:
     )
 
 
+def _purge_term_group(
+    group: pa.Table, block_size: int, tomb: np.ndarray
+) -> pa.Table | None:
+    """Merge one term's runs with tombstoned docids REMOVED (purge path).
+
+    Fast path: when no tombstone falls inside any run's docid range (cheap
+    check against the skip table's first/last docids), delegate to the
+    plain merge — most terms of a large index are untouched by a delete.
+    Returns None when every posting of the term is tombstoned (the term
+    row disappears, exactly as in a fresh build without those docs)."""
+    posts = group["postings"].to_pylist()
+    skips = group["skips"].to_pylist()
+    runs = [(p, s) for p, s in zip(posts, skips) if len(s)]
+    if not runs:
+        return None
+    touched = False
+    for p, s in runs:
+        first = _run_first_docid((p, s))
+        last = int(decode_skips(s)["last"][-1])
+        lo = int(np.searchsorted(tomb, first))
+        if lo < tomb.size and int(tomb[lo]) <= last:
+            touched = True
+            break
+    if not touched:
+        return _merge_term_group(group, block_size)
+    parts = [decode_postings(p, s) for p, s in runs]
+    docids = np.concatenate([x[0] for x in parts]).astype(np.int64)
+    tfs = np.concatenate([x[1] for x in parts])
+    dls = np.concatenate([x[2] for x in parts])
+    pos1 = np.concatenate([x[3] for x in parts])
+    order = np.argsort(docids, kind="stable")
+    docids, tfs, dls, pos1 = docids[order], tfs[order], dls[order], pos1[order]
+    if len(docids) > 1 and (docids[1:] == docids[:-1]).any():
+        raise ValueError("purge: duplicate docid across runs")
+    hit, _ = sorted_lookup(tomb, docids)
+    if hit.all():
+        return None
+    keep = ~hit
+    docids, tfs, dls, pos1 = docids[keep], tfs[keep], dls[keep], pos1[keep]
+    post, skip = encode_postings(
+        docids.astype(np.uint64), tfs, dls, pos1, block_size
+    )
+    return pa.Table.from_arrays(
+        [
+            group["term"].slice(0, 1),
+            group["kind"].slice(0, 1),
+            pa.array([0], type=pa.int32()),
+            pa.array([len(docids)], type=pa.int64()),
+            pa.array([int(tfs.astype(np.int64).sum())], type=pa.int64()),
+            pa.array([int(tfs.max())], type=pa.int32()),
+            pa.array([post], type=pa.binary()),
+            pa.array([skip], type=pa.binary()),
+        ],
+        schema=SEGMENT_SCHEMA,
+    )
+
+
 def merge_partials(out_dir: str, names: list[str], merged_name: str,
-                   shards: int = DEFAULT_SHARDS) -> dict:
-    """Merge the named partials of an index into one; atomic swap."""
+                   shards: int = DEFAULT_SHARDS,
+                   tombstones: np.ndarray | None = None,
+                   purged_docs: int = 0) -> dict:
+    """Merge the named partials of an index into one; atomic swap.
+
+    With ``tombstones`` (sorted int64; see ``index/deletes.py``) the merge
+    is a PURGE: tombstoned docids are filtered out of every posting run,
+    df/cf/max_tf are recomputed, emptied terms are dropped, docmap sidecars
+    are filtered, and the merged manifest's doc/token/posting counts are
+    recomputed from the purged segments (``purged_docs`` = exact number of
+    deleted docs present in these partials, subtracted from ``n_docs``)."""
     pdir = os.path.join(out_dir, "partials")
     dirs = [os.path.join(pdir, n) for n in names]
     manifests = []
@@ -106,10 +178,20 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str,
             np.concatenate([[True], terms[1:] != terms[:-1]])
         )
         ends = np.append(starts[1:], len(terms))
-        parts = [
-            _merge_term_group(g.slice(st, en - st), bs)
-            for st, en in zip(starts, ends)
-        ]
+        if tombstones is None:
+            parts = [
+                _merge_term_group(g.slice(st, en - st), bs)
+                for st, en in zip(starts, ends)
+            ]
+        else:
+            parts = [
+                t
+                for st, en in zip(starts, ends)
+                if (t := _purge_term_group(g.slice(st, en - st), bs, tombstones))
+                is not None
+            ]
+        if not parts:
+            return SEGMENT_SCHEMA.empty_table()
         return pa.concat_tables(parts)
 
     ds.map_batches(add_shard, batch_format="pyarrow").groupby("shard").map_groups(
@@ -125,13 +207,22 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str,
     # therefore writes no docmap and keeps the fallback path correct.
     have_dm = [os.path.isdir(os.path.join(d, "docmap")) for d in dirs]
     if all(have_dm):
+        import pyarrow.parquet as _pq
+
         dm_files = sorted(
             f for d in dirs
             for f in glob.glob(os.path.join(d, "docmap", "*.parquet"))
         )
         os.makedirs(os.path.join(tmp, "docmap"), exist_ok=True)
         for i, f in enumerate(dm_files):
-            shutil.copy2(f, os.path.join(tmp, "docmap", f"dm{i:05d}.parquet"))
+            dst = os.path.join(tmp, "docmap", f"dm{i:05d}.parquet")
+            if tombstones is None:
+                shutil.copy2(f, dst)
+            else:
+                t = _pq.read_table(f)
+                ids = t["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+                hit, _ = sorted_lookup(tombstones, ids)
+                _pq.write_table(t.filter(pa.array(~hit)), dst)
     elif any(have_dm):
         logger.warning(
             "merge_partials: %d of %d sources lack a docmap sidecar; the "
@@ -151,10 +242,22 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str,
     # term counts across partials overlap; recount from the merged table
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(tmp, "terms"), columns=["kind"])
+    t = pq.read_table(os.path.join(tmp, "terms"), columns=["kind", "df", "cf"])
     kinds = t["kind"].to_numpy(zero_copy_only=False)
     merged["n_terms_text"] = int((kinds == 0).sum())
     merged["n_terms_math"] = int((kinds == 1).sum())
+    if tombstones is not None:
+        # a purge changed the postings themselves — recompute every count
+        # from the purged segments so the manifest equals what a fresh
+        # build over the reduced corpus would record
+        df = t["df"].to_numpy(zero_copy_only=False)
+        cf = t["cf"].to_numpy(zero_copy_only=False)
+        merged["n_docs"] = merged["n_docs"] - int(purged_docs)
+        merged["postings_text"] = int(df[kinds == 0].sum())
+        merged["postings_math"] = int(df[kinds == 1].sum())
+        merged["tokens_text"] = int(cf[kinds == 0].sum())
+        merged["tokens_math"] = int(cf[kinds == 1].sum())
+        merged["problem_fragments"] = int(cf[kinds == 3].sum())
     merged["merged_from"] = names
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)

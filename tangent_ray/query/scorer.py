@@ -147,6 +147,14 @@ class IndexReader:
         ]
         self.N = self.manifest["n_docs"]
         self.avgdl = max(self.manifest["avgdl_text"], 1e-9)
+        # live-docs: tombstoned docids never surface in results. Corpus
+        # stats (N / avgdl / df) stay pre-delete until purge_deletes — the
+        # Lucene visibility rule (deletes hide docs immediately; statistics
+        # change at merge time). Loaded once per reader; a long-lived actor
+        # pool picks up new deletes on restart.
+        from tangent_ray.index.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)
         self._docmap: list[tuple[np.ndarray, pa.Array]] | None = None
         self._index_dir = index_dir
         self._stats: dict[str, int] | None = None
@@ -471,6 +479,17 @@ class QueryScorer:
             d, s = self._score_fmeasure(bag, qtc)
         else:
             d, s = self._score_mixed(terms, bag, qtc, n_formulae)
+        tomb = self.reader.tombstones
+        if tomb.size and len(d):
+            # live-docs filter over the FULL candidate set (TAAT / fmeasure
+            # return every candidate, so dropping here is exact; the WAND
+            # path already skipped tombstoned pivots inside its loop — a
+            # deleted doc must never inflate the pruning threshold)
+            from tangent_ray.util import sorted_lookup
+
+            hit, _ = sorted_lookup(tomb, d)
+            if hit.any():
+                d, s = d[~hit], s[~hit]
         self.last_stats["candidates"] = int(len(d))
         out = _topk(d, s, k)
         self.last_stats["returned"] = int(len(out[0]))
@@ -604,10 +623,18 @@ class QueryScorer:
                 break
             if its[0].cur == pivot:
                 at_pivot = [t for t in its if t.cur == pivot]
+                # tombstoned pivot: advance past without scoring (the doc
+                # must not enter the heap — a deleted doc in the heap would
+                # raise the threshold and prune live results)
+                tomb = self.reader.tombstones
+                deleted = False
+                if tomb.size:
+                    j = int(np.searchsorted(tomb, pivot))
+                    deleted = j < tomb.size and int(tomb[j]) == pivot
                 # block-max refinement: tighter bound from the blocks that
                 # actually contain the pivot (all pivot-doc contributors)
-                bub = sum(t.block_ub(pivot) for t in at_pivot)
-                if bub < threshold:
+                bub = 0.0 if deleted else sum(t.block_ub(pivot) for t in at_pivot)
+                if deleted or bub < threshold:
                     for it in at_pivot:
                         it.advance_past(pivot)
                 else:
