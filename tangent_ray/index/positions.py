@@ -280,3 +280,213 @@ def _phrase_terms(phrase: str) -> list[str]:
     if not terms:
         raise ValueError("phrase_search: phrase has no tokens")
     return terms
+
+
+# ---------------------------------------------------------------------------
+# proximity search: all query terms within a position window
+# ---------------------------------------------------------------------------
+#
+# ``min_span(doc)`` = the smallest (max_pos - min_pos) over any tuple of
+# occurrences covering every DISTINCT query term — the classic positional-
+# index proximity operator (Lucene SpanNearQuery / "terms within N words").
+# For two terms this is min |p_a - p_b|; integer end-to-end, so the DuckDB
+# positions-join twin matches bit-for-bit.
+
+_I64_MAX = np.iinfo(np.int64).max
+_HI32 = np.uint64(32)
+
+
+def _min_gap_pairs(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc min |pos_a - pos_b| for two sorted (doc<<32|pos) key arrays.
+
+    Vectorized nearest-neighbor: for each a-key the closest same-doc b-key
+    is at searchsorted(b, a) or one before it (keys sort by (doc, pos), so
+    any same-doc b beyond those two is strictly farther)."""
+    if not len(ka) or not len(kb):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    idx = np.searchsorted(kb, ka)
+    doc_a = (ka >> _HI32).astype(np.int64)
+    best = np.full(len(ka), _I64_MAX, dtype=np.int64)
+    for cand in (np.minimum(idx, len(kb) - 1), np.maximum(idx - 1, 0)):
+        kb_c = kb[cand]
+        same = (kb_c >> _HI32).astype(np.int64) == doc_a
+        # same doc -> high bits cancel, |key diff| == |pos diff|
+        gap = np.abs(kb_c.astype(np.int64) - ka.astype(np.int64))
+        best = np.where(same & (gap < best), gap, best)
+    valid = best != _I64_MAX
+    docs, gaps = doc_a[valid], best[valid]
+    if not len(docs):
+        return docs, gaps
+    order = np.argsort(docs, kind="stable")
+    docs, gaps = docs[order], gaps[order]
+    starts = np.flatnonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+    return docs[starts], np.minimum.reduceat(gaps, starts)
+
+
+def _min_cover(positions: np.ndarray, labels: np.ndarray, k: int) -> int:
+    """Smallest window (max-min of positions) covering all k labels: the
+    textbook two-pointer sweep over one doc's merged sorted occurrences."""
+    count = np.zeros(k, dtype=np.int64)
+    need = k
+    best = _I64_MAX
+    left = 0
+    for right in range(len(positions)):
+        lr = labels[right]
+        if count[lr] == 0:
+            need -= 1
+        count[lr] += 1
+        while need == 0:
+            span = int(positions[right] - positions[left])
+            if span < best:
+                best = span
+            ll = labels[left]
+            count[ll] -= 1
+            if count[ll] == 0:
+                need += 1
+            left += 1
+    return best
+
+
+def _spans_from_keys(
+    key_all: np.ndarray, masks: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_codes, min_span) for docs containing every term. ``masks`` is
+    one occurrence mask over ``key_all`` per DISTINCT term."""
+    keys = [np.sort(key_all[m]) for m in masks]
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if any(len(ks) == 0 for ks in keys):
+        return empty
+    if len(keys) == 1:
+        docs = np.unique((keys[0] >> _HI32).astype(np.int64))
+        return docs, np.zeros(len(docs), dtype=np.int64)
+    if len(keys) == 2:
+        return _min_gap_pairs(keys[0], keys[1])
+    # k >= 3: restrict to docs containing ALL terms, then per-doc two-pointer
+    doc_sets = [np.unique((ks >> _HI32).astype(np.int64)) for ks in keys]
+    common = doc_sets[0]
+    for d in doc_sets[1:]:
+        common = common[np.isin(common, d, assume_unique=True)]
+        if not len(common):
+            return empty
+    out_docs = np.empty(len(common), dtype=np.int64)
+    out_spans = np.empty(len(common), dtype=np.int64)
+    for i, dc in enumerate(common):
+        lo_key = np.uint64(dc) << _HI32
+        hi_key = np.uint64(dc + 1) << _HI32
+        pos_parts: list[np.ndarray] = []
+        lab_parts: list[np.ndarray] = []
+        for li, ks in enumerate(keys):
+            lo = int(np.searchsorted(ks, lo_key))
+            hi = int(np.searchsorted(ks, hi_key))
+            p = (ks[lo:hi] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            pos_parts.append(p)
+            lab_parts.append(np.full(len(p), li, dtype=np.int64))
+        pos = np.concatenate(pos_parts)
+        lab = np.concatenate(lab_parts)
+        o = np.argsort(pos, kind="stable")
+        out_docs[i] = dc
+        out_spans[i] = _min_cover(pos[o], lab[o], len(keys))
+    return out_docs, out_spans
+
+
+def _span_table(docs: np.ndarray, spans: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "docid": pa.array(docs, pa.int64()),
+            "min_span": pa.array(spans, pa.int64()),
+        }
+    )
+
+
+def _partial_span_topk(docs, spans, k):
+    if len(docs) > k:
+        order = np.lexsort((docs, spans))[:k]
+        docs, spans = docs[order], spans[order]
+    return docs, spans
+
+
+def _merge_span_topk(parts: list[pa.Table], k: int) -> pa.Table:
+    if not parts:
+        return _span_table(np.empty(0, np.int64), np.empty(0, np.int64))
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(
+        merged, sort_keys=[("min_span", "ascending"), ("docid", "ascending")]
+    )
+    return merged.take(idx.slice(0, k))
+
+
+def proximity_search(
+    index_dir: str, query: str, window: int, k: int = 10
+) -> pa.Table:
+    """Docs whose distinct query terms all occur within ``window`` positions
+    of each other, from the positional sidecar.
+
+    Returns (docid, min_span) with ``min_span <= window``, sorted by
+    (min_span asc, docid asc), limit ``k``. Same scale shape as
+    ``phrase_search``: pruned read of the query terms' postings only, one
+    doc-sharded groupby, shard-local top-k cut, bounded driver merge."""
+    terms = sorted(set(_phrase_terms(query)))
+    ds = positions_dataset(index_dir, terms)
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        term_col = group["term"].combine_chunks()
+        docid_np = group["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_docs, doc_codes = np.unique(docid_np, return_inverse=True)
+        lists = group["positions"].combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        sizes = lists.value_lengths().to_numpy(zero_copy_only=False)
+        row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
+        key_all = (doc_codes[row_of_pos].astype(np.uint64) << _HI32) | flat
+        masks = [
+            pc.equal(term_col, t).to_numpy(zero_copy_only=False)[row_of_pos]
+            for t in terms
+        ]
+        codes, spans = _spans_from_keys(key_all, masks)
+        keep = spans <= window
+        docs, spans = uniq_docs[codes[keep]], spans[keep]
+        return _span_table(*_partial_span_topk(docs, spans, k))
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.groupby("shard")
+            .map_groups(per_shard, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return _merge_span_topk(parts, k)
+
+
+def proximity_scan(ds, query: str, window: int, k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Index-free differential twin of ``proximity_search`` (direct corpus
+    scan; batch rows are whole docs, so spans are batch-local-exact)."""
+    terms = sorted(set(_phrase_terms(query)))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        parents, tokens, pos = split_tokens(batch[text_col])
+        if len(tokens) == 0:
+            return _span_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        docids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key_all = (parents.astype(np.uint64) << _HI32) | pos.astype(np.uint64)
+        masks = [
+            pc.equal(tokens, t).to_numpy(zero_copy_only=False) for t in terms
+        ]
+        rows, spans = _spans_from_keys(key_all, masks)
+        keep = spans <= window
+        docs, spans = docids[rows[keep]], spans[keep]
+        return _span_table(*_partial_span_topk(docs, spans, k))
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(per_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return _merge_span_topk(parts, k)
