@@ -162,8 +162,12 @@ def cmd_rerank(args) -> int:
     pages: list[str] = []
     if args.serp:
         from tangent_ray.eval.serp import write_serp
+        from tangent_ray.query.snippets import snippets_for_results
 
-        pages = write_serp(table, queries, args.serp)
+        snips = snippets_for_results(
+            table, queries, list_input_files(cntl["input"])
+        )
+        pages = write_serp(table, queries, args.serp, snippets=snips)
     print(json.dumps({"results": table.num_rows, "out": args.out,
                       "serp_pages": len(pages)}))
     return 0

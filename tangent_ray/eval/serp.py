@@ -153,6 +153,8 @@ body {{ font-family: sans-serif; margin: 2em; }}
 table {{ border-collapse: collapse; }}
 td, th {{ border: 1px solid #ccc; padding: 4px 10px; text-align: left; }}
 .score {{ font-variant-numeric: tabular-nums; }}
+.snippet {{ color: #555; font-size: 0.9em; margin-top: 2px; }}
+.snippet em {{ background: #ffef9e; font-style: normal; }}
 </style></head>
 <body>
 <h1>{title}</h1>
@@ -187,11 +189,36 @@ def _math_or_text(text: str) -> str:
     return "".join(out)
 
 
+_EM_RE = re.compile(r"</?em>")
+
+
+def _escape_highlighted(snippet: str) -> str:
+    """HTML-escape a highlighted snippet while preserving its <em> marks.
+
+    ``extract_snippet`` builds the highlight from RAW corpus text — any
+    markup in the document must not reach the page unescaped."""
+    out: list[str] = []
+    pos = 0
+    for m in _EM_RE.finditer(snippet):
+        out.append(html.escape(snippet[pos : m.start()]))
+        out.append(m.group())  # the <em>/</em> marks themselves stay live
+        pos = m.end()
+    out.append(html.escape(snippet[pos:]))
+    return "".join(out)
+
+
 def render_serp(query_id: str, query_text: str, rows: list[dict]) -> str:
-    """One HTML page: ranked rows of (rank, dockey/docid, score[, slt])."""
+    """One HTML page: ranked rows of (rank, dockey/docid, score[, slt,
+    highlighted])."""
     body = []
     for r in rows:
         doc = html.escape(str(r.get("dockey") or r.get("docid") or ""))
+        if r.get("highlighted"):
+            doc += (
+                '<div class="snippet">'
+                + _escape_highlighted(r["highlighted"])
+                + "</div>"
+            )
         score = html.escape(str(r.get("score", r.get("mss_h", ""))))
         expr = r.get("slt") or r.get("expression") or ""
         expr_xml = ""
@@ -211,17 +238,30 @@ def render_serp(query_id: str, query_text: str, rows: list[dict]) -> str:
     )
 
 
-def write_serp(results: pa.Table, queries: pa.Table, out_dir: str) -> list[str]:
+def write_serp(results: pa.Table, queries: pa.Table, out_dir: str,
+               snippets: pa.Table | None = None) -> list[str]:
     """Write one SERP page per query; returns the file paths.
 
     ``results`` needs (query_id, rank, ...) columns as produced by
-    ``search``/``rerank_search``; ``queries`` needs (query_id, text)."""
+    ``search``/``rerank_search``; ``queries`` needs (query_id, text).
+    ``snippets`` (optional, from ``query.snippets.snippets_for_results``)
+    adds a highlighted keyword-in-context excerpt under each hit."""
     os.makedirs(out_dir, exist_ok=True)
     qtext = {
         r["query_id"]: r["text"] for r in queries.select(["query_id", "text"]).to_pylist()
     }
+    snip: dict[tuple[str, int], str] = {}
+    if snippets is not None:
+        snip = {
+            (r["query_id"], r["docid"]): r["highlighted"]
+            for r in snippets.to_pylist()
+        }
     by_q: dict[str, list[dict]] = {}
     for r in results.to_pylist():
+        if snip:
+            hl = snip.get((r["query_id"], r.get("docid")))
+            if hl:
+                r = dict(r, highlighted=hl)
         by_q.setdefault(r["query_id"], []).append(r)
     paths = []
     for qid, rows in sorted(by_q.items()):

@@ -89,3 +89,31 @@ def test_render_and_write_serp(tmp_path):
     html = render_serp("q3", "x", [{"rank": 1, "docid": 1, "score": 0,
                                     "slt": "[broken"}])
     assert "[broken" in html
+
+
+def test_serp_with_snippets(tmp_path):
+    import pyarrow as pa
+
+    from tangent_ray.eval.serp import _escape_highlighted
+
+    results = pa.Table.from_pylist(
+        [{"query_id": "q1", "rank": 1, "docid": 7, "score": 1.0}]
+    )
+    queries = pa.Table.from_pylist([{"query_id": "q1", "text": "merge"}])
+    snippets = pa.Table.from_pylist(
+        [
+            {
+                "query_id": "q1",
+                "docid": 7,
+                "highlighted": "a <b>raw</b> <em>merge</em> & more",
+            }
+        ]
+    )
+    paths = write_serp(results, queries, str(tmp_path), snippets=snippets)
+    page = open(paths[0]).read()
+    # highlight survives, document markup is escaped
+    assert "<em>merge</em>" in page
+    assert "&lt;b&gt;raw&lt;/b&gt;" in page and "&amp; more" in page
+    assert 'class="snippet"' in page
+    # rows without a snippet render unchanged
+    assert _escape_highlighted("plain") == "plain"
