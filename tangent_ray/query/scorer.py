@@ -366,7 +366,9 @@ class QueryScorer:
 
     Query batch columns: ``query_id`` (string), ``kind``
     ("text"|"math"|"mixed"), ``text`` (the raw query string; ``$...$`` spans
-    are formula fragments), optional ``topk`` (int).
+    are formula fragments; a ``-term`` token excludes every doc containing
+    that term — boolean NOT, applied exactly on all scoring paths), optional
+    ``topk`` (int).
     """
 
     def __init__(self, index_dir: str, topk: int | None = None,
@@ -374,6 +376,7 @@ class QueryScorer:
         self.reader = IndexReader(index_dir, partials=partials)
         self.cfg = self.reader.cfg
         self.topk = topk or self.cfg.topk
+        self._dead = self.reader.tombstones  # per-query: tombstones + NOTs
         #: per-query instrumentation (reference `I` rows): qt_ms, postings
         #: touched, query terms with matches, candidate docs, returned rows
         self.last_stats: dict = {}
@@ -465,6 +468,46 @@ class QueryScorer:
                     bag[tuple_term(fr, to, rel)] += 1
         return sorted(set(terms.to_pylist())), bag, qtc, n_formulae
 
+    # -- boolean NOT -----------------------------------------------------
+    _NEG_RE = re.compile(r"(?<!\w)-([a-z0-9]+)", re.IGNORECASE)
+
+    def _split_negations(self, text: str) -> tuple[str, list[str]]:
+        """Strip ``-term`` exclusions from the query text (outside $math$
+        spans) and return (cleaned text, stemmed excluded terms)."""
+        # MathML-format topics (the reference query format) carry hyphens
+        # in markup; NOT syntax applies only to plain/SLT-span queries
+        if "-" not in text or "<math" in text or ":math" in text:
+            return text, []
+        pieces: list[str] = []
+        negs: list[str] = []
+        pos = 0
+        for m in _MATH_RE.finditer(text):  # never rewrite inside a formula
+            seg = text[pos : m.start()]
+            negs.extend(g.lower() for g in self._NEG_RE.findall(seg))
+            pieces.append(self._NEG_RE.sub(" ", seg))
+            pieces.append(m.group(0))
+            pos = m.end()
+        seg = text[pos:]
+        negs.extend(g.lower() for g in self._NEG_RE.findall(seg))
+        pieces.append(self._NEG_RE.sub(" ", seg))
+        if self.cfg.stem:
+            from tangent_ray.tokenize.porter import porter_stem
+
+            negs = [porter_stem(t) for t in negs]
+        return "".join(pieces), sorted(set(negs))
+
+    def _excluded_docs(self, neg_terms: list[str]) -> np.ndarray:
+        """Sorted unique docids containing ANY excluded term (bounded by
+        those terms' df — decoded once per query from the postings)."""
+        cand: list[np.ndarray] = []
+        for term in neg_terms:
+            for seg in self.reader.segments:
+                for row in seg.lookup.get(term, ()):
+                    cand.append(seg.postings(row)[0].astype(np.int64))
+        if not cand:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(cand))
+
     def score_query(self, text: str, kind: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         import time
 
@@ -472,6 +515,20 @@ class QueryScorer:
         # instrumentation counters — the reference's per-query `I` rows
         # (qt/post/expr/doc, mathindex.cpp:161-168,295-317)
         self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
+        # dead docs for THIS query: index tombstones plus the docs matching
+        # any -term exclusion. Both classes share one mechanism: the TAAT /
+        # fmeasure candidate sets are post-filtered below (exact — they are
+        # complete), while the WAND loop checks self._dead at the pivot so
+        # a dead doc can never inflate the pruning threshold.
+        text, neg_terms = self._split_negations(text)
+        self._dead = self.reader.tombstones
+        if neg_terms:
+            excl = self._excluded_docs(neg_terms)
+            self.last_stats["excluded_docs"] = int(excl.size)
+            if excl.size:
+                self._dead = (
+                    np.union1d(self._dead, excl) if self._dead.size else excl
+                )
         terms, bag, qtc, n_formulae = self.parse_query(text)
         if kind == "text":
             d, s = self._score_bm25(terms, k)
@@ -479,15 +536,11 @@ class QueryScorer:
             d, s = self._score_fmeasure(bag, qtc)
         else:
             d, s = self._score_mixed(terms, bag, qtc, n_formulae)
-        tomb = self.reader.tombstones
-        if tomb.size and len(d):
-            # live-docs filter over the FULL candidate set (TAAT / fmeasure
-            # return every candidate, so dropping here is exact; the WAND
-            # path already skipped tombstoned pivots inside its loop — a
-            # deleted doc must never inflate the pruning threshold)
+        dead = self._dead
+        if dead.size and len(d):
             from tangent_ray.util import sorted_lookup
 
-            hit, _ = sorted_lookup(tomb, d)
+            hit, _ = sorted_lookup(dead, d)
             if hit.any():
                 d, s = d[~hit], s[~hit]
         self.last_stats["candidates"] = int(len(d))
@@ -623,14 +676,14 @@ class QueryScorer:
                 break
             if its[0].cur == pivot:
                 at_pivot = [t for t in its if t.cur == pivot]
-                # tombstoned pivot: advance past without scoring (the doc
-                # must not enter the heap — a deleted doc in the heap would
-                # raise the threshold and prune live results)
-                tomb = self.reader.tombstones
+                # dead pivot (tombstoned or -term excluded): advance past
+                # without scoring — a dead doc in the heap would raise the
+                # threshold and prune live results
+                dead_arr = getattr(self, "_dead", self.reader.tombstones)
                 deleted = False
-                if tomb.size:
-                    j = int(np.searchsorted(tomb, pivot))
-                    deleted = j < tomb.size and int(tomb[j]) == pivot
+                if dead_arr.size:
+                    j = int(np.searchsorted(dead_arr, pivot))
+                    deleted = j < dead_arr.size and int(dead_arr[j]) == pivot
                 # block-max refinement: tighter bound from the blocks that
                 # actually contain the pivot (all pivot-doc contributors)
                 bub = 0.0 if deleted else sum(t.block_ub(pivot) for t in at_pivot)
