@@ -1,0 +1,138 @@
+"""SymSpell-style fuzzy suggestions: deletes-index candidates verified by
+true Levenshtein, differential against a DuckDB full-scan levenshtein()
+oracle, ranking rules, did-you-mean query rewrite, and seeded fuzz."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tangent_ray.config import SQL_PARITY_CONFIG
+from tangent_ray.index.build import build_index
+from tangent_ray.query.fuzzy import (
+    Suggester,
+    _delete_variants,
+    build_suggest_index,
+    levenshtein,
+    suggest_rewrite,
+)
+from tangent_ray.sources.corpus import DocumentsCorpus
+
+DOCS = [
+    "query planner scans the relation",
+    "the planner chooses a hash join",
+    "query query query optimizer",
+    "relation scan with predicate pushdown",
+    "quarry stone",                # near 'query' (dist 2)
+    "plan the work",
+]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    import dataclasses
+
+    root = tmp_path_factory.mktemp("fuzzy")
+    src = str(root / "docs")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+                "text": pa.array(DOCS, pa.string()),
+            }
+        ),
+        os.path.join(src, "d.parquet"),
+    )
+    out = str(root / "idx")
+    build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    build_suggest_index(out, max_edit=2)
+    return out
+
+
+def test_levenshtein_matches_duckdb():
+    rng = random.Random(3)
+    words = ["", "a", "query", "qurey", "quarry", "planner", "plan", "scan",
+             "scna", "relation", "relatoin"]
+    con = duckdb.connect()
+    for _ in range(60):
+        a, b = rng.choice(words), rng.choice(words)
+        want = con.execute(f"select levenshtein('{a}','{b}')").fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_delete_variants_counts():
+    assert _delete_variants("ab", 1) == {"ab", "a", "b"}
+    v = _delete_variants("abcd", 2)
+    assert "abcd" in v and "ab" in v and "acd" in v
+    # 1 + 4 + C(4,2) distinct strings for distinct-letter words
+    assert len(v) == 1 + 4 + 6
+
+
+def _oracle(idx_dir, word, d, topn=5):
+    """Full-scan DuckDB oracle: rank the whole lexicon by levenshtein."""
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+        SELECT term, levenshtein('{word}', term) AS dist, df
+        FROM read_parquet('{os.path.join(idx_dir, "term_stats.parquet")}')
+        WHERE kind = 0 AND term <> '{word}'
+          AND levenshtein('{word}', term) <= {d}
+        ORDER BY dist, df DESC, term LIMIT {topn}
+        """
+    ).fetchall()
+    return [(t, int(dist), int(df)) for t, dist, df in got]
+
+
+def test_suggest_matches_full_scan_oracle(idx):
+    s = Suggester(idx)
+    for word in ("qurey", "plannr", "scn", "relatin", "quary", "xyz",
+                 "query", "hash", "joim"):
+        for d in (1, 2):
+            assert s.suggest(word, max_edit=d) == _oracle(idx, word, d), (word, d)
+
+
+def test_ranking_prefers_distance_then_df(idx):
+    s = Suggester(idx)
+    got = s.suggest("quer", max_edit=2)
+    assert got and got[0][0] == "query"  # dist 1 beats dist-2 candidates
+    dists = [g[1] for g in got]
+    assert dists == sorted(dists)
+
+
+def test_suggest_rewrite(idx):
+    text, fixes = suggest_rewrite(idx, "qurey plannr $[V!x]$ join")
+    assert fixes == {"qurey": "query", "plannr": "planner"}
+    assert text == "query planner $[V!x]$ join"
+    # known terms and math spans untouched
+    text2, fixes2 = suggest_rewrite(idx, "query join")
+    assert text2 == "query join" and fixes2 == {}
+
+
+def test_fuzz_against_oracle(idx):
+    rng = random.Random(11)
+    s = Suggester(idx)
+    base = ["query", "planner", "relation", "scan", "predicate", "optimizer"]
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(25):
+        w = list(rng.choice(base))
+        for _ in range(rng.randrange(1, 3)):
+            op = rng.choice(["del", "ins", "sub", "swap"])
+            i = rng.randrange(len(w))
+            if op == "del" and len(w) > 1:
+                del w[i]
+            elif op == "ins":
+                w.insert(i, rng.choice(alphabet))
+            elif op == "sub":
+                w[i] = rng.choice(alphabet)
+            elif op == "swap" and i + 1 < len(w):
+                w[i], w[i + 1] = w[i + 1], w[i]
+        word = "".join(w)
+        assert s.suggest(word, max_edit=2) == _oracle(idx, word, 2), word
