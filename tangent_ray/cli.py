@@ -165,7 +165,8 @@ def cmd_rerank(args) -> int:
         from tangent_ray.query.snippets import snippets_for_results
 
         snips = snippets_for_results(
-            table, queries, list_input_files(cntl["input"])
+            table, queries, list_input_files(cntl["input"]),
+            corpus=_corpus_of(cntl),
         )
         pages = write_serp(table, queries, args.serp, snippets=snips)
     print(json.dumps({"results": table.num_rows, "out": args.out,

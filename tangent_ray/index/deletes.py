@@ -91,15 +91,24 @@ def delete_docs(
     if new.size == 0:
         raise ValueError("delete_docs: nothing to delete")
 
+    import fcntl
+
     ddir = os.path.join(index_dir, DELETES_DIR)
     os.makedirs(ddir, exist_ok=True)
-    i = 0
-    while os.path.exists(os.path.join(ddir, f"t{i:05d}.parquet")):
-        i += 1
-    pq.write_table(
-        pa.table({"docid": pa.array(new, type=pa.int64())}),
-        os.path.join(ddir, f"t{i:05d}.parquet"),
-    )
+    # exclusive lock around name-pick + write: two concurrent delete_docs
+    # calls must not choose the same t{i} file; tmp + os.replace so a crash
+    # mid-write can never leave a truncated parquet that poisons every
+    # subsequent load_tombstones (i.e. every reader startup)
+    with open(os.path.join(ddir, ".lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        i = 0
+        while os.path.exists(os.path.join(ddir, f"t{i:05d}.parquet")):
+            i += 1
+        dst = os.path.join(ddir, f"t{i:05d}.parquet")
+        pq.write_table(
+            pa.table({"docid": pa.array(new, type=pa.int64())}), dst + ".tmp"
+        )
+        os.replace(dst + ".tmp", dst)
     total = load_tombstones(index_dir)
     # observability only — readers glob the deletes dir, not the manifest
     mpath = os.path.join(index_dir, "manifest.json")
@@ -224,6 +233,18 @@ def purge_deletes(index_dir: str, shards: int | None = None) -> dict:
     out["n_tombstones"] = 0
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    # the fuzzy suggest sidecar ranks by df and names terms — both change
+    # under a purge; rebuild it with its own recorded parameters
+    spath = os.path.join(index_dir, "suggest.parquet")
+    if os.path.exists(spath):
+        from tangent_ray.query.fuzzy import build_suggest_index
+
+        md = pq.read_schema(spath).metadata or {}
+        build_suggest_index(
+            index_dir,
+            max_edit=int(md.get(b"max_edit", b"2")),
+            min_df=int(md.get(b"min_df", b"1")),
+        )
     logger.info(
         "purge_deletes: removed %d docs (%d tombstones) from %s",
         matched.size, tomb.size, index_dir,

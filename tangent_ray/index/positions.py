@@ -323,35 +323,19 @@ def _min_gap_pairs(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return docs[starts], np.minimum.reduceat(gaps, starts)
 
 
-def _min_cover(positions: np.ndarray, labels: np.ndarray, k: int) -> int:
-    """Smallest window (max-min of positions) covering all k labels: the
-    textbook two-pointer sweep over one doc's merged sorted occurrences."""
-    count = np.zeros(k, dtype=np.int64)
-    need = k
-    best = _I64_MAX
-    left = 0
-    for right in range(len(positions)):
-        lr = labels[right]
-        if count[lr] == 0:
-            need -= 1
-        count[lr] += 1
-        while need == 0:
-            span = int(positions[right] - positions[left])
-            if span < best:
-                best = span
-            ll = labels[left]
-            count[ll] -= 1
-            if count[ll] == 0:
-                need += 1
-            left += 1
-    return best
-
-
 def _spans_from_keys(
     key_all: np.ndarray, masks: list[np.ndarray]
 ) -> tuple[np.ndarray, np.ndarray]:
     """(doc_codes, min_span) for docs containing every term. ``masks`` is
-    one occurrence mask over ``key_all`` per DISTINCT term."""
+    one occurrence mask over ``key_all`` per DISTINCT term.
+
+    k >= 3 is fully vectorized (no per-doc Python): restrict to docs
+    containing all terms, merge the occurrences in (doc, pos) order, and
+    use the next-occurrence formulation of minimal cover — for every left
+    endpoint i, the smallest covering window ends at ``jmax(i) = max over
+    labels of the label's next same-doc occurrence at-or-after i``; the
+    per-label next arrays come from ONE segmented suffix-min each (doc
+    boundaries encoded into the value so runs never leak across docs)."""
     keys = [np.sort(key_all[m]) for m in masks]
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     if any(len(ks) == 0 for ks in keys):
@@ -361,32 +345,53 @@ def _spans_from_keys(
         return docs, np.zeros(len(docs), dtype=np.int64)
     if len(keys) == 2:
         return _min_gap_pairs(keys[0], keys[1])
-    # k >= 3: restrict to docs containing ALL terms, then per-doc two-pointer
     doc_sets = [np.unique((ks >> _HI32).astype(np.int64)) for ks in keys]
     common = doc_sets[0]
     for d in doc_sets[1:]:
         common = common[np.isin(common, d, assume_unique=True)]
         if not len(common):
             return empty
-    out_docs = np.empty(len(common), dtype=np.int64)
-    out_spans = np.empty(len(common), dtype=np.int64)
-    for i, dc in enumerate(common):
-        lo_key = np.uint64(dc) << _HI32
-        hi_key = np.uint64(dc + 1) << _HI32
-        pos_parts: list[np.ndarray] = []
-        lab_parts: list[np.ndarray] = []
-        for li, ks in enumerate(keys):
-            lo = int(np.searchsorted(ks, lo_key))
-            hi = int(np.searchsorted(ks, hi_key))
-            p = (ks[lo:hi] & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            pos_parts.append(p)
-            lab_parts.append(np.full(len(p), li, dtype=np.int64))
-        pos = np.concatenate(pos_parts)
-        lab = np.concatenate(lab_parts)
-        o = np.argsort(pos, kind="stable")
-        out_docs[i] = dc
-        out_spans[i] = _min_cover(pos[o], lab[o], len(keys))
-    return out_docs, out_spans
+    # occurrences of any term within the common docs, merged (doc, pos)
+    kept_keys: list[np.ndarray] = []
+    kept_lab: list[np.ndarray] = []
+    for li, ks in enumerate(keys):
+        doc = (ks >> _HI32).astype(np.int64)
+        p = np.searchsorted(common, doc)
+        p_c = np.minimum(p, len(common) - 1)
+        m = common[p_c] == doc
+        kept_keys.append(ks[m])
+        kept_lab.append(np.full(int(m.sum()), li, dtype=np.int64))
+    key = np.concatenate(kept_keys)
+    lab = np.concatenate(kept_lab)
+    order = np.argsort(key, kind="stable")
+    key, lab = key[order], lab[order]
+    n = len(key)
+    docs_all = (key >> _HI32).astype(np.int64)
+    pos_all = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    doc_rank = np.searchsorted(common, docs_all)
+    idx = np.arange(n, dtype=np.int64)
+    base = doc_rank * n
+    jmax = np.zeros(n, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    for li in range(len(keys)):
+        # value = doc_rank*n + index for this label's occurrences: the
+        # suffix-min at i is the label's next occurrence; a value from a
+        # later doc lands at diff >= n and is rejected, so runs never
+        # cross doc boundaries
+        v = np.where(lab == li, base + idx, _I64_MAX)
+        s = np.minimum.accumulate(v[::-1])[::-1]
+        with np.errstate(over="ignore"):
+            diff = s - base
+        ok = (s != _I64_MAX) & (diff >= 0) & (diff < n)
+        valid &= ok
+        jmax = np.maximum(jmax, np.where(ok, diff, 0))
+    spans_i = np.where(valid, pos_all[jmax] - pos_all, _I64_MAX)
+    starts = np.flatnonzero(
+        np.concatenate([[True], docs_all[1:] != docs_all[:-1]])
+    )
+    # every common doc contains all labels, so its first position always
+    # has a finite covering window — the per-doc min is finite
+    return docs_all[starts], np.minimum.reduceat(spans_i, starts)
 
 
 def _span_table(docs: np.ndarray, spans: np.ndarray) -> pa.Table:

@@ -134,22 +134,24 @@ def build_suggest_index(
         if t.num_rows
     ]
     out_path = os.path.join(index_dir, SUGGEST_NAME)
+    # self-describing: purge_deletes rebuilds the sidecar with the SAME
+    # parameters after postings change (df ranks / vanished terms go stale)
+    meta = {b"max_edit": str(max_edit).encode(), b"min_df": str(min_df).encode()}
     if not parts:
-        pq.write_table(
-            pa.table(
-                {
-                    "dhash": pa.array([], pa.uint64()),
-                    "term": pa.array([], pa.string()),
-                    "df": pa.array([], pa.int64()),
-                }
-            ),
-            out_path,
+        merged = pa.table(
+            {
+                "dhash": pa.array([], pa.uint64()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            }
         )
-        return out_path
-    merged = pa.concat_tables(parts).combine_chunks()
-    merged = merged.take(pc.sort_indices(merged, sort_keys=[("dhash", "ascending")]))
+    else:
+        merged = pa.concat_tables(parts).combine_chunks()
+        merged = merged.take(
+            pc.sort_indices(merged, sort_keys=[("dhash", "ascending")])
+        )
     tmp = out_path + ".tmp"
-    pq.write_table(merged, tmp)
+    pq.write_table(merged.replace_schema_metadata(meta), tmp)
     os.replace(tmp, out_path)
     return out_path
 
@@ -194,21 +196,46 @@ class Suggester:
         return ranked[:topn]
 
 
+def _text_lexicon(index_dir: str) -> tuple[np.ndarray, bool]:
+    """Sorted text-term array from ``term_stats.parquet`` plus the index's
+    stem flag — the O(lexicon) df probe ``suggest_rewrite`` needs (never
+    the full IndexReader, which loads every partial's postings bytes)."""
+    import json
+
+    t = pq.read_table(
+        os.path.join(index_dir, "term_stats.parquet"), columns=["term", "kind"]
+    )
+    t = t.filter(pc.equal(t["kind"], 0)).combine_chunks()
+    terms = np.sort(t["term"].to_numpy(zero_copy_only=False))
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        cfg = json.loads(json.load(f)["config"])
+    return terms, bool(cfg.get("stem", True))
+
+
 def suggest_rewrite(
     index_dir: str, query_text: str, suggester: Suggester | None = None
 ) -> tuple[str, dict[str, str]]:
     """Rewrite the UNKNOWN text terms of a query to their best correction.
 
-    A term is unknown when its global df is 0 (never indexed). Math spans
-    are left untouched. Returns (rewritten text, {original: correction});
-    terms with no suggestion stay as-is. Use before ``search`` for a
-    did-you-mean flow."""
+    A term is unknown when it does not appear in the lexicon sidecar
+    (term_stats.parquet — O(lexicon), never the postings). Math spans are
+    left untouched, and MathML-format topics are returned verbatim (their
+    markup tokens are not text terms to correct). Returns (rewritten text,
+    {original: correction}); terms with no suggestion stay as-is. Use
+    before ``search`` for a did-you-mean flow."""
     import re as _re
 
-    from tangent_ray.query.scorer import _MATH_RE, IndexReader
+    from tangent_ray.query.scorer import _MATH_RE
     from tangent_ray.tokenize.porter import porter_stem
 
-    reader = IndexReader(index_dir)
+    if "<math" in query_text or ":math" in query_text:
+        return query_text, {}
+    terms_sorted, stem = _text_lexicon(index_dir)
+
+    def known(t: str) -> bool:
+        i = int(np.searchsorted(terms_sorted, t))
+        return i < len(terms_sorted) and terms_sorted[i] == t
+
     if suggester is None:
         suggester = Suggester(index_dir)
     fixes: dict[str, str] = {}
@@ -217,15 +244,13 @@ def suggest_rewrite(
         def repl(m: "_re.Match[str]") -> str:
             w = m.group(0)
             lw = w.lower()
-            probe = porter_stem(lw) if reader.cfg.stem else lw
-            if reader.global_df(probe) > 0:
+            if known(porter_stem(lw) if stem else lw):
                 return w
             # a stemmed index suggests STEMS; keep only corrections whose
             # re-tokenized form is actually indexed (stemming a stem can
             # produce a different string — e.g. an unstable suffix)
             for cand, _dist, _df in suggester.suggest(lw, topn=5):
-                retok = porter_stem(cand) if reader.cfg.stem else cand
-                if reader.global_df(retok) > 0:
+                if known(porter_stem(cand) if stem else cand):
                     fixes[w] = cand
                     return cand
             return w

@@ -27,7 +27,11 @@ import pyarrow as pa
 
 from tangent_ray.tokenize.porter import porter_stem
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+#: matched on the ORIGINAL text (case-insensitive) so character offsets
+#: stay valid — lowercasing first can change string length (e.g. U+0130)
+#: and shift every subsequent span
+_TOKEN_RE = re.compile(r"[a-zA-Z0-9]+")
+_SLT_SPAN_RE = re.compile(r"\$[^$]*\$")
 
 SNIPPET_SCHEMA = pa.schema(
     [
@@ -42,9 +46,17 @@ SNIPPET_SCHEMA = pa.schema(
 
 
 def query_terms(text: str, stem: bool = True) -> frozenset[str]:
-    """The distinct (optionally stemmed) text terms of a query string —
-    the same token definition the index build uses."""
-    toks = _TOKEN_RE.findall(text.lower())
+    """The distinct (optionally stemmed) TEXT terms of a query string —
+    the same token definition the index build uses. Math spans ($...$ SLT
+    and Presentation MathML) are stripped first, exactly as the scorer's
+    parse_query does: a math-only query has no text terms and produces no
+    snippets, and a mixed query never highlights SLT/markup syntax."""
+    text = _SLT_SPAN_RE.sub(" ", text)
+    if "<math" in text or ":math" in text:
+        from tangent_ray.tokenize.mathml import MATHML_SPAN_RE
+
+        text = MATHML_SPAN_RE.sub(" ", text)
+    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
     if stem:
         toks = [porter_stem(t) for t in toks]
     return frozenset(toks)
@@ -82,7 +94,7 @@ def extract_snippet(
     """(snippet, highlighted, n_hits, n_distinct) for one doc, or None when
     no query term occurs. The snippet spans ``width`` tokens centred on the
     best window, cut at token boundaries of the ORIGINAL text."""
-    spans = [(m.start(), m.end(), m.group()) for m in _TOKEN_RE.finditer(text.lower())]
+    spans = [(m.start(), m.end(), m.group().lower()) for m in _TOKEN_RE.finditer(text)]
     if not spans:
         return None
     toks = [porter_stem(t) if stem else t for t in (s[2] for s in spans)]

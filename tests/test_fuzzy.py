@@ -136,3 +136,27 @@ def test_fuzz_against_oracle(idx):
                 w[i], w[i + 1] = w[i + 1], w[i]
         word = "".join(w)
         assert s.suggest(word, max_edit=2) == _oracle(idx, word, 2), word
+
+
+def test_rewrite_leaves_mathml_topics_verbatim(idx):
+    q = '<math xmlns="x"><mi>zz</mi></math> qurey'
+    text, fixes = suggest_rewrite(idx, q)
+    assert text == q and fixes == {}
+
+
+def test_purge_rebuilds_suggest_sidecar(idx, tmp_path, ray_session):
+    import shutil
+
+    from tangent_ray.index.deletes import delete_docs, purge_deletes
+
+    copy = str(tmp_path / "idx2")
+    shutil.copytree(idx, copy)
+    s = Suggester(copy)
+    before = s.suggest("qurey")
+    assert before and before[0][0] == "query"
+    # delete the docs that contain 'query' and purge: the sidecar must be
+    # rebuilt so the vanished term is no longer suggested
+    delete_docs(copy, docids=[0, 2])
+    purge_deletes(copy)
+    after = Suggester(copy).suggest("qurey")
+    assert all(t != "query" for t, _, _ in after)

@@ -24,7 +24,9 @@ from tangent_ray.tokenize.porter import porter_stem
 def test_query_terms_stemming():
     assert query_terms("Merging runs!") == {porter_stem("merging"), porter_stem("runs")}
     assert query_terms("Merging runs!", stem=False) == {"merging", "runs"}
-    assert query_terms("$[V!x]$") <= {"v", "x"}  # math syntax falls to tokens
+    assert query_terms("$[V!x]$") == frozenset()  # math spans stripped
+    assert query_terms("<math><mi>x</mi></math>") == frozenset()
+    assert query_terms("matrix $[V!a[-[N!2]]]$") == {porter_stem("matrix")}
 
 
 def test_extract_none_without_hits():
