@@ -1,0 +1,191 @@
+"""Faceted search: per-facet document counts over the FULL candidate set.
+
+The standard SERP sidebar ("lang: en 1,204 / de 87 …"): for a query, count
+matching documents per value of a metadata column — over every candidate,
+not just the top-k page. The reference has no metadata surface (its corpus
+is bare formula documents); transcripts carry ``role``/``tool`` and the
+documents table ``lang``/``source``, which is exactly what production
+retrieval filters on.
+
+Design mirrors the docmap sidecar (scorer.py dockey_of):
+
+- ``build_facet_sidecar`` writes, per partial, a narrow
+  ``facets/`` parquet of (docid, <facet cols...>) from ONE pruned scan of
+  that partial's own input files (no text bytes move). Per-partial layout
+  means a sharded reader pays memory only for the partials it holds — the
+  same scale bound as the docmap; values are dictionary-encoded by
+  Parquet, the in-memory form is one sorted docid array + code arrays.
+- ``FacetCounter.counts`` maps a candidate docid array to per-value
+  counts by searchsorted probe + one bincount per partial — O(|cands| log
+  docs_held), no scan, no shuffle.
+- ``facet_counts`` is the query-level wrapper: full TAAT candidate set
+  (docs containing >= 1 query term, live-docs filtered — the same set
+  BM25 scores) -> counts. The pytest twin recomputes it in DuckDB from
+  the raw corpus (match + group by + order by) and must agree exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+FACETS_DIR = "facets"
+
+
+def build_facet_sidecar(
+    index_dir: str, facet_cols: list[str], corpus=None
+) -> list[str]:
+    """Add a facet sidecar to every partial of an index; returns the dirs.
+
+    Reads each partial's lineage ``input_files`` with column pruning
+    (id + facet columns only). Null facet values are kept as nulls and
+    reported under the ``None`` bucket."""
+    import ray.data
+
+    from tangent_ray.sources.corpus import corpus_from_json
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        g = json.load(f)
+    if corpus is None:
+        corpus = corpus_from_json(g["corpus"])
+    out_dirs: list[str] = []
+    pdir = os.path.join(index_dir, "partials")
+    for p in g["partials"]:
+        with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
+            files = json.load(f)["input_files"]
+        key_cols = [c for c in corpus.columns if c != corpus.text_column]
+        read_cols = sorted(set(key_cols) | set(facet_cols))
+
+        def emit(batch: pa.Table) -> pa.Table:
+            ids = corpus.docids(batch)
+            cols = {"docid": pa.array(np.asarray(ids, dtype=np.int64))}
+            for c in facet_cols:
+                col = batch[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[c] = pc.cast(col, pa.string())
+            return pa.table(cols)
+
+        out = os.path.join(pdir, p, FACETS_DIR)
+        tmp = out + "__tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            ray.data.read_parquet(files, columns=read_cols)
+            .map_batches(emit, batch_format="pyarrow")
+            .write_parquet(tmp)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+        out_dirs.append(out)
+    return out_dirs
+
+
+class FacetCounter:
+    """Loaded facet sidecars of an index (or a partial subset for sharded
+    serving). Lazily loads one sorted-docid view per partial."""
+
+    def __init__(self, index_dir: str, partials: list[str] | None = None):
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            g = json.load(f)
+        self._dirs = [
+            os.path.join(index_dir, "partials", p, FACETS_DIR)
+            for p in (partials if partials is not None else g["partials"])
+        ]
+        missing = [d for d in self._dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"facet sidecar missing for {len(missing)} partial(s) — run "
+                "build_facet_sidecar"
+            )
+        self._loaded: list[tuple[np.ndarray, pa.Table]] | None = None
+
+    def _load(self) -> list[tuple[np.ndarray, pa.Table]]:
+        if self._loaded is None:
+            views = []
+            for d in self._dirs:
+                t = pq.read_table(d)
+                ids = t["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(ids)
+                views.append((ids[order], t.take(pa.array(order))))
+            self._loaded = views
+        return self._loaded
+
+    def counts(self, docids: np.ndarray, col: str) -> pa.Table:
+        """(value, n_docs) per facet value over the given docids, sorted
+        (n_docs desc, value asc); docids absent from every sidecar are
+        ignored. Null facet values count under value=null."""
+        q = np.asarray(docids, dtype=np.int64)
+        agg: dict[str | None, int] = {}
+        for ids_sorted, table in self._load():
+            if not len(ids_sorted):
+                continue
+            pos = np.searchsorted(ids_sorted, q)
+            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+            if not len(hit):
+                continue
+            vals = table[col].take(pa.array(pos_c[hit])).combine_chunks()
+            enc = vals.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            if vals.null_count:
+                agg[None] = agg.get(None, 0) + int(vals.null_count)
+                codes = codes[
+                    ~pc.is_null(vals).to_numpy(zero_copy_only=False)
+                ]
+            bc = np.bincount(codes.astype(np.int64),
+                             minlength=len(enc.dictionary))
+            for k, n in zip(enc.dictionary.to_pylist(), bc):
+                if n:
+                    agg[k] = agg.get(k, 0) + int(n)
+        rows = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0] or ""))
+        return pa.table(
+            {
+                "value": pa.array([k for k, _ in rows], pa.string()),
+                "n_docs": pa.array([n for _, n in rows], pa.int64()),
+            }
+        )
+
+
+def facet_counts(
+    index_dir: str,
+    query_text: str,
+    col: str,
+    counter: FacetCounter | None = None,
+    scorer=None,
+) -> pa.Table:
+    """Facet counts over a text query's FULL candidate set (every live doc
+    containing at least one query term — the set BM25 scores, before any
+    top-k cut)."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    if scorer is None:
+        scorer = QueryScorer(index_dir)
+    if counter is None:
+        counter = FacetCounter(index_dir)
+    # full candidate set: parse -> TAAT (k=None forces the accumulation
+    # path, no WAND truncation) -> live-docs filter
+    scorer.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
+    text, neg_terms = scorer._split_negations(query_text)
+    scorer._dead = scorer.reader.tombstones
+    if neg_terms:
+        excl = scorer._excluded_docs(neg_terms)
+        if excl.size:
+            scorer._dead = (
+                np.union1d(scorer._dead, excl) if scorer._dead.size else excl
+            )
+    terms, _, _, _ = scorer.parse_query(text)
+    d, _ = scorer._score_bm25(terms, None)
+    dead = scorer._dead
+    if dead.size and len(d):
+        from tangent_ray.util import sorted_lookup
+
+        hit, _ = sorted_lookup(dead, d)
+        d = d[~hit]
+    return counter.counts(d, col)
