@@ -2323,6 +2323,459 @@ ORACLE_SQL["customer_nation_bc"] = """
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
+# ---------------------------------------------------------------------------
+# Round-3 gate consolidation: the driver grades at most 50 entries, so
+# related per-doc signal ops share one slot each (the events_windows
+# precedent) and the freed slots carry the round-3 curation wave (Gopher
+# gate, C4 cleaning, paragraph dedup+rebuild, source-mix resampling) under
+# the exact-oracle gate. Every merged constituent keeps its own pytest
+# DuckDB twin; the merged entry re-verifies the same values end to end.
+
+#: repetition twin (tests/test_repetition.py), embeddable as a CTE body
+REPETITION_TWIN_SQL = """
+WITH l0 AS (
+  SELECT doc_id, u.line
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents) d,
+       LATERAL (SELECT unnest(ls) AS line) u
+  WHERE u.line <> ''
+),
+lg AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM l0 GROUP BY doc_id, line
+),
+ls AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(c * len) AS line_chars,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines,
+         sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+tc AS (SELECT doc_id, len(ts) AS n_tokens FROM tk),
+g2 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g, count(*) AS c
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) gi
+  GROUP BY doc_id, g
+),
+g2s AS (SELECT doc_id, max(c) AS top2 FROM g2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g,
+         count(*) AS c
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) gi
+  GROUP BY doc_id, g
+),
+g3s AS (
+  SELECT doc_id, max(c) AS top3,
+         sum(CASE WHEN c >= 2 THEN 3 * c ELSE 0 END) AS dup3
+  FROM g3 GROUP BY doc_id
+)
+SELECT tc.doc_id,
+       coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+       tc.n_tokens::BIGINT AS n_tokens,
+       round(coalesce(ls.dup_lines / nullif(ls.n_lines, 0), 0), 6)
+           AS dup_line_frac,
+       round(coalesce(ls.dup_line_chars / nullif(ls.line_chars, 0), 0), 6)
+           AS dup_line_char_frac,
+       round(coalesce(least(coalesce(2 * g2s.top2, 0), tc.n_tokens)
+                      / nullif(tc.n_tokens, 0), 0), 6) AS top2gram_frac,
+       round(coalesce(least(coalesce(3 * g3s.top3, 0), tc.n_tokens)
+                      / nullif(tc.n_tokens, 0), 0), 6) AS top3gram_frac,
+       round(coalesce(least(coalesce(g3s.dup3, 0), tc.n_tokens)
+                      / nullif(tc.n_tokens, 0), 0), 6) AS dup3gram_frac
+FROM tc
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g3s USING (doc_id)
+"""
+
+
+def q_doc_signals(sf_dir: str):
+    """Per-document quality signal panel — word count / alpha ratio
+    (quality_batch), TTR / top-word fraction (lexical_stats_batch),
+    unigram token entropy (token_entropy_batch), and the five Gopher
+    repetition fractions (repetition_batch) — ONE stateless vectorized
+    map over the corpus, no shuffle. Each signal remains its own
+    production op; this merged table keeps all four under a single
+    driver-gate slot."""
+    import ray.data
+
+    from tangent_ray.ops.textstats import (
+        lexical_stats_batch,
+        quality_batch,
+        repetition_batch,
+        token_entropy_batch,
+    )
+
+    def merged(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        lx = lexical_stats_batch(batch)
+        en = token_entropy_batch(batch)
+        rep = repetition_batch(batch)
+        n = batch.num_rows
+        nw = q["n_words"].to_numpy(zero_copy_only=False)
+        # lexical drops zero-word docs (ratios undefined); re-align its
+        # rows to the batch and fill 0 — the twin coalesces identically
+        distinct = np.zeros(n, np.int64)
+        ttr = np.zeros(n, np.float64)
+        twf = np.zeros(n, np.float64)
+        idx = np.flatnonzero(nw > 0)
+        if lx.num_rows:
+            distinct[idx] = lx["distinct_words"].to_numpy(zero_copy_only=False)
+            ttr[idx] = lx["type_token_ratio"].to_numpy(zero_copy_only=False)
+            twf[idx] = lx["top_word_fraction"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": q["n_words"],
+                "alpha_ratio": q["alpha_ratio"],
+                "distinct_words": pa.array(distinct, type=pa.int64()),
+                "type_token_ratio": pa.array(ttr, type=pa.float64()),
+                "top_word_fraction": pa.array(twf, type=pa.float64()),
+                "token_entropy": en["token_entropy"],
+                "n_lines": rep["n_lines"],
+                "dup_line_frac": rep["dup_line_frac"],
+                "dup_line_char_frac": rep["dup_line_char_frac"],
+                "top2gram_frac": rep["top2gram_frac"],
+                "top3gram_frac": rep["top3gram_frac"],
+                "dup3gram_frac": rep["dup3gram_frac"],
+            }
+        )
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(ds.map_batches(merged, batch_format="pyarrow"))
+
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+#: Gopher 11-bit fail mask twin (tests/test_gopher.py), parameters inlined
+GOPHER_TWIN_SQL = (
+    "WITH rep AS (" + REPETITION_TWIN_SQL + "),\n"
+    + """tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'), x -> x <> '') AS ts,
+         coalesce(text, '') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::DOUBLE
+             AS len_sum,
+         len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))::BIGINT
+             AS alpha_words,
+         len(list_distinct(list_filter(ts, x -> x IN
+             ('the','be','to','of','and','that','have','with'))))::BIGINT
+             AS n_stop,
+         (length(t) - length(replace(t, '#', '')))::BIGINT
+           + len(regexp_extract_all(t, '\\.{3}'))::BIGINT
+           + (length(t) - length(replace(t, '…', '')))::BIGINT AS symbols
+  FROM tk
+),
+l0 AS (
+  SELECT doc_id, u.line
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents) d,
+       LATERAL (SELECT unnest(ls) AS line) u
+  WHERE u.line <> ''
+),
+ln AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN regexp_matches(line, '^\\s*([-*•‣▪●])')
+                  THEN 1 ELSE 0 END)::BIGINT AS bullet,
+         sum(CASE WHEN regexp_matches(line, '(\\.{3}|…)\\s*$')
+                  THEN 1 ELSE 0 END)::BIGINT AS ell_end
+  FROM l0 GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words,
+       (CASE WHEN w.n_words < """ + str(GOPHER_MIN_WORDS)
+    + " OR w.n_words > " + str(GOPHER_MAX_WORDS)
+    + """
+             THEN 1 ELSE 0 END
+        + CASE WHEN coalesce(w.len_sum / nullif(w.n_words, 0), 0) < 3
+                 OR coalesce(w.len_sum / nullif(w.n_words, 0), 0) > 10
+               THEN 2 ELSE 0 END
+        + CASE WHEN coalesce(w.symbols / nullif(w.n_words, 0)::DOUBLE,
+                             'inf'::DOUBLE) > 0.1 THEN 4 ELSE 0 END
+        + CASE WHEN coalesce(ln.bullet / nullif(ln.n_lines, 0)::DOUBLE, 0) > 0.9
+                 OR coalesce(ln.ell_end / nullif(ln.n_lines, 0)::DOUBLE, 0) > 0.3
+               THEN 8 ELSE 0 END
+        + CASE WHEN coalesce(w.alpha_words / nullif(w.n_words, 0)::DOUBLE, 0) < 0.8
+               THEN 16 ELSE 0 END
+        + CASE WHEN w.n_stop < 2 THEN 32 ELSE 0 END
+        + CASE WHEN rep.dup_line_frac > 0.30 THEN 64 ELSE 0 END
+        + CASE WHEN rep.dup_line_char_frac > 0.20 THEN 128 ELSE 0 END
+        + CASE WHEN rep.top2gram_frac > 0.20 THEN 256 ELSE 0 END
+        + CASE WHEN rep.top3gram_frac > 0.18 THEN 512 ELSE 0 END
+        + CASE WHEN rep.dup3gram_frac > 0.16 THEN 1024 ELSE 0 END
+       )::BIGINT AS fail_mask
+FROM w JOIN rep ON w.doc_id = rep.doc_id
+LEFT JOIN ln ON w.doc_id = ln.doc_id
+"""
+)
+
+
+def q_gopher_quality(sf_dir: str):
+    """Composed 11-rule Gopher quality gate (word/shape/stopword rules +
+    the five repetition caps) as a per-doc fail bitmask — one vectorized
+    map, no shuffle; the DuckDB twin reproduces every bit."""
+    import ray.data
+
+    from tangent_ray.ops.textstats import gopher_filter
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    t = _collect(
+        gopher_filter(
+            ds, min_words=GOPHER_MIN_WORDS, max_words=GOPHER_MAX_WORDS
+        )
+    )
+    return t.select(["doc_id", "n_words", "fail_mask", "keep"])
+
+
+def q_c4_clean(sf_dir: str):
+    """C4 line-cleaning pass (Raffel et al. 2020): terminal-punctuation +
+    min-word line filter, rebuilt text, lorem-ipsum / brace page gates —
+    one vectorized map; the twin rebuilds identical text in SQL."""
+    import ray.data
+
+    from tangent_ray.ops.curation import c4_filter
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    t = _collect(c4_filter(ds))
+    return t.select(
+        ["doc_id", "text", "n_kept_lines", "n_dropped_lines", "keep"]
+    )
+
+
+def q_paragraph_cuts(sf_dir: str):
+    """Corpus-wide paragraph dedup end to end: ``paragraph_dedup`` keeps a
+    paragraph only at its minimum (doc_id, para_idx) occurrence (one
+    paragraph-hash groupby), then ``apply_paragraph_cuts`` rebuilds every
+    touched document from its kept splits (one id-hash shard groupby).
+    The twin replays both stages in SQL, including the rebuilt text."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import apply_paragraph_cuts, paragraph_dedup
+
+    docs = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    flags = paragraph_dedup(docs)
+    t = _collect(apply_paragraph_cuts(docs, flags))
+    return _cast64(
+        t.select(["doc_id", "text", "n_cut_paras"]), ["doc_id", "n_cut_paras"]
+    )
+
+
+#: fixed mixture shared with the SQL twin; src0 upsample hits the
+#: max_epochs cap (exact multiplier 10.0), the rest exercise fractional
+#: epochs; sources outside the dict are dropped (multiplier 0)
+MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+MIX_MAX_EPOCHS = 10.0
+
+
+def q_source_mix(sf_dir: str):
+    """Source-mix resampling (The Pile / DoReMi-style epoch weighting):
+    per-source multipliers from a #sources-row groupby over a narrow
+    (id, source, n_tok) table, then a stateless replicating map — full
+    epochs 0..floor(m)-1 plus a deterministic md5-Bernoulli fractional
+    epoch. Payload text never moves."""
+    import ray.data
+
+    from tangent_ray.ops.curation import source_mix_resample
+
+    ds = ray.data.read_parquet(
+        _doc_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+    return _collect(
+        source_mix_resample(ds, MIX_WEIGHTS, max_epochs=MIX_MAX_EPOCHS)
+    )
+
+
+TOPK_TOKENS = 20
+VOCAB_MARKER = "__vocabulary__"
+
+
+def q_token_sketches(sf_dir: str):
+    """Corpus token sketches in one slot: certified shuffle-free exact
+    top-20 heavy hitters (rank >= 1) + the exact distinct-token count as a
+    rank-0 marker row (the vocabulary itself never reaches the driver —
+    the count is a distributed ``Dataset.count()`` of the grouped vocab)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from tangent_ray.ops.sketch import heavy_hitters
+    from tangent_ray.ops.textstats import df_count_partial
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    top = heavy_hitters(
+        ray.data.read_parquet(_doc_path(sf_dir), columns=["text"]),
+        k=TOPK_TOKENS,
+    )
+    n_vocab = (
+        ds.map_batches(df_count_partial, batch_format="pyarrow")
+        .groupby(["kind", "th"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
+        )
+        .count()
+    )
+    marker = pa.table(
+        {
+            "term": pa.array([VOCAB_MARKER], type=pa.string()),
+            "cnt": pa.array([n_vocab], type=pa.int64()),
+            "rank": pa.array([0], type=pa.int64()),
+        }
+    )
+    return pa.concat_tables([top.select(["term", "cnt", "rank"]), marker])
+
+
+def q_simhash_dup(sf_dir: str):
+    """SimHash near-dup detection in one slot: 64-bit signatures (``sig``
+    rows, doc_b = -1) + the exact Hamming<=3 pair set from the banded
+    pigeonhole shuffle (``pair`` rows, sig = 0)."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import simhash_batch, simhash_pairs
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    sig = _collect(ds.map_batches(simhash_batch, batch_format="pyarrow"))
+    pairs = _cast64(_collect(simhash_pairs(ds)), ["doc_a", "doc_b"])
+    n, m = sig.num_rows, pairs.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["sig"] * n + ["pair"] * m, type=pa.string()),
+            "doc_a": pa.concat_arrays(
+                [
+                    pc.cast(sig["doc_id"], pa.int64()).combine_chunks(),
+                    pairs["doc_a"].combine_chunks(),
+                ]
+            ),
+            "doc_b": pa.concat_arrays(
+                [
+                    pa.array(np.full(n, -1, np.int64), type=pa.int64()),
+                    pairs["doc_b"].combine_chunks(),
+                ]
+            ),
+            "sig": pa.concat_arrays(
+                [
+                    pc.cast(sig["simhash"], pa.int64()).combine_chunks(),
+                    pa.array(np.zeros(m, np.int64), type=pa.int64()),
+                ]
+            ),
+        }
+    )
+
+
+def q_shingle_pairs(sf_dir: str):
+    """Shingle-based near-dup detection in one slot: 5-gram candidate
+    pairs (``cand`` rows, jaccard = -1) + exact 4-gram Jaccard scores over
+    the candidate graph (``jac`` rows) — the exact counterpart that
+    minhash_candidates approximates."""
+    import ray.data
+
+    from tangent_ray.ops.dedup import jaccard_pairs, shingle_candidates
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    cand = _cast64(
+        _collect(shingle_candidates(ds, n=SHINGLE_N)).select(
+            ["doc_a", "doc_b"]
+        ),
+        ["doc_a", "doc_b"],
+    )
+    jac = _collect(jaccard_pairs(ds, n=JACCARD_N))
+    n, m = cand.num_rows, jac.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["cand"] * n + ["jac"] * m, type=pa.string()),
+            "doc_a": pa.concat_arrays(
+                [
+                    cand["doc_a"].combine_chunks(),
+                    pc.cast(jac["doc_a"], pa.int64()).combine_chunks(),
+                ]
+            ),
+            "doc_b": pa.concat_arrays(
+                [
+                    cand["doc_b"].combine_chunks(),
+                    pc.cast(jac["doc_b"], pa.int64()).combine_chunks(),
+                ]
+            ),
+            "jaccard": pa.concat_arrays(
+                [
+                    pa.array(np.full(n, -1.0), type=pa.float64()),
+                    pa.array(
+                        round_half_away(
+                            jac["jaccard"].to_numpy(zero_copy_only=False), 6
+                        ),
+                        type=pa.float64(),
+                    ),
+                ]
+            ),
+        }
+    )
+
+
+UNIFORM_K = 100
+
+
+def q_sampling(sf_dir: str):
+    """Deterministic sampling in one slot: per-source stratified Bernoulli
+    rows (``strat``, key = md5 bucket) + the fixed-size min-wise uniform
+    sample (``unif``, key = salted md5 sample key, k smallest corpus-wide
+    without ever sorting the corpus)."""
+    import functools
+
+    import ray.data
+
+    from tangent_ray.ops.curation import (
+        sample_key,
+        stratified_sample_batch,
+        uniform_sample,
+    )
+
+    fn = functools.partial(
+        stratified_sample_batch,
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "source"])
+    strat = _collect(ds.map_batches(fn, batch_format="pyarrow"))
+    ids = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
+    unif = _collect(uniform_sample(ids, k=UNIFORM_K))
+    u_ids = unif["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n, m = strat.num_rows, unif.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["strat"] * n + ["unif"] * m, type=pa.string()),
+            "doc_id": pa.concat_arrays(
+                [
+                    pc.cast(strat["doc_id"], pa.int64()).combine_chunks(),
+                    pa.array(u_ids, type=pa.int64()),
+                ]
+            ),
+            "source": pa.concat_arrays(
+                [
+                    strat["source"].combine_chunks(),
+                    pa.array([""] * m, type=pa.string()),
+                ]
+            ),
+            "key": pa.concat_arrays(
+                [
+                    pc.cast(strat["bucket"], pa.int64()).combine_chunks(),
+                    pa.array(sample_key(u_ids), type=pa.int64()),
+                ]
+            ),
+        }
+    )
+
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -2331,23 +2784,25 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "boolean_and": q_boolean_and,
     "dedup_exact": q_dedup_exact,
-    "quality_scores": q_quality_scores,
+    "doc_signals": q_doc_signals,
+    "gopher_quality": q_gopher_quality,
+    "c4_clean": q_c4_clean,
+    "paragraph_cuts": q_paragraph_cuts,
+    "source_mix": q_source_mix,
     "token_count_by_source": q_token_count_by_source,
     "bpe_token_count": q_bpe_token_count,
-    "lexical_stats": q_lexical_stats,
     "lm_perplexity": q_lm_perplexity,
     "tfidf_keywords": q_tfidf_keywords,
     "clean_corpus": q_clean_corpus,
     "split_assign": q_split_assign,
     "pii_redact": q_pii_redact,
     "decontam": q_decontam,
-    "stratified_sample": q_stratified_sample,
+    "sampling": q_sampling,
     "pack_sequences": q_pack_sequences,
     "curated_corpus": q_curated_corpus,
     "knn_cosine": q_knn_cosine,
     "embed_near_dup": q_embed_near_dup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "shingle_candidates": q_shingle_candidates,
+    "shingle_pairs": q_shingle_pairs,
     "dedup_clusters": q_dedup_clusters,
     "events_windows": q_events_windows,
     "sessions": q_sessions,
@@ -2357,9 +2812,8 @@ QUERIES = {
     "customer_nation_bc": q_customer_nation_bc,
     "doclen_quantiles": q_doclen_quantiles,
     "top_events_per_type": q_top_events_per_type,
-    "top_tokens": q_top_tokens,
+    "token_sketches": q_token_sketches,
     "chunk_spans": q_chunk_spans,
-    "distinct_tokens": q_distinct_tokens,
     "top_revenue_nations": q_top_revenue_nations,
     # engine-only (rows-only driver check; pytest-golden vs python oracle)
     "transcript_bm25": q_transcript_bm25,
@@ -2369,10 +2823,231 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
     "phrase_topk": q_phrase_topk,
-    "simhash": q_simhash,
-    "simhash_pairs": q_simhash_pairs,
+    "simhash_dup": q_simhash_dup,
     "fingerprints": q_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "golden_replay": q_golden_replay,
     "formula_topk": q_formula_topk,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-3 oracle consolidation (see the QUERIES comment above): the merged
+# twins are composed from the SAME SQL bodies the individual ops were
+# verified against in round 2 (popped so the gate never double-counts a
+# slot), plus the round-3 twins ported verbatim from their pytest files.
+
+_quality_sql = ORACLE_SQL.pop("quality_scores")
+_lexical_sql = ORACLE_SQL.pop("lexical_stats")
+_jaccard_sql = ORACLE_SQL.pop("jaccard_pairs")
+_cand_sql = ORACLE_SQL.pop("shingle_candidates")
+_strat_sql = ORACLE_SQL.pop("stratified_sample")
+_toptok_sql = ORACLE_SQL.pop("top_tokens")
+_distinct_sql = ORACLE_SQL.pop("distinct_tokens")
+ORACLE_SQL.pop("simhash")
+ORACLE_SQL.pop("simhash_pairs")
+
+#: entropy twin (tests/test_entropy.py), embeddable
+_ENTROPY_TWIN_SQL = """
+WITH tk AS (
+  SELECT doc_id, u.t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents) d,
+       LATERAL (SELECT unnest(ts) AS t) u
+),
+c AS (SELECT doc_id, t, count(*)::DOUBLE AS c FROM tk GROUP BY doc_id, t),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id),
+h AS (
+  SELECT c.doc_id,
+         -sum((c.c / n.n) * log2(c.c / n.n)) AS ent
+  FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n.n, 0)::BIGINT AS n_tokens,
+       round(coalesce(h.ent, 0), 6) AS token_entropy
+FROM documents d
+LEFT JOIN n USING (doc_id)
+LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
+ORACLE_SQL["doc_signals"] = f"""
+    WITH q AS ({_quality_sql}),
+    lx AS ({_lexical_sql}),
+    en AS ({_ENTROPY_TWIN_SQL}),
+    rep AS ({REPETITION_TWIN_SQL})
+    SELECT q.doc_id, q.n_words, q.alpha_ratio,
+           coalesce(lx.distinct_words, 0)::BIGINT AS distinct_words,
+           coalesce(lx.type_token_ratio, 0)::DOUBLE AS type_token_ratio,
+           coalesce(lx.top_word_fraction, 0)::DOUBLE AS top_word_fraction,
+           en.token_entropy,
+           rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac,
+           rep.top2gram_frac, rep.top3gram_frac, rep.dup3gram_frac
+    FROM q
+    LEFT JOIN lx USING (doc_id)
+    JOIN en USING (doc_id)
+    JOIN rep ON q.doc_id = rep.doc_id
+"""
+
+ORACLE_SQL["gopher_quality"] = f"""
+    SELECT doc_id, n_words, fail_mask, (fail_mask = 0) AS keep
+    FROM ({GOPHER_TWIN_SQL})
+"""
+
+# C4 twin (tests/test_c4.py), verbatim
+ORACLE_SQL["c4_clean"] = """
+WITH l AS (
+  SELECT doc_id, i, ls[i] AS line
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) gi
+),
+k AS (
+  SELECT doc_id, i, line,
+         (regexp_matches(line, '[.!?"]\\s*$')
+          AND len(list_filter(string_split_regex(lower(line),
+                                                 '[^a-z0-9]+'),
+                              x -> x <> '')) >= 5) AS keep_line
+  FROM l
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(line, chr(10) ORDER BY i)
+                  FILTER (WHERE keep_line), '') AS text,
+         count(*) FILTER (WHERE keep_line)::BIGINT AS n_kept_lines,
+         count(*) FILTER (WHERE NOT keep_line)::BIGINT AS n_dropped_lines
+  FROM k GROUP BY doc_id
+)
+SELECT agg.doc_id, agg.text, agg.n_kept_lines, agg.n_dropped_lines,
+       (agg.n_kept_lines >= 3
+        AND NOT contains(lower(coalesce(doc.text, '')), 'lorem ipsum')
+        AND NOT contains(coalesce(doc.text, ''), '{')) AS keep
+FROM agg JOIN documents doc USING (doc_id)
+"""
+
+# paragraph_dedup (tests/test_paragraph_dedup.py) composed with the
+# apply_paragraph_cuts rebuild: a paragraph survives only at its minimum
+# (doc_id, para_idx) occurrence; documents with no dropped paragraph pass
+# through byte-identical (empty splits are never flagged, hence kept).
+ORACLE_SQL["paragraph_cuts"] = """
+WITH p0 AS (
+  SELECT doc_id, i AS para_idx, ps[i] AS para
+  FROM (SELECT doc_id,
+               string_split(coalesce(text, ''), chr(10) || chr(10)) AS ps
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) gi
+),
+f AS (
+  SELECT doc_id, para_idx, para,
+         (para = '' OR row_number() OVER (
+             PARTITION BY para ORDER BY doc_id, para_idx) = 1) AS keep
+  FROM p0
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                  FILTER (WHERE keep), '') AS new_text,
+         count(*) FILTER (WHERE NOT keep)::BIGINT AS n_cut_paras
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN coalesce(agg.n_cut_paras, 0) = 0 THEN coalesce(d.text, '')
+            ELSE agg.new_text END AS text,
+       coalesce(agg.n_cut_paras, 0)::BIGINT AS n_cut_paras
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _source_mix_sql() -> str:
+    """Twin of q_source_mix: multipliers computed IN SQL from the same
+    (weight / w_sum) * budget / toks definition (same operation order, so
+    IEEE doubles agree bit-for-bit), epochs replayed with the identical
+    epoch-salted md5 Bernoulli."""
+    w_sum = float(sum(MIX_WEIGHTS.values()))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n_tok
+      FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tok)::DOUBLE AS toks FROM dl GROUP BY source),
+    m AS (
+      SELECT source,
+             least((CASE source {cases} ELSE 0.0 END / {w_sum!r})
+                   * (SELECT sum(toks) FROM tot) / toks,
+                   {MIX_MAX_EPOCHS!r}) AS mult
+      FROM tot WHERE toks > 0
+    ),
+    ks AS (
+      SELECT source, floor(mult)::BIGINT AS k,
+             round((mult - floor(mult)) * 1000000)::BIGINT AS thr
+      FROM m
+    ),
+    e AS (
+      SELECT dl.doc_id, dl.source, dl.n_tok, ks.k, ks.thr, g.epoch
+      FROM dl JOIN ks USING (source),
+           LATERAL (SELECT unnest(generate_series(0, ks.k)) AS epoch) g
+    )
+    SELECT doc_id, source, epoch::BIGINT AS epoch, n_tok
+    FROM e
+    WHERE epoch < k
+       OR (epoch = k AND thr > 0
+           AND CAST(concat('0x', substr(md5('e' || k::VARCHAR || ':'
+                                            || doc_id::VARCHAR), 1, 8))
+                    AS BIGINT) % 1000000 < thr)
+"""
+
+
+ORACLE_SQL["source_mix"] = _source_mix_sql()
+
+ORACLE_SQL["token_sketches"] = f"""
+    SELECT * FROM ({_toptok_sql})
+    UNION ALL
+    SELECT '{VOCAB_MARKER}' AS term, ({_distinct_sql}) AS cnt, 0::BIGINT AS rank
+"""
+
+ORACLE_SQL["simhash_dup"] = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT 'sig' AS kind, doc_id AS doc_a, (-1)::BIGINT AS doc_b,
+           {_I64.format(v="s")} AS sig
+    FROM allsim
+    UNION ALL
+    SELECT 'pair' AS kind, a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS sig
+    FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s::UBIGINT, b.s::UBIGINT)) <= 3
+"""
+
+ORACLE_SQL["shingle_pairs"] = f"""
+    SELECT 'cand' AS kind, doc_a, doc_b, (-1.0)::DOUBLE AS jaccard
+    FROM ({_cand_sql})
+    UNION ALL
+    SELECT 'jac' AS kind, doc_a, doc_b, jaccard FROM ({_jaccard_sql})
+"""
+
+
+def _sampling_sql() -> str:
+    from tangent_ray.ops.curation import SAMPLE_KEY_HEX
+
+    return f"""
+    SELECT 'strat' AS kind, doc_id, source, bucket::BIGINT AS key
+    FROM ({_strat_sql})
+    UNION ALL
+    SELECT 'unif' AS kind, doc_id, '' AS source, sample_key::BIGINT AS key
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('u:' || doc_id::VARCHAR), 1,
+                                      {SAMPLE_KEY_HEX})) AS BIGINT)
+                 AS sample_key
+      FROM documents ORDER BY sample_key, doc_id LIMIT {UNIFORM_K}
+    )
+"""
+
+
+ORACLE_SQL["sampling"] = _sampling_sql()
