@@ -2776,6 +2776,102 @@ def q_sampling(sf_dir: str):
     )
 
 
+# fixed parameters of the advanced-search gate entry, shared with its twin
+PROX_WINDOW, PROX_K = 10, 20
+NEG_EXCLUDE = "window"
+NEG_QUERY = " ".join(BM25_QUERY_TERMS) + " -" + NEG_EXCLUDE
+FUZZY_WORD, FUZZY_TOPN = "sprak", 5
+FACET_QUERY = "spark hash"
+FACET_COLS = ("lang", "source")
+
+
+def _docs_feature_index(sf_dir: str) -> str:
+    """documents index + facet/suggest sidecars (built once per lineage,
+    under the same lock the base index build takes)."""
+    import fcntl
+    import json
+
+    from tangent_ray.query.facets import FACETS_DIR, build_facet_sidecar
+    from tangent_ray.query.fuzzy import SUGGEST_NAME, build_suggest_index
+
+    idx = _docs_index(sf_dir)
+    with open(idx + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if not os.path.exists(os.path.join(idx, SUGGEST_NAME)):
+            build_suggest_index(idx, max_edit=2)
+        with open(os.path.join(idx, "manifest.json")) as f:
+            p0 = json.load(f)["partials"][0]
+        if not os.path.exists(os.path.join(idx, "partials", p0, FACETS_DIR)):
+            build_facet_sidecar(idx, list(FACET_COLS))
+    return idx
+
+
+def q_search_features(sf_dir: str):
+    """Advanced search features in one gate slot, as a tagged union table:
+    exact phrase occurrence top-k (``phrase``), proximity minimal-span
+    top-k (``prox``), negated BM25 with ``-term`` exclusion (``neg``),
+    SymSpell deletes-index fuzzy suggestions (``fuzzy``), and
+    candidate-set facet counts (``facet``). Each constituent keeps its own
+    pytest differential suite (tests/test_phrase|proximity|negation|
+    fuzzy|facets.py); the twin re-derives all five from the raw corpus."""
+    from tangent_ray.index.positions import phrase_search, proximity_search
+    from tangent_ray.query.facets import FacetCounter, facet_counts
+    from tangent_ray.query.fuzzy import Suggester
+    from tangent_ray.query.scorer import QueryScorer, search
+
+    rows: dict[str, list] = {
+        "feature": [], "key": [], "doc_id": [],
+        "ival": [], "score": [], "sval": [],
+    }
+
+    def add(feature, key, doc_id, ival, score, sval):
+        rows["feature"].append(feature)
+        rows["key"].append(key)
+        rows["doc_id"].append(int(doc_id))
+        rows["ival"].append(int(ival))
+        rows["score"].append(float(score))
+        rows["sval"].append(sval)
+
+    pos = _positions_sidecar(sf_dir)
+    ph = phrase_search(pos, PHRASE_QUERY, k=PHRASE_K)
+    for d, c in zip(ph.column(0).to_pylist(), ph.column(1).to_pylist()):
+        add("phrase", PHRASE_QUERY, d, c, 0.0, "")
+    pr = proximity_search(pos, PHRASE_QUERY, window=PROX_WINDOW, k=PROX_K)
+    for d, s in zip(pr["docid"].to_pylist(), pr["min_span"].to_pylist()):
+        add("prox", PHRASE_QUERY, d, s, 0.0, "")
+
+    idx = _docs_feature_index(sf_dir)
+    res = _collect(
+        search(
+            [{"query_id": "q", "kind": "text", "text": NEG_QUERY}],
+            idx,
+            topk=BM25_K,
+        )
+    )
+    neg_scores = round_half_away(
+        res["score"].to_numpy(zero_copy_only=False), 6
+    )
+    for d, s in zip(res["docid"].to_pylist(), neg_scores):
+        add("neg", NEG_QUERY, d, 0, s, "")
+    for term, dist, df in Suggester(idx).suggest(FUZZY_WORD, topn=FUZZY_TOPN):
+        add("fuzzy", FUZZY_WORD, -1, dist, float(df), term)
+    scorer, counter = QueryScorer(idx), FacetCounter(idx)
+    for col in FACET_COLS:
+        fc = facet_counts(idx, FACET_QUERY, col, counter=counter, scorer=scorer)
+        for v, nd in zip(fc["value"].to_pylist(), fc["n_docs"].to_pylist()):
+            add("facet", col, -1, nd, 0.0, v)
+    return pa.table(
+        {
+            "feature": pa.array(rows["feature"], type=pa.string()),
+            "key": pa.array(rows["key"], type=pa.string()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "ival": pa.array(rows["ival"], type=pa.int64()),
+            "score": pa.array(rows["score"], type=pa.float64()),
+            "sval": pa.array(rows["sval"], type=pa.string()),
+        }
+    )
+
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -2822,7 +2918,7 @@ QUERIES = {
     "math_corpus_stats": q_math_corpus_stats,
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
-    "phrase_topk": q_phrase_topk,
+    "search_features": q_search_features,
     "simhash_dup": q_simhash_dup,
     "fingerprints": q_fingerprints,
     "multimodal_meta": q_multimodal_meta,
@@ -3051,3 +3147,104 @@ def _sampling_sql() -> str:
 
 
 ORACLE_SQL["sampling"] = _sampling_sql()
+
+
+def _search_features_sql() -> str:
+    """Twin of q_search_features: all five features re-derived from the raw
+    documents table — phrase/proximity via a positions self-join, negated
+    BM25 as the bm25 twin formula with the exclusion applied BEFORE the
+    top-k cut (survivor scores unchanged, exactly the engine's NOT
+    semantics), fuzzy via DuckDB's levenshtein() over the vocabulary with
+    the (distance asc, df desc, term asc) ranking, facets as candidate-set
+    group counts."""
+    _phrase_body = ORACLE_SQL.pop("phrase_topk")
+    terms = sorted(set(PHRASE_QUERY.split()))
+    t1, t2 = terms[0], terms[1]
+    toks = (
+        "(SELECT * FROM (SELECT doc_id, unnest(string_split_regex("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents)"
+        " WHERE term <> '')"
+    )
+    q_terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    facet_union = "\n      UNION ALL\n".join(
+        f"""      SELECT '{c}' AS col, d.{c}::VARCHAR AS value,
+             count(*)::BIGINT AS n_docs
+      FROM documents d JOIN cand USING (doc_id) GROUP BY d.{c}"""
+        for c in FACET_COLS
+    )
+    return f"""
+    WITH toks AS (SELECT * FROM {toks}),
+    rawp AS (
+      SELECT doc_id, ts[i] AS term, i
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+    ),
+    tokp AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+      FROM rawp WHERE term <> ''
+    ),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scores AS (
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                ) AS score
+      FROM tf
+      JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term IN ({q_terms})
+      GROUP BY tf.doc_id
+    ),
+    vocab AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ({", ".join(f"'{t}'" for t in FACET_QUERY.split())})
+    )
+    SELECT 'phrase' AS feature, '{PHRASE_QUERY}' AS key, doc_id,
+           n_occurrences AS ival, 0.0::DOUBLE AS score, '' AS sval
+    FROM ({_phrase_body})
+    UNION ALL
+    SELECT 'prox', '{PHRASE_QUERY}', docid, min_span, 0.0, '' FROM (
+      SELECT a.doc_id AS docid, min(abs(a.pos - b.pos))::BIGINT AS min_span
+      FROM tokp a JOIN tokp b USING (doc_id)
+      WHERE a.term = '{t1}' AND b.term = '{t2}'
+      GROUP BY 1 HAVING min(abs(a.pos - b.pos)) <= {PROX_WINDOW}
+      ORDER BY 2, 1 LIMIT {PROX_K}
+    )
+    UNION ALL
+    SELECT 'neg', '{NEG_QUERY}', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (
+      SELECT doc_id, score FROM scores
+      WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks
+                           WHERE term = '{NEG_EXCLUDE}')
+      ORDER BY score DESC, doc_id LIMIT {BM25_K}
+    )
+    UNION ALL
+    SELECT 'fuzzy', '{FUZZY_WORD}', (-1)::BIGINT, dist, df::DOUBLE, term
+    FROM (
+      SELECT term, levenshtein('{FUZZY_WORD}', term)::BIGINT AS dist, df
+      FROM vocab
+      WHERE term <> '{FUZZY_WORD}'
+        AND levenshtein('{FUZZY_WORD}', term) <= 2
+      ORDER BY dist, df DESC, term LIMIT {FUZZY_TOPN}
+    )
+    UNION ALL
+    SELECT 'facet', col, (-1)::BIGINT, n_docs, 0.0, value FROM (
+{facet_union}
+    )
+"""
+
+
+ORACLE_SQL["search_features"] = _search_features_sql()
