@@ -2396,6 +2396,50 @@ LEFT JOIN g3s USING (doc_id)
 """
 
 
+def doc_signals_batch(batch: pa.Table) -> pa.Table:
+    """Merged per-doc signal row: quality + lexical + entropy + repetition
+    columns, one row per input row (lexical's zero-word drops re-aligned
+    and zero-filled — the twin coalesces identically)."""
+    from tangent_ray.ops.textstats import (
+        lexical_stats_batch,
+        quality_batch,
+        repetition_batch,
+        token_entropy_batch,
+    )
+
+    q = quality_batch(batch)
+    lx = lexical_stats_batch(batch)
+    en = token_entropy_batch(batch)
+    rep = repetition_batch(batch)
+    n = batch.num_rows
+    nw = q["n_words"].to_numpy(zero_copy_only=False)
+    distinct = np.zeros(n, np.int64)
+    ttr = np.zeros(n, np.float64)
+    twf = np.zeros(n, np.float64)
+    idx = np.flatnonzero(nw > 0)
+    if lx.num_rows:
+        distinct[idx] = lx["distinct_words"].to_numpy(zero_copy_only=False)
+        ttr[idx] = lx["type_token_ratio"].to_numpy(zero_copy_only=False)
+        twf[idx] = lx["top_word_fraction"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": q["n_words"],
+            "alpha_ratio": q["alpha_ratio"],
+            "distinct_words": pa.array(distinct, type=pa.int64()),
+            "type_token_ratio": pa.array(ttr, type=pa.float64()),
+            "top_word_fraction": pa.array(twf, type=pa.float64()),
+            "token_entropy": en["token_entropy"],
+            "n_lines": rep["n_lines"],
+            "dup_line_frac": rep["dup_line_frac"],
+            "dup_line_char_frac": rep["dup_line_char_frac"],
+            "top2gram_frac": rep["top2gram_frac"],
+            "top3gram_frac": rep["top3gram_frac"],
+            "dup3gram_frac": rep["dup3gram_frac"],
+        }
+    )
+
+
 def q_doc_signals(sf_dir: str):
     """Per-document quality signal panel — word count / alpha ratio
     (quality_batch), TTR / top-word fraction (lexical_stats_batch),
@@ -2406,50 +2450,8 @@ def q_doc_signals(sf_dir: str):
     driver-gate slot."""
     import ray.data
 
-    from tangent_ray.ops.textstats import (
-        lexical_stats_batch,
-        quality_batch,
-        repetition_batch,
-        token_entropy_batch,
-    )
-
-    def merged(batch: pa.Table) -> pa.Table:
-        q = quality_batch(batch)
-        lx = lexical_stats_batch(batch)
-        en = token_entropy_batch(batch)
-        rep = repetition_batch(batch)
-        n = batch.num_rows
-        nw = q["n_words"].to_numpy(zero_copy_only=False)
-        # lexical drops zero-word docs (ratios undefined); re-align its
-        # rows to the batch and fill 0 — the twin coalesces identically
-        distinct = np.zeros(n, np.int64)
-        ttr = np.zeros(n, np.float64)
-        twf = np.zeros(n, np.float64)
-        idx = np.flatnonzero(nw > 0)
-        if lx.num_rows:
-            distinct[idx] = lx["distinct_words"].to_numpy(zero_copy_only=False)
-            ttr[idx] = lx["type_token_ratio"].to_numpy(zero_copy_only=False)
-            twf[idx] = lx["top_word_fraction"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": q["n_words"],
-                "alpha_ratio": q["alpha_ratio"],
-                "distinct_words": pa.array(distinct, type=pa.int64()),
-                "type_token_ratio": pa.array(ttr, type=pa.float64()),
-                "top_word_fraction": pa.array(twf, type=pa.float64()),
-                "token_entropy": en["token_entropy"],
-                "n_lines": rep["n_lines"],
-                "dup_line_frac": rep["dup_line_frac"],
-                "dup_line_char_frac": rep["dup_line_char_frac"],
-                "top2gram_frac": rep["top2gram_frac"],
-                "top3gram_frac": rep["top3gram_frac"],
-                "dup3gram_frac": rep["dup3gram_frac"],
-            }
-        )
-
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return _collect(ds.map_batches(merged, batch_format="pyarrow"))
+    return _collect(ds.map_batches(doc_signals_batch, batch_format="pyarrow"))
 
 
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
