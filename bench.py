@@ -135,7 +135,7 @@ def run_bench(num_cpus: int) -> dict:
     # ±40% run-to-run noise on identical deterministic work, and min-of-N
     # is the standard de-noising estimator (BASELINE.md methodology) — one
     # noisy driver run should still land near the de-noised number
-    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "3"))
     build_sec = float("inf")
     out_dir = ""
     for rep in range(build_reps):
