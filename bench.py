@@ -346,7 +346,9 @@ def run_scaling() -> None:
     # de-noising estimator for a deterministic workload
     reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
     levels = sorted({n for p in pairs for n in p})
+    per_rep: list[dict[int, dict]] = []
     for rep in range(reps):
+        rep_out: dict[int, dict] = {}
         for n in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_PHASES="build",
                        BENCH_CONVS=scale_convs)
@@ -360,24 +362,47 @@ def run_scaling() -> None:
             got = json.loads(r.stdout.strip().splitlines()[-1])
             log(f"[scaling] rep {rep} num_cpus={n}: {got['value']}s "
                 f"({got['queries']['build_turns_per_sec']} turns/s build)")
+            rep_out[n] = got
             if n not in out or got["value"] < out[n]["value"]:
                 out[n] = got
+        per_rep.append(rep_out)
     result: dict = {}
     for lo, hi in pairs:
-        thr_lo = out[lo]["queries"]["build_turns_per_sec"]
-        thr_hi = out[hi]["queries"]["build_turns_per_sec"]
-        eff = (thr_hi / thr_lo) / (hi / lo)
+        # efficiency is computed WITHIN each rep (the lo/hi runs of a rep
+        # are adjacent in time) and summarized by the median over reps:
+        # this VM's base speed drifts up to ~2.5x between sessions and
+        # sometimes mid-run, so a cross-time min-of-rep ratio can compare
+        # a slow-epoch lo against a fast-epoch hi (or vice versa) and
+        # report scaling noise instead of scaling
+        effs = sorted(
+            (r[hi]["queries"]["build_turns_per_sec"]
+             / r[lo]["queries"]["build_turns_per_sec"]) / (hi / lo)
+            for r in per_rep
+        )
+        med = (
+            effs[len(effs) // 2]
+            if len(effs) % 2
+            else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        )
         result[f"sec_{lo}"] = out[lo]["value"]
         result[f"sec_{hi}"] = out[hi]["value"]
-        result[f"build_turns_per_sec_{lo}"] = thr_lo
-        result[f"build_turns_per_sec_{hi}"] = thr_hi
-        result[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+        result[f"build_turns_per_sec_{lo}"] = out[lo]["queries"][
+            "build_turns_per_sec"
+        ]
+        result[f"build_turns_per_sec_{hi}"] = out[hi]["queries"][
+            "build_turns_per_sec"
+        ]
+        result[f"scaling_efficiency_{lo}_to_{hi}"] = round(med, 3)
+        result[f"per_rep_efficiency_{lo}_to_{hi}"] = [
+            round(e, 3) for e in effs
+        ]
     # headline: the primary (first) pair
     lo, hi = pairs[0]
     result["build_scaling_efficiency"] = result[f"scaling_efficiency_{lo}_to_{hi}"]
     note = (
         f"primary pair {lo}->{hi} CPUs (fresh ray.init per level, fixed "
-        "128-block job shape, min-of-rep)"
+        "128-block job shape; efficiency = median of per-rep ratios, "
+        "times = min-of-rep)"
     )
     if (8, 32) in pairs and (lo, hi) != (8, 32):
         note += (
