@@ -227,3 +227,59 @@ def query_set() -> pa.Table:
         "<math><mi>x</mi><mo>=</mo><mfrac><mn>1</mn><mi>p</mi></mfrac></math>",
     )
     return pa.Table.from_pylist(rows)
+
+
+def conv_gate_corpus() -> pa.Table:
+    """Conversation-analytics gate corpus: 40 generated conversations plus
+    planted edge cases the analytics must detect —
+
+    - ``dupc...`` twins of convs 3 and 17: identical ordered ``role:text``
+      content under a NEW conv_id with shifted timestamps (conv_dedup must
+      collapse each pair; ts/turn renumbering are excluded from identity),
+    - ``gapc00000007``: conv 7 with its ``turn_idx == 1`` row removed
+      (one turn-index gap; NOT a duplicate of conv 7),
+    - ``zsolo``: a single assistant-only turn (empty-context example), and
+    - ``znull``: a conversation containing a NULL text turn (token count 0,
+      canonical form uses the empty string).
+
+    Pure function of nothing (seedless, clock-free) — the oracle twin
+    embeds these exact rows as a SQL literal.
+    """
+    import pyarrow.compute as pc
+
+    base = generate_conv_range(0, 40)
+
+    def clone(src_conv: int, new_id: str, ts_shift_us: int,
+              drop_turn: int | None = None) -> pa.Table:
+        t = base.filter(pc.equal(base["conv_id"], f"conv{src_conv:08d}"))
+        if drop_turn is not None:
+            t = t.filter(pc.not_equal(t["turn_idx"], drop_turn))
+        cols = {c: t[c] for c in t.column_names}
+        cols["conv_id"] = pa.array([new_id] * t.num_rows, type=pa.string())
+        shifted = pc.add(
+            t["ts"].cast(pa.int64()), ts_shift_us
+        ).cast(pa.timestamp("us"))
+        cols["ts"] = shifted
+        return pa.table(cols, schema=base.schema)
+
+    epoch = base["ts"][0].value
+    extras = [
+        clone(3, "dupc00000003", 3_600_000_000),
+        clone(17, "dupc00000017", 3_600_000_000),
+        clone(7, "gapc00000007", 7_200_000_000, drop_turn=1),
+        pa.table(
+            {
+                "conv_id": pa.array(["zsolo", "znull", "znull"]),
+                "turn_idx": pa.array([0, 0, 1], type=pa.int32()),
+                "role": pa.array(["assistant", "user", "assistant"]),
+                "text": pa.array(["solo reply with $[V!x]$", None, "ack"]),
+                "tool": pa.array(["", "", ""]),
+                "ts": pa.array(
+                    [epoch + 9_000_000_000 + i * 1_000_000 for i in range(3)],
+                    type=pa.timestamp("us"),
+                ),
+            },
+            schema=base.schema,
+        ),
+    ]
+    return pa.concat_tables([base, *extras])

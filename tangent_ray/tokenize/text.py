@@ -153,6 +153,57 @@ def md5_u64(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return hv[codes]
 
 
+def md5_u64_pair(
+    strings: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both 64-bit halves of md5 (DuckDB ``md5_number_lower`` /
+    ``md5_number_upper``) — the 128-bit portable content key used where a
+    64-bit birthday bound is not acceptable (whole-corpus dedup keys).
+    Same unique-then-gather cost shape as :func:`md5_u64`."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    d = pc.dictionary_encode(strings)
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    lo, hi = _md5_pair_unique(d.dictionary)
+    return lo[codes], hi[codes]
+
+
+def _md5_pair_unique(uniq: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(md5_number_lower, md5_number_upper) over unique strings."""
+    try:
+        con, lock = _md5_con()
+        tbl = pa.table({"s": uniq})
+        with lock:
+            con.register("md5_in", tbl)
+            out = con.execute(
+                "SELECT md5_number_lower(s) AS lo, md5_number_upper(s) AS hi"
+                " FROM md5_in"
+            ).arrow()
+            con.unregister("md5_in")
+        return (
+            out["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+            out["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+        )
+    except ImportError:  # duckdb absent: same values, Python rate
+        import hashlib
+
+        vals = uniq.to_pylist()
+        digs = [hashlib.md5(u.encode()).digest() for u in vals]
+        lo = np.fromiter(
+            (int.from_bytes(dg[8:16], "little") for dg in digs),
+            dtype=np.uint64, count=len(digs),
+        )
+        hi = np.fromiter(
+            (int.from_bytes(dg[0:8], "little") for dg in digs),
+            dtype=np.uint64, count=len(digs),
+        )
+        return lo, hi
+
+
 def _md5_u64_unique(uniq: pa.Array) -> np.ndarray:
     """md5_number_lower over an array of (unique) strings, order-preserved."""
     try:
