@@ -399,6 +399,41 @@ def q_bpe_token_count(sf_dir: str):
     return _cast64(_collect(out), ["total_tokens", "n_docs"])
 
 
+def q_token_counts(sf_dir: str):
+    """Word-split AND BPE-regex token totals per source in ONE gate slot
+    (tagged union on ``method``): the two counting contracts share one
+    pruned read; each is the identical pre-aggregated partial + tiny
+    groupby that held its own slot in round 2."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tangent_ray.ops.textstats import (
+        bpe_token_count_partial,
+        token_count_partial,
+    )
+
+    ds = ray.data.read_parquet(
+        _doc_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+    outs = []
+    for method, fn in (
+        ("word", token_count_partial),
+        ("bpe", bpe_token_count_partial),
+    ):
+        partial = ds.map_batches(fn, batch_format="pyarrow")
+        agg = partial.groupby("source").aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        t = _cast64(_collect(agg), ["total_tokens", "n_docs"])
+        outs.append(
+            t.add_column(
+                0, "method", pa.array([method] * t.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(outs)
+
+
 def q_knn_cosine(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -2874,6 +2909,93 @@ def q_search_features(sf_dir: str):
     )
 
 
+_CONV_STAT_INTS = [
+    "n_turns", "n_user", "n_assistant", "n_tool_turns", "n_tool_calls",
+    "n_distinct_tools", "total_tokens", "duration_us",
+    "alternation_breaks", "turn_gaps",
+]
+_CONV_K = 3  # example context turns
+_CONV_SHARDS = 8
+
+
+def q_conv_analytics(sf_dir: str):
+    """Conversation-level analytics over the transcripts shape in ONE gate
+    slot, as a tagged union ``(feature, k1, k2, ival, sval)``:
+
+    - ``stat:<name>`` — per-conversation profile stats (turn/role/tool
+      counts, tokens, duration, alternation breaks, turn-index gaps;
+      ``first_role``/``last_role`` carry their value in ``sval``),
+    - ``dedup`` — conversation-level exact dedup (kept conv, dup count),
+    - ``tool_edge`` — consecutive-tool transition counts, and
+    - ``example`` — assembled SFT (context, target) pairs per assistant
+      turn (``sval = context ␟ target``).
+
+    Runs the four distributed ops of ``ops/conv.py`` over the doctored
+    gate corpus (``fixtures.conv_gate_corpus``: planted duplicate convs, a
+    turn-index gap, an assistant-only conv, a NULL text turn — the corpus
+    is a pure function, so the DuckDB twin embeds it as a literal
+    relation, like the multimodal twin recomputes its payloads).
+    Scale evidence for these ops lives in the 1M-conv soak (BASELINE.md);
+    the gate grades exact semantics."""
+    import ray.data
+
+    from tangent_ray.fixtures import conv_gate_corpus
+    from tangent_ray.ops.conv import (
+        assemble_examples,
+        conv_dedup,
+        conv_stats,
+        tool_transitions,
+    )
+
+    ds = ray.data.from_arrow(conv_gate_corpus()).repartition(5)
+    stats = _collect(conv_stats(ds, shards=_CONV_SHARDS))
+    dedup = _collect(conv_dedup(ds, shards=_CONV_SHARDS))
+    edges = _collect(tool_transitions(ds, shards=_CONV_SHARDS))
+    ex = _collect(assemble_examples(ds, k_context=_CONV_K, shards=_CONV_SHARDS))
+
+    def rows(feature, k1, k2, ival, sval):
+        n = len(k1)
+
+        def _str(x):
+            if isinstance(x, str):
+                return pa.array([x] * n, type=pa.string())
+            return pc.cast(x, pa.string())
+
+        return pa.table(
+            {
+                "feature": _str(feature),
+                "k1": _str(k1),
+                "k2": _str(k2),
+                "ival": pc.cast(
+                    pa.array([ival] * n) if isinstance(ival, int) else ival,
+                    pa.int64(),
+                ),
+                "sval": _str(sval),
+            }
+        )
+
+    parts = []
+    for c in _CONV_STAT_INTS:
+        parts.append(rows(f"stat:{c}", stats["conv_id"], "", stats[c], ""))
+    for c in ("first_role", "last_role"):
+        parts.append(rows(f"stat:{c}", stats["conv_id"], "", 0, stats[c]))
+    parts.append(rows("dedup", dedup["conv_id"], "", dedup["dups"], ""))
+    parts.append(rows("tool_edge", edges["prev_tool"], edges["tool"],
+                      edges["n"], ""))
+    sval = pc.binary_join_element_wise(
+        ex["context"].combine_chunks()
+        if isinstance(ex["context"], pa.ChunkedArray) else ex["context"],
+        ex["target"].combine_chunks()
+        if isinstance(ex["target"], pa.ChunkedArray) else ex["target"],
+        "\x1f",
+    )
+    parts.append(
+        rows("example", ex["conv_id"], pc.cast(ex["turn_idx"], pa.string()),
+             ex["n_context_turns"], sval)
+    )
+    return pa.concat_tables(parts)
+
+
 QUERIES = {
     "term_doc_tf": q_term_doc_tf,
     "term_stats": q_term_stats,
@@ -2887,8 +3009,8 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "paragraph_cuts": q_paragraph_cuts,
     "source_mix": q_source_mix,
-    "token_count_by_source": q_token_count_by_source,
-    "bpe_token_count": q_bpe_token_count,
+    "token_counts": q_token_counts,
+    "conv_analytics": q_conv_analytics,
     "lm_perplexity": q_lm_perplexity,
     "tfidf_keywords": q_tfidf_keywords,
     "clean_corpus": q_clean_corpus,
@@ -2934,6 +3056,127 @@ QUERIES = {
 # twins are composed from the SAME SQL bodies the individual ops were
 # verified against in round 2 (popped so the gate never double-counts a
 # slot), plus the round-3 twins ported verbatim from their pytest files.
+
+_word_tok_sql = ORACLE_SQL.pop("token_count_by_source")
+_bpe_tok_sql = ORACLE_SQL.pop("bpe_token_count")
+ORACLE_SQL["token_counts"] = f"""
+    SELECT 'word' AS method, * FROM ({_word_tok_sql})
+    UNION ALL
+    SELECT 'bpe' AS method, * FROM ({_bpe_tok_sql})
+"""
+
+
+def _sql_str(v) -> str:
+    return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+
+def _conv_analytics_sql() -> str:
+    """Twin of q_conv_analytics. The gate corpus is a pure function
+    (fixtures.conv_gate_corpus), so the twin embeds it as a VALUES literal
+    — no filesystem access — and re-derives all four feature families with
+    window functions. Shared contracts: the tokenizer regex, chr(31)/
+    chr(30) canonical separators, positional (row_number) context windows."""
+    from tangent_ray.fixtures import conv_gate_corpus
+
+    t = conv_gate_corpus()
+    ts_us = t["ts"].cast(pa.int64()).to_pylist()
+    lits = ",\n".join(
+        f"({_sql_str(c)},{x},{_sql_str(r)},{_sql_str(tx)},{_sql_str(tl)},{u})"
+        for c, x, r, tx, tl, u in zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+            t["role"].to_pylist(), t["text"].to_pylist(),
+            t["tool"].to_pylist(), ts_us,
+        )
+    )
+    stat_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT 'stat:{c}' AS feature, conv_id AS k1, '' AS k2,"
+        f" {c} AS ival, '' AS sval FROM wide"
+        for c in _CONV_STAT_INTS
+    )
+    return f"""
+WITH t(conv_id, turn_idx, role, text, tool, ts_us) AS (VALUES
+{lits}
+), seq AS (
+  SELECT conv_id, turn_idx, role, tool, ts_us,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_tix
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), tok AS (
+  SELECT conv_id,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '[^a-z0-9]+'),
+                         x -> x <> '')) AS ntok
+  FROM t
+), s AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         count(*) FILTER (WHERE role = 'user')::BIGINT AS n_user,
+         count(*) FILTER (WHERE role = 'assistant')::BIGINT AS n_assistant,
+         count(*) FILTER (WHERE role = 'tool')::BIGINT AS n_tool_turns,
+         count(*) FILTER (WHERE coalesce(tool, '') <> '')::BIGINT
+             AS n_tool_calls,
+         count(DISTINCT tool)
+             FILTER (WHERE coalesce(tool, '') <> '')::BIGINT
+             AS n_distinct_tools,
+         (max(ts_us) - min(ts_us))::BIGINT AS duration_us,
+         count(*) FILTER (WHERE prev_role = role)::BIGINT
+             AS alternation_breaks,
+         count(*) FILTER (WHERE prev_tix IS NOT NULL
+                          AND turn_idx - prev_tix <> 1)::BIGINT AS turn_gaps,
+         arg_min(role, turn_idx) AS first_role,
+         arg_max(role, turn_idx) AS last_role
+  FROM seq GROUP BY conv_id
+), tk AS (
+  SELECT conv_id, sum(ntok)::BIGINT AS total_tokens
+  FROM tok GROUP BY conv_id
+), wide AS (
+  SELECT s.*, tk.total_tokens FROM s JOIN tk USING (conv_id)
+), stats AS (
+  {stat_arms}
+), roles AS (
+  SELECT 'stat:first_role' AS feature, conv_id AS k1, '' AS k2,
+         0::BIGINT AS ival, first_role AS sval FROM wide
+  UNION ALL
+  SELECT 'stat:last_role', conv_id, '', 0::BIGINT, last_role FROM wide
+), dd AS (
+  SELECT 'dedup' AS feature, min(conv_id) AS k1, '' AS k2,
+         count(*)::BIGINT AS ival, '' AS sval
+  FROM (SELECT conv_id,
+               string_agg(role || chr(31) || coalesce(text, ''), chr(30)
+                          ORDER BY turn_idx) AS canon
+        FROM t GROUP BY conv_id)
+  GROUP BY canon
+), te AS (
+  SELECT 'tool_edge' AS feature, prev_tool AS k1, tool AS k2,
+         count(*)::BIGINT AS ival, '' AS sval
+  FROM (SELECT coalesce(lag(tool) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx), '') AS prev_tool,
+               tool
+        FROM t WHERE coalesce(tool, '') <> '')
+  GROUP BY prev_tool, tool
+), p AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t
+), ex AS (
+  SELECT 'example' AS feature, a.conv_id AS k1, a.turn_idx::VARCHAR AS k2,
+         count(b.rn)::BIGINT AS ival,
+         coalesce(string_agg(b.role || ': ' || b.text, chr(10)
+                             ORDER BY b.rn), '')
+             || chr(31) || a.text AS sval
+  FROM p a LEFT JOIN p b
+    ON b.conv_id = a.conv_id
+   AND b.rn BETWEEN a.rn - {_CONV_K} AND a.rn - 1
+  WHERE a.role = 'assistant'
+  GROUP BY a.conv_id, a.turn_idx, a.text
+)
+SELECT * FROM stats UNION ALL SELECT * FROM roles
+UNION ALL SELECT * FROM dd UNION ALL SELECT * FROM te
+UNION ALL SELECT * FROM ex
+"""
+
+
+ORACLE_SQL["conv_analytics"] = _conv_analytics_sql()
 
 _quality_sql = ORACLE_SQL.pop("quality_scores")
 _lexical_sql = ORACLE_SQL.pop("lexical_stats")
