@@ -1,0 +1,312 @@
+"""Model-based curation: hashed Naive-Bayes quality scoring and DSIR
+importance resampling.
+
+The two standard "train a cheap model on a seed set, score the whole
+corpus" curation steps of a public LLM data pipeline (CCNet / fastText-
+style quality filtering; DSIR, arXiv:2302.03169), built exactly
+aggregable so they carry bit-exact SQL twins:
+
+- **Features** are hashed token n-grams: ``md5(token) % D`` buckets
+  (``md5_number_lower`` — the repo's portable engine-independent hash), so
+  the model state is a DENSE int64 array of D entries, independent of
+  corpus vocabulary. D defaults to 2^18 = 2 MiB of model — broadcast once
+  per actor, never reshipped per batch.
+- **Training** is one pre-aggregated groupby: each batch emits its local
+  (bucket, label) count partial (at most D rows), the global sum is a
+  D-row table, and the driver materializes ONLY that bounded table (the
+  TF-IDF don't-pull-the-vocab lesson: driver input is O(D), not
+  O(vocabulary)).
+- **Log-ratios are fixed-point** (``round(ln(p1/p0) * 1e6)`` int64, the
+  ops/lm.py convention): per-document scores are integer SUMS, so Ray's
+  per-batch accumulation order and DuckDB's aggregate order produce the
+  SAME number — float association drift cannot break the oracle.
+- **Scoring** streams: one ``map_batches`` gather-and-segment-sum per
+  batch against the broadcast array.
+- **DSIR sampling** is the Gumbel-top-k trick (key = weight + Gumbel
+  noise ⇔ sampling without replacement ∝ exp(weight)) with DETERMINISTIC
+  hashed uniforms (salted md5 of the doc id), so the sample is
+  reproducible and SQL-checkable end-to-end; top-k never materializes
+  more than k rows per block (local cut, then a k·blocks global sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tangent_ray.util import round_half_away
+
+D_BUCKETS = 1 << 18
+
+#: salt for the DSIR Gumbel uniforms (shared with the SQL twin)
+DSIR_SALT = ":dsir"
+#: uniform grid resolution: u = ((md5 % 1e9) + 0.5) / 1e9 — never 0 or 1
+DSIR_U_MOD = 1_000_000_000
+
+
+def _log_e6(num, den) -> np.ndarray:
+    """Fixed-point ``round(ln(num/den) * 1e6)`` (half away from zero, the
+    DuckDB ``round`` rule) — the shared quantization of every model
+    parameter here and in ops/lm.py."""
+    return round_half_away(
+        np.log(np.asarray(num, dtype=np.float64) / den) * 1e6, 0
+    ).astype(np.int64)
+
+
+def _token_buckets(
+    texts, d: int, ngram: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """(parents, buckets) of hashed token ``ngram``s per row.
+
+    Unigrams hash each token; bigrams hash ``tok_i || ' ' || tok_{i+1}``
+    within a row (the DSIR paper's hashed-bigram features). Hash is
+    ``md5_number_lower % d`` so the SQL twin recomputes it verbatim.
+    """
+    from tangent_ray.tokenize.text import md5_u64, split_tokens
+
+    parents, tokens, _pos = split_tokens(texts)
+    if ngram == 1:
+        if len(parents) == 0:
+            return parents, np.empty(0, dtype=np.int64)
+        return parents, (md5_u64(tokens) % d).astype(np.int64)
+    if ngram != 2:
+        raise ValueError("ngram must be 1 or 2")
+    n = len(parents)
+    if n < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    same = parents[1:] == parents[:-1]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    grams = pc.binary_join_element_wise(
+        tokens.slice(0, n - 1), tokens.slice(1, n - 1), " "
+    )
+    sel = np.flatnonzero(same)
+    grams = grams.take(pa.array(sel))
+    return parents[sel], (md5_u64(grams) % d).astype(np.int64)
+
+
+def label_bucket_counts(
+    ds,
+    label_col: str = "label",
+    text_col: str = "text",
+    d: int = D_BUCKETS,
+    ngram: int = 1,
+):
+    """Per-(bucket) positive/negative token counts over a labeled corpus:
+    the sufficient statistics of both models, as a Dataset of at most ``d``
+    rows ``(bucket, c_pos, c_neg)``. One pre-aggregated shuffle."""
+    from ray.data.aggregate import Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        labv = pc.cast(lab, pa.bool_()).to_numpy(zero_copy_only=False)
+        parents, buckets = _token_buckets(batch[text_col], d, ngram)
+        if len(buckets) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "c_pos": pa.array([], type=pa.int64()),
+                    "c_neg": pa.array([], type=pa.int64()),
+                }
+            )
+        fused = buckets * 2 + labv[parents].astype(np.int64)
+        u, cnt = np.unique(fused, return_counts=True)
+        ub = u >> 1
+        pos = (u & 1).astype(bool)
+        ubkt = np.unique(ub)
+        c = np.zeros((len(ubkt), 2), dtype=np.int64)
+        row = np.searchsorted(ubkt, ub)
+        c[row, pos.astype(np.int64)] = cnt
+        return pa.table(
+            {
+                "bucket": pa.array(ubkt),
+                "c_pos": pa.array(c[:, 1]),
+                "c_neg": pa.array(c[:, 0]),
+            }
+        )
+
+    agg = ds.map_batches(part, batch_format="pyarrow").groupby(
+        "bucket"
+    ).aggregate(Sum("c_pos", alias_name="c_pos"), Sum("c_neg", alias_name="c_neg"))
+    return agg
+
+
+class NBModel:
+    """Dense fixed-point Naive-Bayes log-ratio table (broadcastable)."""
+
+    def __init__(self, lr_e6: np.ndarray, prior_e6: int, d: int, ngram: int):
+        self.lr_e6 = lr_e6
+        self.prior_e6 = int(prior_e6)
+        self.d = d
+        self.ngram = ngram
+
+
+def nb_train(
+    ds,
+    label_col: str = "label",
+    text_col: str = "text",
+    d: int = D_BUCKETS,
+    ngram: int = 1,
+) -> NBModel:
+    """Train the hashed NB classifier: add-one smoothed per-bucket
+    log P(b|pos) − log P(b|neg) (fixed-point), plus the class prior from
+    DOCUMENT counts. Driver input is the bounded (≤ d)-row count table
+    plus one tiny label groupby — never the corpus."""
+    from ray.data.aggregate import Count
+
+    counts = label_bucket_counts(ds, label_col, text_col, d, ngram)
+    tabs = counts.take_all()
+    bucket = np.fromiter((r["bucket"] for r in tabs), dtype=np.int64,
+                         count=len(tabs))
+    c_pos = np.fromiter((r["c_pos"] for r in tabs), dtype=np.int64,
+                        count=len(tabs))
+    c_neg = np.fromiter((r["c_neg"] for r in tabs), dtype=np.int64,
+                        count=len(tabs))
+    n1, n0 = int(c_pos.sum()), int(c_neg.sum())
+    full_pos = np.zeros(d, dtype=np.int64)
+    full_neg = np.zeros(d, dtype=np.int64)
+    full_pos[bucket] = c_pos
+    full_neg[bucket] = c_neg
+    lr = _log_e6(full_pos + 1.0, n1 + float(d)) - _log_e6(
+        full_neg + 1.0, n0 + float(d)
+    )
+    lab = ds.groupby(label_col).aggregate(Count(alias_name="n")).take_all()
+    n_doc = {bool(r[label_col]): int(r["n"]) for r in lab}
+    prior = _log_e6(
+        np.array([n_doc.get(True, 0) + 1.0]), n_doc.get(False, 0) + 1.0
+    )[0]
+    return NBModel(lr, prior, d, ngram)
+
+
+def nb_score(ds, model: NBModel, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Score every document: ``score_e6 = prior_e6 + Σ lr_e6[bucket]``
+    over the doc's hashed grams (integer sum — order-independent), and
+    ``pred = score_e6 > 0``. The model array ships via ``ray.put`` once
+    and each actor reads it zero-copy."""
+    import ray
+
+    lr_ref = ray.put(model.lr_e6)
+    prior, d, ngram = model.prior_e6, model.d, model.ngram
+
+    class Scorer:
+        def __init__(self):
+            self.lr = ray.get(lr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            parents, buckets = _token_buckets(batch[text_col], d, ngram)
+            score = np.full(n, prior, dtype=np.int64)
+            ntok = np.zeros(n, dtype=np.int64)
+            if len(buckets):
+                np.add.at(score, parents, self.lr[buckets])
+                np.add.at(ntok, parents, 1)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_grams": pa.array(ntok),
+                    "score_e6": pa.array(score),
+                    "pred": pa.array(score > 0),
+                }
+            )
+
+    from tangent_ray.util import actor_pool
+
+    return ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=actor_pool()
+    )
+
+
+def _gumbel_e6(ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic fixed-point Gumbel noise per id: salted-md5 uniform
+    on a 1e9 grid (never 0/1), then ``round(-ln(-ln(u)) * 1e6)``."""
+    from tangent_ray.tokenize.text import md5_u64
+
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    salted = pc.binary_join_element_wise(
+        pc.cast(ids, pa.string()), DSIR_SALT, ""
+    )
+    u = ((md5_u64(salted) % DSIR_U_MOD).astype(np.float64) + 0.5) / DSIR_U_MOD
+    return round_half_away(-np.log(-np.log(u)) * 1e6, 0).astype(np.int64)
+
+
+def dsir_sample(
+    ds,
+    k: int,
+    target_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = D_BUCKETS,
+    ngram: int = 2,
+):
+    """DSIR: Data Selection via Importance Resampling (arXiv:2302.03169).
+
+    Importance weight per document = Σ over hashed ``ngram`` features of
+    ``ln p_target(b) − ln p_raw(b)`` (add-one smoothed, fixed-point);
+    ``target`` is the rows where ``target_col`` is true, ``raw`` is the
+    WHOLE input. Selection is Gumbel-top-k over ``weight_e6 +
+    gumbel_e6(id)`` — i.e. sampling without replacement with probability
+    ∝ exp(weight), deterministic via hashed uniforms. Returns the k
+    selected rows ``(id, n_grams, weight_e6, key_e6)``; each block cuts
+    to its local top-k first, so the global sort sees ≤ k·blocks rows.
+    """
+    import ray
+
+    counts = label_bucket_counts(ds, target_col, text_col, d, ngram)
+    tabs = counts.take_all()
+    bucket = np.fromiter((r["bucket"] for r in tabs), dtype=np.int64,
+                         count=len(tabs))
+    c_pos = np.fromiter((r["c_pos"] for r in tabs), dtype=np.int64,
+                        count=len(tabs))
+    c_neg = np.fromiter((r["c_neg"] for r in tabs), dtype=np.int64,
+                        count=len(tabs))
+    c_tgt = np.zeros(d, dtype=np.int64)
+    c_raw = np.zeros(d, dtype=np.int64)
+    c_tgt[bucket] = c_pos
+    c_raw[bucket] = c_pos + c_neg
+    n_t, n_r = int(c_tgt.sum()), int(c_raw.sum())
+    lr = _log_e6(c_tgt + 1.0, n_t + float(d)) - _log_e6(
+        c_raw + 1.0, n_r + float(d)
+    )
+    lr_ref = ray.put(lr)
+
+    class Weigher:
+        def __init__(self):
+            self.lr = ray.get(lr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            parents, buckets = _token_buckets(batch[text_col], d, ngram)
+            w = np.zeros(n, dtype=np.int64)
+            ng = np.zeros(n, dtype=np.int64)
+            if len(buckets):
+                np.add.at(w, parents, self.lr[buckets])
+                np.add.at(ng, parents, 1)
+            ids = batch[id_col]
+            key = w + _gumbel_e6(ids)
+            # local top-k cut by the SAME global total order
+            idv = (
+                ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                else ids
+            ).to_numpy(zero_copy_only=False)
+            order = np.lexsort((idv, -key))[:k]
+            keep = pa.array(np.sort(order))
+            return pa.table(
+                {
+                    id_col: ids.take(keep),
+                    "n_grams": pa.array(ng[np.sort(order)]),
+                    "weight_e6": pa.array(w[np.sort(order)]),
+                    "key_e6": pa.array(key[np.sort(order)]),
+                }
+            )
+
+    from tangent_ray.util import actor_pool
+
+    scored = ds.map_batches(
+        Weigher, batch_format="pyarrow", concurrency=actor_pool()
+    )
+    return scored.sort(["key_e6", id_col], descending=[True, False]).limit(k)
