@@ -2711,6 +2711,86 @@ def q_simhash_dup(sf_dir: str):
     )
 
 
+def q_doc_signatures(sf_dir: str):
+    """Per-document signature families in ONE gate slot (tagged union on
+    ``kind``): SimHash 64-bit signatures (``sig``), the exact banded
+    Hamming<=3 SimHash pair set (``pair``), and the rolling-hash document
+    fingerprints (``fp`` rows, doc_b = -1, sig = fingerprint) — the two
+    round-2-verified slots merged under the 50-entry budget."""
+    import ray.data
+
+    from tangent_ray.ops.textstats import fingerprint_batch
+
+    sim = q_simhash_dup(sf_dir)
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    fp = _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
+    n = fp.num_rows
+    fpu = pa.table(
+        {
+            "kind": pa.array(["fp"] * n, type=pa.string()),
+            "doc_a": pc.cast(fp["doc_id"], pa.int64()),
+            "doc_b": pa.array(np.full(n, -1, np.int64), type=pa.int64()),
+            "sig": pc.cast(fp["fingerprint"], pa.int64()),
+        }
+    )
+    return pa.concat_tables([sim, fpu])
+
+
+_MC_K = 50  # DSIR sample size at the gate
+
+
+def q_model_curation(sf_dir: str):
+    """Model-based curation in ONE gate slot (tagged union on ``method``):
+
+    - ``nb``   — hashed Naive-Bayes quality scores over the documents
+      table seeded on ``lang = 'en'`` labels (ival = fixed-point score,
+      ival2 = hashed-unigram count, flag = predicted positive);
+    - ``dsir`` — the DSIR Gumbel-top-k importance resample of the same
+      corpus toward the en target (ival = selection key, ival2 = raw
+      importance weight, flag = true for every selected row).
+
+    Both models are trained IN the pipeline (one bounded (bucket, label)
+    groupby each) and scored streaming against a broadcast dense array;
+    fixed-point integer sums make the DuckDB twin exact
+    (tests/test_classify.py carries the same twins at a smaller D)."""
+    import ray.data
+
+    from tangent_ray.ops.classify import dsir_sample, nb_score, nb_train
+
+    tbl = ray.data.read_parquet(
+        _doc_path(sf_dir), columns=["doc_id", "text", "lang"]
+    )
+
+    def add_label(b: pa.Table) -> pa.Table:
+        return b.append_column("label", pc.equal(b["lang"], "en"))
+
+    ds = tbl.map_batches(add_label, batch_format="pyarrow")
+    model = nb_train(ds)
+    nb = _collect(nb_score(ds, model))
+    dsir = _collect(dsir_sample(ds, k=_MC_K))
+
+    def shape(method, t, ival, ival2, flag):
+        n = t.num_rows
+        return pa.table(
+            {
+                "method": pa.array([method] * n, type=pa.string()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "ival": pc.cast(t[ival], pa.int64()),
+                "ival2": pc.cast(t[ival2], pa.int64()),
+                "flag": pc.cast(t[flag], pa.bool_())
+                if flag in t.column_names
+                else pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    return pa.concat_tables(
+        [
+            shape("nb", nb, "score_e6", "n_grams", "pred"),
+            shape("dsir", dsir, "key_e6", "weight_e6", "keep"),
+        ]
+    )
+
+
 def q_shingle_pairs(sf_dir: str):
     """Shingle-based near-dup detection in one slot: 5-gram candidate
     pairs (``cand`` rows, jaccard = -1) + exact 4-gram Jaccard scores over
@@ -3043,8 +3123,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_candidates": q_minhash_candidates,
     "search_features": q_search_features,
-    "simhash_dup": q_simhash_dup,
-    "fingerprints": q_fingerprints,
+    "doc_signatures": q_doc_signatures,
+    "model_curation": q_model_curation,
     "multimodal_meta": q_multimodal_meta,
     "golden_replay": q_golden_replay,
     "formula_topk": q_formula_topk,
@@ -3493,3 +3573,98 @@ def _search_features_sql() -> str:
 
 
 ORACLE_SQL["search_features"] = _search_features_sql()
+
+
+# doc_signatures: the simhash_dup + fingerprints union (both bodies are the
+# round-2-verified twins, popped so the gate never double-counts a slot)
+_simdup_sql = ORACLE_SQL.pop("simhash_dup")
+_fp_sql = ORACLE_SQL.pop("fingerprints")
+ORACLE_SQL["doc_signatures"] = f"""
+    SELECT * FROM ({_simdup_sql})
+    UNION ALL
+    SELECT 'fp' AS kind, doc_id AS doc_a, (-1)::BIGINT AS doc_b,
+           fingerprint AS sig
+    FROM ({_fp_sql})
+"""
+
+
+def _model_curation_sql() -> str:
+    """Twin of q_model_curation: the NB and DSIR twins from
+    tests/test_classify.py at the production D, seeded on lang='en',
+    union-tagged. Each ln() is quantized to 1e-6 BEFORE the subtraction
+    (matching classify._log_e6), so per-doc scores are integer sums."""
+    from tangent_ray.ops.classify import D_BUCKETS
+
+    d = D_BUCKETS
+    return f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS text, (lang = 'en') AS lab
+  FROM documents
+), raw AS (
+  SELECT doc_id, ts[i] AS term, i
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+        FROM docs),
+       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+), tok AS (
+  SELECT doc_id, term, (md5_number_lower(term) % {d})::BIGINT AS b,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
+  FROM raw WHERE term <> ''
+), cnt AS (
+  SELECT b, count(*) FILTER (WHERE lab)::BIGINT AS c1,
+         count(*) FILTER (WHERE NOT lab)::BIGINT AS c0
+  FROM tok JOIN docs USING (doc_id) GROUP BY b
+), tot AS (
+  SELECT sum(c1) AS n1, sum(c0) AS n0 FROM cnt
+), lr AS (
+  SELECT b, (round(ln((c1 + 1.0) / (n1 + {d}.0)) * 1e6)
+             - round(ln((c0 + 1.0) / (n0 + {d}.0)) * 1e6))::BIGINT AS lr_e6
+  FROM cnt, tot
+), prior AS (
+  SELECT round(ln((count(*) FILTER (WHERE lab) + 1.0)
+               / (count(*) FILTER (WHERE NOT lab) + 1.0)) * 1e6)::BIGINT AS p
+  FROM docs
+), nb_per AS (
+  SELECT tok.doc_id, count(*)::BIGINT AS n_grams,
+         sum(lr.lr_e6)::BIGINT AS s
+  FROM tok JOIN lr USING (b) GROUP BY tok.doc_id
+), nb AS (
+  SELECT 'nb' AS method, d.doc_id,
+         (coalesce(nb_per.s, 0) + prior.p)::BIGINT AS ival,
+         coalesce(nb_per.n_grams, 0)::BIGINT AS ival2,
+         (coalesce(nb_per.s, 0) + prior.p) > 0 AS flag
+  FROM docs d LEFT JOIN nb_per USING (doc_id), prior
+), big AS (
+  SELECT a.doc_id,
+         (md5_number_lower(a.term || ' ' || b.term) % {d})::BIGINT AS b
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+), bcnt AS (
+  SELECT b, count(*) FILTER (WHERE lab)::BIGINT AS ct,
+         count(*)::BIGINT AS cr
+  FROM big JOIN docs USING (doc_id) GROUP BY b
+), btot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr FROM bcnt
+), blr AS (
+  SELECT b, (round(ln((ct + 1.0) / (nt + {d}.0)) * 1e6)
+             - round(ln((cr + 1.0) / (nr + {d}.0)) * 1e6))::BIGINT AS lr_e6
+  FROM bcnt, btot
+), dper AS (
+  SELECT big.doc_id, count(*)::BIGINT AS n_grams,
+         sum(blr.lr_e6)::BIGINT AS w
+  FROM big JOIN blr USING (b) GROUP BY big.doc_id
+), dscored AS (
+  SELECT d.doc_id, coalesce(dper.w, 0)::BIGINT AS weight_e6,
+         (coalesce(dper.w, 0)
+          + round(-ln(-ln(((md5_number_lower(d.doc_id::VARCHAR || ':dsir')
+                            % 1000000000) + 0.5) / 1000000000.0))
+                  * 1e6))::BIGINT AS key_e6
+  FROM docs d LEFT JOIN dper USING (doc_id)
+), dsir AS (
+  SELECT 'dsir' AS method, doc_id, key_e6 AS ival, weight_e6 AS ival2,
+         TRUE AS flag
+  FROM dscored ORDER BY key_e6 DESC, doc_id LIMIT {_MC_K}
+)
+SELECT * FROM nb UNION ALL SELECT * FROM dsir
+"""
+
+
+ORACLE_SQL["model_curation"] = _model_curation_sql()
