@@ -102,29 +102,36 @@ def label_bucket_counts(
         lab = batch[label_col]
         if isinstance(lab, pa.ChunkedArray):
             lab = lab.combine_chunks()
+        if lab.null_count:
+            # a null label would silently diverge from the SQL twin (whose
+            # FILTER clauses exclude NULLs from BOTH classes) — same
+            # strictness as conv._strict_col / streaming._ts_us_strict
+            raise ValueError(
+                f"label_bucket_counts: null {label_col} unsupported"
+                " (filter first)"
+            )
         labv = pc.cast(lab, pa.bool_()).to_numpy(zero_copy_only=False)
         parents, buckets = _token_buckets(batch[text_col], d, ngram)
         if len(buckets) == 0:
-            return pa.table(
-                {
-                    "bucket": pa.array([], type=pa.int64()),
-                    "c_pos": pa.array([], type=pa.int64()),
-                    "c_neg": pa.array([], type=pa.int64()),
-                }
-            )
-        fused = buckets * 2 + labv[parents].astype(np.int64)
-        u, cnt = np.unique(fused, return_counts=True)
-        ub = u >> 1
-        pos = (u & 1).astype(bool)
-        ubkt = np.unique(ub)
-        c = np.zeros((len(ubkt), 2), dtype=np.int64)
-        row = np.searchsorted(ubkt, ub)
-        c[row, pos.astype(np.int64)] = cnt
+            ubkt = np.empty(0, dtype=np.int64)
+            c = np.zeros((0, 2), dtype=np.int64)
+        else:
+            fused = buckets * 2 + labv[parents].astype(np.int64)
+            u, cnt = np.unique(fused, return_counts=True)
+            ub = u >> 1
+            pos = (u & 1).astype(bool)
+            ubkt = np.unique(ub)
+            c = np.zeros((len(ubkt), 2), dtype=np.int64)
+            row = np.searchsorted(ubkt, ub)
+            c[row, pos.astype(np.int64)] = cnt
+        # sentinel row: per-batch DOCUMENT counts per label (bucket -1),
+        # so the class prior needs no second pass over the corpus
+        n_pos = int(labv.sum())
         return pa.table(
             {
-                "bucket": pa.array(ubkt),
-                "c_pos": pa.array(c[:, 1]),
-                "c_neg": pa.array(c[:, 0]),
+                "bucket": pa.array(np.append(ubkt, -1)),
+                "c_pos": pa.array(np.append(c[:, 1], n_pos)),
+                "c_neg": pa.array(np.append(c[:, 0], len(labv) - n_pos)),
             }
         )
 
@@ -153,18 +160,15 @@ def nb_train(
 ) -> NBModel:
     """Train the hashed NB classifier: add-one smoothed per-bucket
     log P(b|pos) − log P(b|neg) (fixed-point), plus the class prior from
-    DOCUMENT counts. Driver input is the bounded (≤ d)-row count table
-    plus one tiny label groupby — never the corpus."""
-    from ray.data.aggregate import Count
-
-    counts = label_bucket_counts(ds, label_col, text_col, d, ngram)
-    tabs = counts.take_all()
-    bucket = np.fromiter((r["bucket"] for r in tabs), dtype=np.int64,
-                         count=len(tabs))
-    c_pos = np.fromiter((r["c_pos"] for r in tabs), dtype=np.int64,
-                        count=len(tabs))
-    c_neg = np.fromiter((r["c_neg"] for r in tabs), dtype=np.int64,
-                        count=len(tabs))
+    DOCUMENT counts (the bucket −1 sentinel of the SAME single pass).
+    Driver input is the bounded (≤ d+1)-row count table — never the
+    corpus, and never a second execution of the input lineage."""
+    bucket, c_pos, c_neg = _collect_counts(
+        label_bucket_counts(ds, label_col, text_col, d, ngram)
+    )
+    doc = bucket == -1
+    d_pos, d_neg = int(c_pos[doc].sum()), int(c_neg[doc].sum())
+    bucket, c_pos, c_neg = bucket[~doc], c_pos[~doc], c_neg[~doc]
     n1, n0 = int(c_pos.sum()), int(c_neg.sum())
     full_pos = np.zeros(d, dtype=np.int64)
     full_neg = np.zeros(d, dtype=np.int64)
@@ -173,12 +177,19 @@ def nb_train(
     lr = _log_e6(full_pos + 1.0, n1 + float(d)) - _log_e6(
         full_neg + 1.0, n0 + float(d)
     )
-    lab = ds.groupby(label_col).aggregate(Count(alias_name="n")).take_all()
-    n_doc = {bool(r[label_col]): int(r["n"]) for r in lab}
-    prior = _log_e6(
-        np.array([n_doc.get(True, 0) + 1.0]), n_doc.get(False, 0) + 1.0
-    )[0]
+    prior = _log_e6(np.array([d_pos + 1.0]), d_neg + 1.0)[0]
     return NBModel(lr, prior, d, ngram)
+
+
+def _collect_counts(counts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    tabs = counts.take_all()
+    bucket = np.fromiter((r["bucket"] for r in tabs), dtype=np.int64,
+                         count=len(tabs))
+    c_pos = np.fromiter((r["c_pos"] for r in tabs), dtype=np.int64,
+                        count=len(tabs))
+    c_neg = np.fromiter((r["c_neg"] for r in tabs), dtype=np.int64,
+                        count=len(tabs))
+    return bucket, c_pos, c_neg
 
 
 def nb_score(ds, model: NBModel, id_col: str = "doc_id",
@@ -256,14 +267,11 @@ def dsir_sample(
     """
     import ray
 
-    counts = label_bucket_counts(ds, target_col, text_col, d, ngram)
-    tabs = counts.take_all()
-    bucket = np.fromiter((r["bucket"] for r in tabs), dtype=np.int64,
-                         count=len(tabs))
-    c_pos = np.fromiter((r["c_pos"] for r in tabs), dtype=np.int64,
-                        count=len(tabs))
-    c_neg = np.fromiter((r["c_neg"] for r in tabs), dtype=np.int64,
-                        count=len(tabs))
+    bucket, c_pos, c_neg = _collect_counts(
+        label_bucket_counts(ds, target_col, text_col, d, ngram)
+    )
+    grams = bucket >= 0  # drop the document-count sentinel rows
+    bucket, c_pos, c_neg = bucket[grams], c_pos[grams], c_neg[grams]
     c_tgt = np.zeros(d, dtype=np.int64)
     c_raw = np.zeros(d, dtype=np.int64)
     c_tgt[bucket] = c_pos
@@ -293,14 +301,13 @@ def dsir_sample(
                 ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
                 else ids
             ).to_numpy(zero_copy_only=False)
-            order = np.lexsort((idv, -key))[:k]
-            keep = pa.array(np.sort(order))
+            top = np.sort(np.lexsort((idv, -key))[:k])
             return pa.table(
                 {
-                    id_col: ids.take(keep),
-                    "n_grams": pa.array(ng[np.sort(order)]),
-                    "weight_e6": pa.array(w[np.sort(order)]),
-                    "key_e6": pa.array(key[np.sort(order)]),
+                    id_col: ids.take(pa.array(top)),
+                    "n_grams": pa.array(ng[top]),
+                    "weight_e6": pa.array(w[top]),
+                    "key_e6": pa.array(key[top]),
                 }
             )
 
@@ -310,3 +317,94 @@ def dsir_sample(
         Weigher, batch_format="pyarrow", concurrency=actor_pool()
     )
     return scored.sort(["key_e6", id_col], descending=[True, False]).limit(k)
+
+
+def nb_twin_sql(d: int, label_expr: str = "(lang = 'en')") -> str:
+    """The ONE DuckDB twin of nb_train + nb_score over a ``documents``
+    view — shared verbatim by tests/test_classify.py (small d) and the
+    gate's model_curation entry (production d), so the two cannot drift.
+    Each ln() is quantized to 1e-6 BEFORE the subtraction, matching
+    ``_log_e6``; per-doc scores are integer sums."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS text, {label_expr} AS lab
+  FROM documents
+), raw AS (
+  SELECT doc_id, ts[i] AS term
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+        FROM docs),
+       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+), tok AS (
+  SELECT doc_id, (md5_number_lower(term) % {d})::BIGINT AS b
+  FROM raw WHERE term <> ''
+), cnt AS (
+  SELECT b, count(*) FILTER (WHERE lab)::BIGINT AS c1,
+         count(*) FILTER (WHERE NOT lab)::BIGINT AS c0
+  FROM tok JOIN docs USING (doc_id) GROUP BY b
+), tot AS (
+  SELECT sum(c1) AS n1, sum(c0) AS n0 FROM cnt
+), lr AS (
+  SELECT b, (round(ln((c1 + 1.0) / (n1 + {d}.0)) * 1e6)
+             - round(ln((c0 + 1.0) / (n0 + {d}.0)) * 1e6))::BIGINT AS lr_e6
+  FROM cnt, tot
+), prior AS (
+  SELECT round(ln((count(*) FILTER (WHERE lab) + 1.0)
+               / (count(*) FILTER (WHERE NOT lab) + 1.0)) * 1e6)::BIGINT AS p
+  FROM docs
+), per AS (
+  SELECT tok.doc_id, count(*)::BIGINT AS n_grams,
+         sum(lr.lr_e6)::BIGINT AS s
+  FROM tok JOIN lr USING (b) GROUP BY tok.doc_id
+)
+SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+       (coalesce(per.s, 0) + prior.p)::BIGINT AS score_e6,
+       (coalesce(per.s, 0) + prior.p) > 0 AS pred
+FROM docs d LEFT JOIN per USING (doc_id), prior
+"""
+
+
+def dsir_twin_sql(d: int, k: int, label_expr: str = "(lang = 'en')") -> str:
+    """The ONE DuckDB twin of dsir_sample over a ``documents`` view (see
+    ``nb_twin_sql`` for the sharing rationale and quantization rule)."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS text, {label_expr} AS tgt
+  FROM documents
+), raw AS (
+  SELECT doc_id, ts[i] AS term, i
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+        FROM docs),
+       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+), tok AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
+  FROM raw WHERE term <> ''
+), big AS (
+  SELECT a.doc_id,
+         (md5_number_lower(a.term || ' ' || b.term) % {d})::BIGINT AS b
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+), cnt AS (
+  SELECT b, count(*) FILTER (WHERE tgt)::BIGINT AS ct,
+         count(*)::BIGINT AS cr
+  FROM big JOIN docs USING (doc_id) GROUP BY b
+), tot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt
+), lr AS (
+  SELECT b, (round(ln((ct + 1.0) / (nt + {d}.0)) * 1e6)
+             - round(ln((cr + 1.0) / (nr + {d}.0)) * 1e6))::BIGINT AS lr_e6
+  FROM cnt, tot
+), per AS (
+  SELECT big.doc_id, count(*)::BIGINT AS n_grams,
+         sum(lr.lr_e6)::BIGINT AS w
+  FROM big JOIN lr USING (b) GROUP BY big.doc_id
+), scored AS (
+  SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+         coalesce(per.w, 0)::BIGINT AS weight_e6,
+         (coalesce(per.w, 0)
+          + round(-ln(-ln(((md5_number_lower(d.doc_id::VARCHAR || '{DSIR_SALT}')
+                            % {DSIR_U_MOD}) + 0.5) / {DSIR_U_MOD}.0))
+                  * 1e6))::BIGINT AS key_e6
+  FROM docs d LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id, n_grams, weight_e6, key_e6 FROM scored
+ORDER BY key_e6 DESC, doc_id LIMIT {k}
+"""

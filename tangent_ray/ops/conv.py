@@ -125,11 +125,10 @@ def conv_stats(ds, shards: int = DEFAULT_SHARDS):
         # distinct tools per conv: unique (rid, tool_code) pairs
         tenc = pc.dictionary_encode(tool)
         tcode = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        pair = rid[tool_mask] * (tcode.max() + 1 if n else 1) + tcode[tool_mask]
-        upair = np.unique(pair)
+        m = tcode.max() + 1  # n > 0 here (empty shards returned early)
+        upair = np.unique(rid[tool_mask] * m + tcode[tool_mask])
         n_tools = np.bincount(
-            (upair // (tcode.max() + 1 if n else 1)).astype(np.int64),
-            minlength=n_convs,
+            (upair // m).astype(np.int64), minlength=n_convs
         ).astype(np.int64)
 
         text = _take(g["text"], order)
@@ -253,9 +252,11 @@ def tool_transitions(ds, shards: int = DEFAULT_SHARDS):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
-# unit separator / record separator: cannot appear in tokenized text, and
-# both are SQL-expressible (chr(31) / chr(30)) so the twin can rebuild the
-# exact canonical string
+# unit separator / record separator (SQL chr(31) / chr(30)). Raw text is
+# NEVER composed with these: each turn's text is md5-hex'd first (hex is
+# [0-9a-f], so a crafted text containing the separators cannot forge a
+# different turn structure with the same canonical string); ``role`` is a
+# schema-enumerated value ('user'/'assistant'/'tool'), composed plain.
 _US = "\x1f"
 _RS = "\x1e"
 
@@ -266,12 +267,14 @@ def conv_dedup(ds, shards: int = DEFAULT_SHARDS):
     (``turn_idx`` gaps/renumbering ignored — order is what matters; ``ts``
     and ``tool`` excluded so re-runs of the same dialogue dedup).
 
-    Per shard, each conversation collapses to ONE 128-bit portable content
-    key (md5 lower+upper halves over the canonical ``role␟text␞...``
-    string — DuckDB-recomputable, engine-independent); the global groupby
-    then moves one narrow row per conversation, never the text. First-wins
-    by min ``conv_id``; emits ``(conv_id, n_turns, dups)`` per distinct
-    content, the conversation analogue of ``ops.dedup.exact_dedup``.
+    Per shard, each turn collapses to ``role ␟ md5(text)`` (separator-
+    injection-proof — see the ``_US`` note), the conversation to ONE
+    128-bit portable content key (md5 lower+upper halves over the
+    ``␞``-joined turn tokens — DuckDB-recomputable, engine-independent);
+    the global groupby then moves one narrow row per conversation, never
+    the text. First-wins by min ``conv_id``; emits ``(conv_id, n_turns,
+    dups)`` per distinct content, the conversation analogue of
+    ``ops.dedup.exact_dedup``.
     """
     from ray.data.aggregate import Count, Max, Min
 
@@ -288,10 +291,12 @@ def conv_dedup(ds, shards: int = DEFAULT_SHARDS):
         )
         if g.num_rows == 0:
             return empty
+        from tangent_ray.tokenize.text import md5_hex
+
         order, c, dic, starts, ends, _rid = _conv_runs(g, "conv_dedup")
         role = _take(_strict_col(g, "role", "conv_dedup"), order)
         text = _take(pc.fill_null(g["text"], ""), order)
-        turn = pc.binary_join_element_wise(role, text, _US)
+        turn = pc.binary_join_element_wise(role, md5_hex(text), _US)
         lst = pa.ListArray.from_arrays(
             pa.array(np.append(starts, len(c)), type=pa.int32()),
             turn.combine_chunks() if isinstance(turn, pa.ChunkedArray) else turn,

@@ -415,23 +415,33 @@ def q_token_counts(sf_dir: str):
     ds = ray.data.read_parquet(
         _doc_path(sf_dir), columns=["doc_id", "text", "source"]
     )
-    outs = []
-    for method, fn in (
-        ("word", token_count_partial),
-        ("bpe", bpe_token_count_partial),
-    ):
-        partial = ds.map_batches(fn, batch_format="pyarrow")
-        agg = partial.groupby("source").aggregate(
-            Sum("total_tokens", alias_name="total_tokens"),
-            Sum("n_docs", alias_name="n_docs"),
-        )
-        t = _cast64(_collect(agg), ["total_tokens", "n_docs"])
-        outs.append(
-            t.add_column(
-                0, "method", pa.array([method] * t.num_rows, type=pa.string())
+
+    def both(batch: pa.Table) -> pa.Table:
+        # ONE read/tokenize pass emits both methods' partials, tagged
+        outs = []
+        for method, fn in (
+            ("word", token_count_partial),
+            ("bpe", bpe_token_count_partial),
+        ):
+            t = fn(batch)
+            outs.append(
+                t.add_column(
+                    0, "method",
+                    pa.array([method] * t.num_rows, type=pa.string()),
+                )
             )
-        )
-    return pa.concat_tables(outs)
+        return pa.concat_tables(outs)
+
+    agg = ds.map_batches(both, batch_format="pyarrow").groupby(
+        ["method", "source"]
+    ).aggregate(
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+    return _cast64(
+        _collect(agg).select(["method", "source", "total_tokens", "n_docs"]),
+        ["total_tokens", "n_docs"],
+    )
 
 
 def q_knn_cosine(sf_dir: str):
@@ -3222,8 +3232,8 @@ WITH t(conv_id, turn_idx, role, text, tool, ts_us) AS (VALUES
   SELECT 'dedup' AS feature, min(conv_id) AS k1, '' AS k2,
          count(*)::BIGINT AS ival, '' AS sval
   FROM (SELECT conv_id,
-               string_agg(role || chr(31) || coalesce(text, ''), chr(30)
-                          ORDER BY turn_idx) AS canon
+               string_agg(role || chr(31) || md5(coalesce(text, '')),
+                          chr(30) ORDER BY turn_idx) AS canon
         FROM t GROUP BY conv_id)
   GROUP BY canon
 ), te AS (
@@ -3589,81 +3599,20 @@ ORACLE_SQL["doc_signatures"] = f"""
 
 
 def _model_curation_sql() -> str:
-    """Twin of q_model_curation: the NB and DSIR twins from
-    tests/test_classify.py at the production D, seeded on lang='en',
-    union-tagged. Each ln() is quantized to 1e-6 BEFORE the subtraction
-    (matching classify._log_e6), so per-doc scores are integer sums."""
-    from tangent_ray.ops.classify import D_BUCKETS
+    """Twin of q_model_curation: the SAME template strings the pytest
+    differentials run at a smaller D (classify.nb_twin_sql /
+    dsir_twin_sql — single source, the two cannot drift), wrapped into the
+    union tagging at the production D."""
+    from tangent_ray.ops.classify import D_BUCKETS, dsir_twin_sql, nb_twin_sql
 
-    d = D_BUCKETS
     return f"""
-WITH docs AS (
-  SELECT doc_id, coalesce(text, '') AS text, (lang = 'en') AS lab
-  FROM documents
-), raw AS (
-  SELECT doc_id, ts[i] AS term, i
-  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
-        FROM docs),
-       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
-), tok AS (
-  SELECT doc_id, term, (md5_number_lower(term) % {d})::BIGINT AS b,
-         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
-  FROM raw WHERE term <> ''
-), cnt AS (
-  SELECT b, count(*) FILTER (WHERE lab)::BIGINT AS c1,
-         count(*) FILTER (WHERE NOT lab)::BIGINT AS c0
-  FROM tok JOIN docs USING (doc_id) GROUP BY b
-), tot AS (
-  SELECT sum(c1) AS n1, sum(c0) AS n0 FROM cnt
-), lr AS (
-  SELECT b, (round(ln((c1 + 1.0) / (n1 + {d}.0)) * 1e6)
-             - round(ln((c0 + 1.0) / (n0 + {d}.0)) * 1e6))::BIGINT AS lr_e6
-  FROM cnt, tot
-), prior AS (
-  SELECT round(ln((count(*) FILTER (WHERE lab) + 1.0)
-               / (count(*) FILTER (WHERE NOT lab) + 1.0)) * 1e6)::BIGINT AS p
-  FROM docs
-), nb_per AS (
-  SELECT tok.doc_id, count(*)::BIGINT AS n_grams,
-         sum(lr.lr_e6)::BIGINT AS s
-  FROM tok JOIN lr USING (b) GROUP BY tok.doc_id
-), nb AS (
-  SELECT 'nb' AS method, d.doc_id,
-         (coalesce(nb_per.s, 0) + prior.p)::BIGINT AS ival,
-         coalesce(nb_per.n_grams, 0)::BIGINT AS ival2,
-         (coalesce(nb_per.s, 0) + prior.p) > 0 AS flag
-  FROM docs d LEFT JOIN nb_per USING (doc_id), prior
-), big AS (
-  SELECT a.doc_id,
-         (md5_number_lower(a.term || ' ' || b.term) % {d})::BIGINT AS b
-  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.r = a.r + 1
-), bcnt AS (
-  SELECT b, count(*) FILTER (WHERE lab)::BIGINT AS ct,
-         count(*)::BIGINT AS cr
-  FROM big JOIN docs USING (doc_id) GROUP BY b
-), btot AS (
-  SELECT sum(ct) AS nt, sum(cr) AS nr FROM bcnt
-), blr AS (
-  SELECT b, (round(ln((ct + 1.0) / (nt + {d}.0)) * 1e6)
-             - round(ln((cr + 1.0) / (nr + {d}.0)) * 1e6))::BIGINT AS lr_e6
-  FROM bcnt, btot
-), dper AS (
-  SELECT big.doc_id, count(*)::BIGINT AS n_grams,
-         sum(blr.lr_e6)::BIGINT AS w
-  FROM big JOIN blr USING (b) GROUP BY big.doc_id
-), dscored AS (
-  SELECT d.doc_id, coalesce(dper.w, 0)::BIGINT AS weight_e6,
-         (coalesce(dper.w, 0)
-          + round(-ln(-ln(((md5_number_lower(d.doc_id::VARCHAR || ':dsir')
-                            % 1000000000) + 0.5) / 1000000000.0))
-                  * 1e6))::BIGINT AS key_e6
-  FROM docs d LEFT JOIN dper USING (doc_id)
-), dsir AS (
-  SELECT 'dsir' AS method, doc_id, key_e6 AS ival, weight_e6 AS ival2,
-         TRUE AS flag
-  FROM dscored ORDER BY key_e6 DESC, doc_id LIMIT {_MC_K}
-)
-SELECT * FROM nb UNION ALL SELECT * FROM dsir
+SELECT 'nb' AS method, doc_id, score_e6 AS ival, n_grams AS ival2,
+       pred AS flag
+FROM ({nb_twin_sql(D_BUCKETS)})
+UNION ALL
+SELECT 'dsir' AS method, doc_id, key_e6 AS ival, weight_e6 AS ival2,
+       TRUE AS flag
+FROM ({dsir_twin_sql(D_BUCKETS, _MC_K)})
 """
 
 

@@ -170,6 +170,36 @@ def md5_u64_pair(
     return lo[codes], hi[codes]
 
 
+def md5_hex(strings: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Lowercase hex md5 per string (= DuckDB ``md5``). Used where hashed
+    content must flow back into STRING composition (e.g. per-turn hashes
+    joined by control-character separators: hex is [0-9a-f], so a hash can
+    never collide with a separator). Same unique-then-gather cost shape as
+    :func:`md5_u64`."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if len(strings) == 0:
+        return pa.array([], type=pa.string())
+    d = pc.dictionary_encode(strings)
+    uniq = d.dictionary
+    try:
+        con, lock = _md5_con()
+        tbl = pa.table({"s": uniq})
+        with lock:
+            con.register("md5_in", tbl)
+            out = con.execute("SELECT md5(s) AS h FROM md5_in").arrow()
+            con.unregister("md5_in")
+        hv = out["h"].combine_chunks()
+    except ImportError:  # duckdb absent: same values, Python rate
+        import hashlib
+
+        hv = pa.array(
+            [hashlib.md5(u.encode()).hexdigest() for u in uniq.to_pylist()],
+            type=pa.string(),
+        )
+    return hv.take(d.indices)
+
+
 def _md5_pair_unique(uniq: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(md5_number_lower, md5_number_upper) over unique strings."""
     try:

@@ -10,90 +10,24 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from tangent_ray.ops.classify import dsir_sample, nb_score, nb_train
+from tangent_ray.ops.classify import (
+    dsir_sample,
+    dsir_twin_sql,
+    nb_score,
+    nb_train,
+    nb_twin_sql,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 D = 4096  # small enough to force bucket collisions
 
-NB_SQL = f"""
-WITH docs AS (
-  SELECT doc_id, coalesce(text, '') AS text, (lang = 'en') AS lab
-  FROM documents
-), raw AS (
-  SELECT doc_id, ts[i] AS term
-  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
-        FROM docs),
-       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
-), tok AS (
-  SELECT doc_id, (md5_number_lower(term) % {D})::BIGINT AS b
-  FROM raw WHERE term <> ''
-), cnt AS (
-  SELECT b, count(*) FILTER (WHERE lab)::BIGINT AS c1,
-         count(*) FILTER (WHERE NOT lab)::BIGINT AS c0
-  FROM tok JOIN docs USING (doc_id) GROUP BY b
-), tot AS (
-  SELECT sum(c1) AS n1, sum(c0) AS n0 FROM cnt
-), lr AS (
-  SELECT b, (round(ln((c1 + 1.0) / (n1 + {D}.0)) * 1e6)
-             - round(ln((c0 + 1.0) / (n0 + {D}.0)) * 1e6))::BIGINT AS lr_e6
-  FROM cnt, tot
-), prior AS (
-  SELECT round(ln((count(*) FILTER (WHERE lab) + 1.0)
-               / (count(*) FILTER (WHERE NOT lab) + 1.0)) * 1e6)::BIGINT AS p
-  FROM docs
-), per AS (
-  SELECT tok.doc_id, count(*)::BIGINT AS n_grams,
-         sum(lr.lr_e6)::BIGINT AS s
-  FROM tok JOIN lr USING (b) GROUP BY tok.doc_id
-)
-SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-       (coalesce(per.s, 0) + prior.p)::BIGINT AS score_e6,
-       (coalesce(per.s, 0) + prior.p) > 0 AS pred
-FROM docs d LEFT JOIN per USING (doc_id), prior
-"""
+# the twins are the SHARED templates from ops/classify.py (the gate's
+# model_curation twin wraps the same strings at the production D)
+NB_SQL = nb_twin_sql(D)
 
-DSIR_SQL_TMPL = f"""
-WITH docs AS (
-  SELECT doc_id, coalesce(text, '') AS text, (lang = 'en') AS tgt
-  FROM documents
-), raw AS (
-  SELECT doc_id, ts[i] AS term, i
-  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
-        FROM docs),
-       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
-), tok AS (
-  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
-  FROM raw WHERE term <> ''
-), big AS (
-  SELECT a.doc_id,
-         (md5_number_lower(a.term || ' ' || b.term) % {D})::BIGINT AS b
-  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.r = a.r + 1
-), cnt AS (
-  SELECT b, count(*) FILTER (WHERE tgt)::BIGINT AS ct,
-         count(*)::BIGINT AS cr
-  FROM big JOIN docs USING (doc_id) GROUP BY b
-), tot AS (
-  SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt
-), lr AS (
-  SELECT b, (round(ln((ct + 1.0) / (nt + {D}.0)) * 1e6)
-             - round(ln((cr + 1.0) / (nr + {D}.0)) * 1e6))::BIGINT AS lr_e6
-  FROM cnt, tot
-), per AS (
-  SELECT big.doc_id, count(*)::BIGINT AS n_grams,
-         sum(lr.lr_e6)::BIGINT AS w
-  FROM big JOIN lr USING (b) GROUP BY big.doc_id
-), scored AS (
-  SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-         coalesce(per.w, 0)::BIGINT AS weight_e6,
-         (coalesce(per.w, 0)
-          + round(-ln(-ln(((md5_number_lower(d.doc_id::VARCHAR || ':dsir')
-                            % 1000000000) + 0.5) / 1000000000.0))
-                  * 1e6))::BIGINT AS key_e6
-  FROM docs d LEFT JOIN per USING (doc_id)
-)
-SELECT doc_id, n_grams, weight_e6, key_e6 FROM scored
-ORDER BY key_e6 DESC, doc_id LIMIT {{k}}
-"""
+
+def DSIR_SQL(k):
+    return dsir_twin_sql(D, k)
 
 
 @pytest.fixture(scope="module")
@@ -175,7 +109,7 @@ def test_dsir_matches_twin(ray_session, docs):
     got = pa.concat_tables(
         [t for t in _refs(dsir_sample(ds, k=k, d=D)) if t.num_rows]
     )
-    want = _twin(docs, DSIR_SQL_TMPL.format(k=k))
+    want = _twin(docs, DSIR_SQL(k))
     assert got.num_rows == k
     pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                   check_dtype=False)
@@ -197,7 +131,8 @@ def test_nb_model_bounded_with_smoothing_default(ray_session, docs):
     # an unseen bucket carries the add-one default, not zero
     from tangent_ray.ops.classify import label_bucket_counts
 
-    rows = label_bucket_counts(ds, d=D).take_all()
+    rows = [r for r in label_bucket_counts(ds, d=D).take_all()
+            if r["bucket"] >= 0]  # drop the doc-count sentinel (bucket -1)
     seen = {r["bucket"] for r in rows}
     unseen = next(b for b in range(D) if b not in seen)
     n1 = sum(r["c_pos"] for r in rows)

@@ -74,7 +74,7 @@ SELECT prev_tool, tool, count(*)::BIGINT AS n FROM seq GROUP BY 1, 2
 CONV_DEDUP_SQL = """
 WITH c AS (
   SELECT conv_id, count(*)::BIGINT AS n_turns,
-         string_agg(role || chr(31) || coalesce(text, ''), chr(30)
+         string_agg(role || chr(31) || md5(coalesce(text, '')), chr(30)
                     ORDER BY turn_idx) AS s
   FROM t GROUP BY conv_id
 )
@@ -197,6 +197,29 @@ def test_assemble_examples_matches_twin(ray_session, corpus, k):
     # null-text turn renders as 'user: ' inside its successor's context
     znull = rows[("znull", 1)]
     assert znull["context"] == "user: " and znull["target"] == "ack"
+
+
+def test_conv_dedup_separator_injection_safe(ray_session):
+    """A turn whose TEXT embeds the canonical separators must not forge
+    the structure of a different conversation (each turn's text is md5'd
+    before composition)."""
+    import hashlib
+
+    forged = "hi\x1e" + "assistant\x1f" + hashlib.md5(b"ok").hexdigest()
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "b", "b"]),
+            "turn_idx": pa.array([0, 0, 1], type=pa.int32()),
+            "role": pa.array(["user", "user", "assistant"]),
+            "text": pa.array([forged, "hi", "ok"]),
+            "tool": pa.array(["", "", ""]),
+            "ts": pa.array([0, 0, 1], type=pa.timestamp("us")),
+        }
+    )
+    got = _run(conv_dedup, t, shards=4)
+    assert got.num_rows == 2  # 'a' and 'b' are NOT duplicates
+    assert sorted(got["dups"].to_pylist()) == [1, 1]
+    _assert_equal(got, _twin(t, CONV_DEDUP_SQL))
 
 
 def test_null_timestamp_rejected(ray_session, corpus):
