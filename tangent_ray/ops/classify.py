@@ -59,9 +59,13 @@ def _token_buckets(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(parents, buckets) of hashed token ``ngram``s per row.
 
-    Unigrams hash each token; bigrams hash ``tok_i || ' ' || tok_{i+1}``
-    within a row (the DSIR paper's hashed-bigram features). Hash is
-    ``md5_number_lower % d`` so the SQL twin recomputes it verbatim.
+    Unigrams hash each token (``md5_number_lower % d``); bigrams combine
+    the two TOKEN md5s polynomially (``(h1·1000003 + h2) mod 2^64 mod d``,
+    the fingerprints-twin combine) instead of md5'ing every bigram STRING
+    — bigrams are corpus-rate-unique, so hashing them directly made the
+    md5 kernel the whole op (measured 4.7x at the 1M-doc soak), while
+    token md5s dedupe to the vocabulary. Both forms are recomputed
+    verbatim by the SQL twins (HUGEINT math, like the fingerprints twin).
     """
     from tangent_ray.tokenize.text import md5_u64, split_tokens
 
@@ -75,15 +79,12 @@ def _token_buckets(
     n = len(parents)
     if n < 2:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    th = md5_u64(tokens)  # vocab-rate md5 (dictionary-deduped)
     same = parents[1:] == parents[:-1]
-    if isinstance(tokens, pa.ChunkedArray):
-        tokens = tokens.combine_chunks()
-    grams = pc.binary_join_element_wise(
-        tokens.slice(0, n - 1), tokens.slice(1, n - 1), " "
-    )
     sel = np.flatnonzero(same)
-    grams = grams.take(pa.array(sel))
-    return parents[sel], (md5_u64(grams) % d).astype(np.int64)
+    with np.errstate(over="ignore"):
+        combo = th[sel] * np.uint64(1000003) + th[sel + 1]
+    return parents[sel], (combo % d).astype(np.int64)
 
 
 def label_bucket_counts(
@@ -92,10 +93,17 @@ def label_bucket_counts(
     text_col: str = "text",
     d: int = D_BUCKETS,
     ngram: int = 1,
+    count_batch_size: int = 32768,
 ):
     """Per-(bucket) positive/negative token counts over a labeled corpus:
     the sufficient statistics of both models, as a Dataset of at most ``d``
-    rows ``(bucket, c_pos, c_neg)``. One pre-aggregated shuffle."""
+    rows ``(bucket, c_pos, c_neg)``. One pre-aggregated shuffle.
+
+    ``count_batch_size`` is the combiner lever: a batch's partial is at
+    most ``d`` rows regardless of batch size, so big batches divide the
+    shuffle volume — at the 1M-doc bigram soak, default 1024-row batches
+    pushed 88 M partial rows through the groupby (309 s); 32768-row
+    batches push ≤ 8 M (the tokenize+bucket work itself is 7.6 s)."""
     from ray.data.aggregate import Sum
 
     def part(batch: pa.Table) -> pa.Table:
@@ -135,9 +143,11 @@ def label_bucket_counts(
             }
         )
 
-    agg = ds.map_batches(part, batch_format="pyarrow").groupby(
-        "bucket"
-    ).aggregate(Sum("c_pos", alias_name="c_pos"), Sum("c_neg", alias_name="c_neg"))
+    agg = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=count_batch_size
+    ).groupby("bucket").aggregate(
+        Sum("c_pos", alias_name="c_pos"), Sum("c_neg", alias_name="c_neg")
+    )
     return agg
 
 
@@ -380,7 +390,9 @@ WITH docs AS (
   FROM raw WHERE term <> ''
 ), big AS (
   SELECT a.doc_id,
-         (md5_number_lower(a.term || ' ' || b.term) % {d})::BIGINT AS b
+         (((md5_number_lower(a.term)::HUGEINT * 1000003
+            + md5_number_lower(b.term))
+           % 18446744073709551616::HUGEINT) % {d})::BIGINT AS b
   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.r = a.r + 1
 ), cnt AS (
   SELECT b, count(*) FILTER (WHERE tgt)::BIGINT AS ct,
