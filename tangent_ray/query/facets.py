@@ -152,6 +152,32 @@ class FacetCounter:
             }
         )
 
+    def mask(self, docids: np.ndarray, col: str, value: str) -> np.ndarray:
+        """Boolean keep-mask: ``facet[col] == value`` per docid (the
+        ``#col:value`` filtered-search probe). Docids absent from every
+        sidecar and null facet values never match; string equality on the
+        sidecar's cast-to-string values."""
+        q = np.asarray(docids, dtype=np.int64)
+        out = np.zeros(len(q), dtype=bool)
+        for ids_sorted, table in self._load():
+            if col not in table.column_names:
+                raise KeyError(
+                    f"facet column {col!r} not in sidecar "
+                    f"(has {[c for c in table.column_names if c != 'docid']})"
+                )
+            if not len(ids_sorted):
+                continue
+            pos = np.searchsorted(ids_sorted, q)
+            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+            if not len(hit):
+                continue
+            vals = table[col].take(pa.array(pos_c[hit]))
+            eq = pc.fill_null(pc.equal(vals, value), False)
+            eqn = eq.to_numpy(zero_copy_only=False).astype(bool)
+            out[hit[eqn]] = True
+        return out
+
 
 def facet_counts(
     index_dir: str,

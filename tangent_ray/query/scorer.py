@@ -175,6 +175,14 @@ class IndexReader:
                 for s in self.segments
                 for r in s.lookup.get(term, ())
             )
+        terms, dfs = self._load_stats()
+        i = int(np.searchsorted(terms, term))
+        if i < len(dfs) and terms[i] == term:
+            return int(dfs[i])
+        return 0
+
+    def _load_stats(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted text terms, global df) from the term_stats sidecar."""
         if self._stats is None:
             if not os.path.exists(self._stats_path):
                 raise FileNotFoundError(
@@ -191,11 +199,43 @@ class IndexReader:
             )  # sorted; searchsorted replaces a per-term Python dict
             dfs = t["df"].take(order).to_numpy(zero_copy_only=False)
             self._stats = (terms, dfs)
-        terms, dfs = self._stats
-        i = int(np.searchsorted(terms, term))
-        if i < len(dfs) and terms[i] == term:
-            return int(dfs[i])
-        return 0
+        return self._stats
+
+    _vocab: tuple[np.ndarray, np.ndarray] | None = None
+
+    def text_vocab(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted unique TEXT terms, global df aligned) — the expansion
+        lexicon for prefix queries. A full reader derives it once from its
+        own segments; a subset (sharded-serving) reader reads the
+        term_stats sidecar so expansion — and therefore the blended df and
+        idf — is identical on every shard regardless of which terms that
+        shard happens to hold."""
+        if self._is_subset:
+            return self._load_stats()
+        if self._vocab is None:
+            agg: dict[str, int] = {}
+            for s in self.segments:
+                for i in np.flatnonzero(s.kind == 0):
+                    t = s.terms[i]
+                    agg[t] = agg.get(t, 0) + int(s.df[i])
+            terms = np.array(sorted(agg), dtype=object)
+            dfs = np.array([agg[t] for t in terms], dtype=np.int64)
+            self._vocab = (terms, dfs)
+        return self._vocab
+
+    def expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
+        """Concrete index terms matching ``prefix*``, capped at
+        ``max_expansions`` by (global df desc, term asc) — the Lucene
+        MultiTermQuery rewrite rule of keeping the most frequent terms.
+        Deterministic and shard-consistent (see ``text_vocab``)."""
+        terms, dfs = self.text_vocab()
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "\uffff"))
+        if hi <= lo:
+            return []
+        cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
+        order = np.lexsort((cand_t, -cand_df))[:max_expansions]
+        return [str(cand_t[i]) for i in order]
 
     def dockey_of(self, docids: np.ndarray) -> list[str]:
         from tangent_ray.sources.corpus import TranscriptsCorpus, corpus_from_json
@@ -377,6 +417,7 @@ class QueryScorer:
         self.cfg = self.reader.cfg
         self.topk = topk or self.cfg.topk
         self._dead = self.reader.tombstones  # per-query: tombstones + NOTs
+        self._facets = None  # lazy FacetCounter, built on first #col:value
         #: per-query instrumentation (reference `I` rows): qt_ms, postings
         #: touched, query terms with matches, candidate docs, returned rows
         self.last_stats: dict = {}
@@ -508,6 +549,82 @@ class QueryScorer:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(cand))
 
+    # -- query expansion (prefix / synonym groups) + metadata filters ----
+    #: ``term*`` — trailing-star prefix query (Lucene MultiTermQuery)
+    _PREFIX_RE = re.compile(r"(?<![\w*])([a-z0-9]+)\*", re.IGNORECASE)
+    #: ``{a,b,c}`` / ``{a|b|c}`` — a query-time synonym group
+    _SYN_RE = re.compile(r"\{([a-z0-9]+(?:[,|][a-z0-9]+)*)\}", re.IGNORECASE)
+    #: ``#col:value`` — a metadata equality filter over the facet sidecar
+    _FILTER_RE = re.compile(r"(?<!\w)#([A-Za-z_]\w*):([^\s]+)")
+    #: Lucene-style cap on prefix expansion (kept by global-df desc)
+    prefix_max_expansions = 128
+
+    def _split_extensions(
+        self, text: str
+    ) -> tuple[str, list[tuple[str, ...]], list[tuple[str, str]]]:
+        """Strip extended-syntax tokens from the query text (outside $math$
+        spans) and return ``(cleaned text, groups, filters)``.
+
+        ``groups``: one tuple of concrete index terms per ``prefix*`` or
+        ``{a,b,c}`` synonym group, scored with Lucene SynonymQuery
+        semantics in ``_score_bm25`` (per-doc tf = sum of member tfs, df =
+        max member df — union df is not derivable from per-term stats, and
+        max keeps idf identical under sharded serving). Synonym members
+        are stemmed like plain query terms; prefixes match the INDEXED
+        (post-stem) vocabulary as-is. ``filters``: ``(col, value)`` pairs
+        from ``#col:value``, applied to candidates before the top-k cut.
+        """
+        if not any(c in text for c in "*{#") or "<math" in text:
+            return text, [], []
+        groups: list[tuple[str, ...]] = []
+        filters: list[tuple[str, str]] = []
+
+        def rewrite(seg: str) -> str:
+            for col, val in self._FILTER_RE.findall(seg):
+                filters.append((col, val))
+            seg = self._FILTER_RE.sub(" ", seg)
+            for body in self._SYN_RE.findall(seg):
+                members = [t.lower() for t in re.split(r"[,|]", body) if t]
+                if self.cfg.stem:
+                    from tangent_ray.tokenize.porter import porter_stem
+
+                    members = [porter_stem(t) for t in members]
+                groups.append(tuple(sorted(set(members))))
+            seg = self._SYN_RE.sub(" ", seg)
+            for pref in self._PREFIX_RE.findall(seg):
+                groups.append(
+                    tuple(
+                        self.reader.expand_prefix(
+                            pref.lower(), self.prefix_max_expansions
+                        )
+                    )
+                )
+            return self._PREFIX_RE.sub(" ", seg)
+
+        pieces: list[str] = []
+        pos = 0
+        for m in _MATH_RE.finditer(text):  # never rewrite inside a formula
+            pieces.append(rewrite(text[pos : m.start()]))
+            pieces.append(m.group(0))
+            pos = m.end()
+        pieces.append(rewrite(text[pos:]))
+        return "".join(pieces), groups, filters
+
+    def _facet_mask(self, docids: np.ndarray,
+                    filters: list[tuple[str, str]]) -> np.ndarray:
+        """AND of the ``#col:value`` equality filters over the candidate
+        docids (facet-sidecar probe, no postings touched)."""
+        if self._facets is None:
+            from tangent_ray.query.facets import FacetCounter
+
+            self._facets = FacetCounter(
+                self.reader._index_dir, partials=self.reader.partials
+            )
+        keep = np.ones(len(docids), dtype=bool)
+        for col, val in filters:
+            keep &= self._facets.mask(docids, col, val)
+        return keep
+
     def score_query(self, text: str, kind: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         import time
 
@@ -521,6 +638,7 @@ class QueryScorer:
         # complete), while the WAND loop checks self._dead at the pivot so
         # a dead doc can never inflate the pruning threshold.
         text, neg_terms = self._split_negations(text)
+        text, groups, filters = self._split_extensions(text)
         self._dead = self.reader.tombstones
         if neg_terms:
             excl = self._excluded_docs(neg_terms)
@@ -531,11 +649,11 @@ class QueryScorer:
                 )
         terms, bag, qtc, n_formulae = self.parse_query(text)
         if kind == "text":
-            d, s = self._score_bm25(terms, k)
+            d, s = self._score_bm25(terms, k, groups=groups)
         elif kind == "math":
             d, s = self._score_fmeasure(bag, qtc)
         else:
-            d, s = self._score_mixed(terms, bag, qtc, n_formulae)
+            d, s = self._score_mixed(terms, bag, qtc, n_formulae, groups=groups)
         dead = self._dead
         if dead.size and len(d):
             from tangent_ray.util import sorted_lookup
@@ -543,6 +661,10 @@ class QueryScorer:
             hit, _ = sorted_lookup(dead, d)
             if hit.any():
                 d, s = d[~hit], s[~hit]
+        if filters and len(d):
+            keep = self._facet_mask(d, filters)
+            self.last_stats["filtered_out"] = int(len(d) - keep.sum())
+            d, s = d[keep], s[keep]
         self.last_stats["candidates"] = int(len(d))
         out = _topk(d, s, k)
         self.last_stats["returned"] = int(len(out[0]))
@@ -567,7 +689,8 @@ class QueryScorer:
 
     # -- BM25 ------------------------------------------------------------
     def _score_bm25(
-        self, terms: list[str], k: int | None = None
+        self, terms: list[str], k: int | None = None,
+        groups: list[tuple[str, ...]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self.reader
         plan: list[tuple[float, "Segment", int]] = []  # (idf, seg, row)
@@ -584,18 +707,40 @@ class QueryScorer:
             for seg in r.segments:
                 for row in seg.lookup.get(term, ()):
                     plan.append((idf, seg, row))
+        # expansion groups (prefix / synonym): each scores as ONE
+        # pseudo-term — per-doc tf summed over members, idf from the max
+        # member df (Lucene SynonymQuery). Groups are rare vs plain terms
+        # and need a per-doc tf merge before saturation, so their presence
+        # forces the (exact) TAAT path.
+        gplan: list[tuple[float, list[tuple["Segment", int]]]] = []
+        for members in groups:
+            dfs = [r.global_df(t) for t in members]
+            df_g = max(dfs, default=0)
+            if df_g == 0:
+                continue
+            self.last_stats["terms"] += 1
+            total_postings += sum(dfs)
+            rows = [
+                (seg, row)
+                for t in members
+                for seg in r.segments
+                for row in seg.lookup.get(t, ())
+            ]
+            gplan.append((_bm25_idf(r.N, df_g), rows))
         if (
-            k is not None
+            not gplan
+            and k is not None
             and len(terms) >= 2
             and len(plan) >= 2
             and total_postings >= self.wand_min_postings
             and min_df * self.wand_drive_ratio <= total_postings
         ):
             return self._score_bm25_wand(plan, k, total_postings)
-        return self._score_bm25_taat(plan)
+        return self._score_bm25_taat(plan, gplan)
 
     def _score_bm25_taat(
-        self, plan: list[tuple[float, "Segment", int]]
+        self, plan: list[tuple[float, "Segment", int]],
+        gplan: list[tuple[float, list[tuple["Segment", int]]]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self.reader
         k1, b = self.cfg.k1, self.cfg.b
@@ -607,6 +752,28 @@ class QueryScorer:
             tff = tfs.astype(np.float64)
             tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
             cand.append(docs.astype(np.int64))
+            contrib.append(idf * tfn)
+        for idf, rows in gplan:
+            # blended pseudo-term: merge the member postings per doc FIRST
+            # (tf is summed before saturation — nonlinear, so this cannot
+            # be folded into per-term contributions), then one BM25 kernel
+            docs_l, tfs_l, dls_l = [], [], []
+            for seg, row in rows:
+                docs, tfs, dls, _ = seg.postings(row)
+                self.last_stats["postings"] += len(docs)
+                docs_l.append(docs.astype(np.int64))
+                tfs_l.append(tfs.astype(np.float64))
+                dls_l.append(dls.astype(np.float64))
+            if not docs_l:
+                continue
+            docs = np.concatenate(docs_l)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            utf = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(utf, inv, np.concatenate(tfs_l))
+            udl = np.zeros(len(uniq), dtype=np.float64)
+            udl[inv] = np.concatenate(dls_l)  # dl is per-doc constant
+            tfn = utf * (k1 + 1.0) / (utf + k1 * (1.0 - b + b * udl / r.avgdl))
+            cand.append(uniq)
             contrib.append(idf * tfn)
         return _accumulate(cand, contrib)
 
@@ -819,16 +986,18 @@ class QueryScorer:
         return uniq, scores
 
     def _score_mixed(
-        self, terms: list[str], bag: Counter, qtc: int, n_formulae: int
+        self, terms: list[str], bag: Counter, qtc: int, n_formulae: int,
+        groups: list[tuple[str, ...]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
         if qtc == 0 or n_formulae == 0:
-            return self._score_bm25(terms)
-        if not terms:
+            return self._score_bm25(terms, groups=groups)
+        if not terms and not groups:
             return self._score_fmeasure(bag, qtc)
         # reference dynamic weight: #formulae/(#formulae + #keywords)
-        # (utility/comp_query.py:255-291 with mDynamicWeight)
-        mweight = n_formulae / (n_formulae + len(terms))
-        dt, st = self._score_bm25(terms)
+        # (utility/comp_query.py:255-291 with mDynamicWeight; an expansion
+        # group counts as one keyword)
+        mweight = n_formulae / (n_formulae + len(terms) + len(groups))
+        dt, st = self._score_bm25(terms, groups=groups)
         dm, sm = self._score_fmeasure(bag, qtc)
         # min-max normalize text scores into [0,1] (reference normalizes the
         # Solr scores before fusion — utility/comp_query.py:255-291)

@@ -1,0 +1,287 @@
+"""Query expansion (prefix / synonym groups), metadata-filtered search,
+and more-like-this: DuckDB differentials on the blended SynonymQuery
+scoring, expansion-cap determinism, sharded-serving identity, stemming
+interaction, and edge cases (no-match prefix, unknown facet column)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tangent_ray.config import SQL_PARITY_CONFIG, EngineConfig
+from tangent_ray.index.build import build_index
+from tangent_ray.query.facets import build_facet_sidecar
+from tangent_ray.query.mlt import mlt_terms, more_like_this
+from tangent_ray.query.scorer import QueryScorer
+from tangent_ray.sources.corpus import DocumentsCorpus
+
+ROWS = [
+    (0, "alpha beta gamma delta", "en"),
+    (1, "alphabet soup beta beta", "en"),
+    (2, "alpine alpha alpha trails", "de"),
+    (3, "delta gamma gamma", "en"),
+    (4, "beta beta alpine walks", "de"),
+    (5, "alpha alphabet alpine all", "en"),
+    (6, "unrelated words entirely", "fr"),
+    (7, "gamma alpha beta soup", "de"),
+]
+
+K1, B = 1.2, 0.75
+
+
+def _tab():
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ROWS], pa.int64()),
+            "text": pa.array([r[1] for r in ROWS], pa.string()),
+            "lang": pa.array([r[2] for r in ROWS], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    import dataclasses
+
+    root = tmp_path_factory.mktemp("expand")
+    src = str(root / "docs")
+    os.makedirs(src)
+    t = _tab()
+    pq.write_table(t.slice(0, 4), os.path.join(src, "a.parquet"))
+    pq.write_table(t.slice(4), os.path.join(src, "b.parquet"))
+    out = str(root / "idx")
+    build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=2),
+                DocumentsCorpus())
+    build_facet_sidecar(out, ["lang"])
+    return out
+
+
+def _duck():
+    con = duckdb.connect()
+    con.register("docs", _tab())
+    con.execute(
+        """
+        CREATE TEMP VIEW toks AS
+        SELECT * FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(text),
+                 '[^a-z0-9]+')) AS term FROM docs
+        ) WHERE term <> '';
+        CREATE TEMP VIEW tf AS
+        SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2;
+        CREATE TEMP VIEW dl AS
+        SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1;
+        CREATE TEMP VIEW stats AS
+        SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+               (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM docs) AS avgdl;
+        CREATE TEMP VIEW dfx AS
+        SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1;
+        """
+    )
+    return con
+
+
+#: blended pseudo-term scores for a member list chosen by an in-SQL rule
+_GROUP_SQL = """
+WITH sel AS ({sel}),
+gtf AS (
+  SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf JOIN sel USING (term)
+  GROUP BY 1
+),
+gdf AS (SELECT max(df) AS df FROM dfx JOIN sel USING (term))
+SELECT g.doc_id,
+       ln(1 + (stats.n - gdf.df + 0.5) / (gdf.df + 0.5))
+         * g.tf * ({k1} + 1)
+         / (g.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS score
+FROM gtf g JOIN dl USING (doc_id), stats, gdf
+ORDER BY score DESC, doc_id
+"""
+
+
+def _engine(idx, text, k=10):
+    sc = QueryScorer(idx)
+    d, s = sc.score_query(text, "text", k)
+    return list(zip(d.tolist(), np.round(s, 9).tolist()))
+
+
+def _sqlrows(con, sql):
+    return [(int(d), round(float(s), 9)) for d, s in con.execute(sql).fetchall()]
+
+
+def test_prefix_blended_vs_duckdb(idx):
+    # alp* -> alpha, alphabet, alpine (all fit under the cap)
+    sel = "SELECT term FROM dfx WHERE term LIKE 'alp%' ORDER BY df DESC, term"
+    want = _sqlrows(_duck(), _GROUP_SQL.format(sel=sel, k1=K1, b=B))
+    assert _engine(idx, "alp*") == want
+
+
+def test_prefix_expansion_cap_by_df(idx):
+    # cap 2 keeps the two highest-df terms (df desc, term asc) — alpha (5
+    # docs) and alpine (3) outrank alphabet (2)
+    sc = QueryScorer(idx)
+    sc.prefix_max_expansions = 2
+    assert sc.reader.expand_prefix("alp", 2) == ["alpha", "alpine"]
+    d, s = sc.score_query("alp*", "text", 10)
+    sel = ("SELECT term FROM dfx WHERE term LIKE 'alp%' "
+           "ORDER BY df DESC, term LIMIT 2")
+    want = _sqlrows(_duck(), _GROUP_SQL.format(sel=sel, k1=K1, b=B))
+    assert list(zip(d.tolist(), np.round(s, 9).tolist())) == want
+
+
+def test_synonym_group_vs_duckdb(idx):
+    sel = "SELECT unnest(['beta', 'gamma']) AS term"
+    want = _sqlrows(_duck(), _GROUP_SQL.format(sel=sel, k1=K1, b=B))
+    assert _engine(idx, "{beta,gamma}") == want
+    assert _engine(idx, "{beta|gamma}") == want  # pipe separator alias
+
+
+def test_group_plus_plain_term_sums(idx):
+    # mixed query: plain term contribution + group contribution add up
+    con = _duck()
+    sel = "SELECT unnest(['beta', 'gamma']) AS term"
+    grp = {d: s for d, s in _sqlrows(con, _GROUP_SQL.format(sel=sel, k1=K1, b=B))}
+    plain = {
+        d: s
+        for d, s in _sqlrows(
+            con,
+            _GROUP_SQL.format(sel="SELECT 'soup' AS term", k1=K1, b=B),
+        )
+    }
+    want = {}
+    for d in set(grp) | set(plain):
+        want[d] = round(grp.get(d, 0.0) + plain.get(d, 0.0), 6)
+    got = {d: round(s, 6) for d, s in _engine(idx, "soup {beta,gamma}")}
+    assert got == want
+
+
+def test_no_match_prefix_and_group(idx):
+    assert _engine(idx, "zzz*") == []
+    assert _engine(idx, "{zzz,qqq}") == []
+    # a no-match group contributes nothing next to a live term
+    lone = _engine(idx, "soup")
+    assert _engine(idx, "soup {zzz,qqq}") == lone
+    assert _engine(idx, "soup zzz*") == lone
+
+
+def test_filtered_search_vs_duckdb(idx):
+    con = _duck()
+    want = [
+        (d, s)
+        for d, s in _sqlrows(
+            con, _GROUP_SQL.format(sel="SELECT 'beta' AS term", k1=K1, b=B)
+        )
+        if con.execute(
+            f"SELECT lang = 'de' FROM docs WHERE doc_id = {d}"
+        ).fetchone()[0]
+    ]
+    assert _engine(idx, "beta #lang:de") == want
+    # survivors keep their unfiltered scores
+    full = dict(_engine(idx, "beta"))
+    for d, s in want:
+        assert full[d] == s
+
+
+def test_filter_no_match_value_and_bad_column(idx):
+    assert _engine(idx, "beta #lang:xx") == []
+    with pytest.raises(KeyError):
+        _engine(idx, "beta #nosuch:x")
+
+
+def test_sharded_identity(idx):
+    """Each single-partial scorer returns its own docs with the SAME
+    blended scores as the full reader (global df / expansion via the
+    term_stats sidecar), so the sharded union equals the full result."""
+    import json
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        partials = json.load(f)["partials"]
+    assert len(partials) == 2
+    for q in ("alp*", "{beta,gamma}", "soup alp*"):
+        full = dict(_engine(idx, q))
+        union = {}
+        for p in partials:
+            sc = QueryScorer(idx, partials=[p])
+            d, s = sc.score_query(q, "text", 10)
+            for dd, ss in zip(d.tolist(), np.round(s, 9).tolist()):
+                assert dd not in union  # partials are disjoint
+                union[dd] = ss
+        assert union == full
+
+
+def test_stemmed_synonym_members(ray_session, tmp_path):
+    """With stem=True, group members stem like plain terms — {running}
+    matches docs that contain 'run'."""
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["run fast", "walk slow"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(src, "d.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(
+        src, out,
+        EngineConfig(stem=True, math=False, window=1, eol="none", partitions=1),
+        DocumentsCorpus(),
+    )
+    sc = QueryScorer(out)
+    d, _ = sc.score_query("{running,walked}", "text", 10)
+    assert set(d.tolist()) == {0, 1}
+
+
+def test_mlt_vs_duckdb(idx):
+    """MLT twin: top max_query_terms by tf*idf from the source doc (tie:
+    weight desc, term asc), blended? no — plain per-term BM25 over the
+    selection, source doc excluded."""
+    con = _duck()
+    doc = 0
+    sel_terms = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT tf.term
+            FROM tf JOIN dfx USING (term), stats
+            WHERE tf.doc_id = {doc}
+            ORDER BY tf.tf * ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                     DESC, tf.term
+            LIMIT 3
+            """
+        ).fetchall()
+    ]
+    sc = QueryScorer(idx)
+    assert mlt_terms(sc, "alpha beta gamma delta", 3) == sel_terms
+    terms_sql = ", ".join(f"'{t}'" for t in sel_terms)
+    want = con.execute(
+        f"""
+        SELECT tf.doc_id,
+               sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                    * tf.tf * ({K1} + 1)
+                    / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+                  ) AS score
+        FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+        WHERE tf.term IN ({terms_sql}) AND tf.doc_id <> {doc}
+        GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 5
+        """
+    ).fetchall()
+    got = more_like_this(sc, "alpha beta gamma delta", k=5,
+                         max_query_terms=3, exclude_docids=(doc,))
+    assert got["docid"].to_pylist() == [int(d) for d, _ in want]
+    assert np.allclose(
+        got["score"].to_numpy(), [float(s) for _, s in want], atol=1e-9
+    )
+
+
+def test_extensions_ignore_math_spans(idx):
+    """$...$ spans are never rewritten: a * or {} inside a formula is
+    formula text, not expansion syntax."""
+    sc = QueryScorer(idx)
+    clean, groups, filters = sc._split_extensions("alpha $[V!x*]$ bet*")
+    assert "$[V!x*]$" in clean
+    assert groups == [("beta",)]  # bet* expanded; x* untouched
+    assert filters == []
