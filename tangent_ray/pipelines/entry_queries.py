@@ -2910,6 +2910,11 @@ NEG_QUERY = " ".join(BM25_QUERY_TERMS) + " -" + NEG_EXCLUDE
 FUZZY_WORD, FUZZY_TOPN = "sprak", 5
 FACET_QUERY = "spark hash"
 FACET_COLS = ("lang", "source")
+PREFIX_TERM, PREFIX_CAP = "s", 4  # s* under a cap that exercises the df rule
+SYN_MEMBERS = ("spark", "stream")
+SYN_QUERY = "{" + ",".join(SYN_MEMBERS) + "} join"
+FILTER_QUERY = " ".join(BM25_QUERY_TERMS) + " #lang:en"
+MLT_DOC, MLT_TOPN, MLT_K = 3, 5, 20
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -2937,10 +2942,13 @@ def q_search_features(sf_dir: str):
     """Advanced search features in one gate slot, as a tagged union table:
     exact phrase occurrence top-k (``phrase``), proximity minimal-span
     top-k (``prox``), negated BM25 with ``-term`` exclusion (``neg``),
-    SymSpell deletes-index fuzzy suggestions (``fuzzy``), and
-    candidate-set facet counts (``facet``). Each constituent keeps its own
-    pytest differential suite (tests/test_phrase|proximity|negation|
-    fuzzy|facets.py); the twin re-derives all five from the raw corpus."""
+    SymSpell deletes-index fuzzy suggestions (``fuzzy``), candidate-set
+    facet counts (``facet``), capped prefix expansion BM25 (``prefix``),
+    synonym-group blended BM25 (``syn``), metadata-filtered BM25
+    (``filterq``), and more-like-this (``mlt``). Each constituent keeps
+    its own pytest differential suite (tests/test_phrase|proximity|
+    negation|fuzzy|facets|expand.py); the twin re-derives all nine from
+    the raw corpus."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -2987,6 +2995,33 @@ def q_search_features(sf_dir: str):
         fc = facet_counts(idx, FACET_QUERY, col, counter=counter, scorer=scorer)
         for v, nd in zip(fc["value"].to_pylist(), fc["n_docs"].to_pylist()):
             add("facet", col, -1, nd, 0.0, v)
+    # expansion / filter / more-like-this (round 3: tests/test_expand.py)
+    scorer.prefix_max_expansions = PREFIX_CAP
+    for tag, q in (
+        ("prefix", PREFIX_TERM + "*"),
+        ("syn", SYN_QUERY),
+        ("filterq", FILTER_QUERY),
+    ):
+        d, s = scorer.score_query(q, "text", BM25_K)
+        for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
+            add(tag, q, dd, 0, ss, "")
+    from tangent_ray.query.mlt import more_like_this
+
+    import pyarrow.dataset as pads
+
+    src = (
+        pads.dataset(_doc_path(sf_dir))
+        .to_table(columns=["text"], filter=pads.field("doc_id") == MLT_DOC)
+    )
+    mlt = more_like_this(
+        scorer, src["text"][0].as_py(), k=MLT_K,
+        max_query_terms=MLT_TOPN, exclude_docids=(MLT_DOC,),
+    )
+    for dd, ss in zip(
+        mlt["docid"].to_pylist(),
+        round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
+    ):
+        add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
     return pa.table(
         {
             "feature": pa.array(rows["feature"], type=pa.string()),
@@ -3546,6 +3581,67 @@ def _search_features_sql() -> str:
     cand AS (
       SELECT DISTINCT doc_id FROM toks
       WHERE term IN ({", ".join(f"'{t}'" for t in FACET_QUERY.split())})
+    ),
+    psel AS (
+      SELECT term FROM dfx WHERE term LIKE '{PREFIX_TERM}%'
+      ORDER BY df DESC, term LIMIT {PREFIX_CAP}
+    ),
+    pscores AS (
+      SELECT g.doc_id,
+             ln(1 + (stats.n - pdf.df + 0.5) / (pdf.df + 0.5))
+               * g.tf * 2.2
+               / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM (SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf JOIN psel USING (term)
+            GROUP BY 1) g
+      JOIN dl USING (doc_id),
+           (SELECT max(df) AS df FROM dfx JOIN psel USING (term)) pdf,
+           stats
+    ),
+    sspart AS (
+      SELECT g.doc_id,
+             ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+               * g.tf * 2.2
+               / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM (SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf
+            WHERE tf.term IN ({", ".join(f"'{t}'" for t in SYN_MEMBERS)})
+            GROUP BY 1) g
+      JOIN dl USING (doc_id),
+           (SELECT max(df) AS df FROM dfx
+            WHERE term IN ({", ".join(f"'{t}'" for t in SYN_MEMBERS)})) sdf,
+           stats
+    ),
+    sjpart AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term = 'join'
+    ),
+    sscores AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+      FROM sspart a FULL JOIN sjpart b USING (doc_id)
+    ),
+    mltsel AS (
+      SELECT tf.term FROM tf JOIN dfx USING (term), stats
+      WHERE tf.doc_id = {MLT_DOC}
+      ORDER BY tf.tf * ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+               DESC, tf.term
+      LIMIT {MLT_TOPN}
+    ),
+    mltscores AS (
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                ) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term IN (SELECT term FROM mltsel) AND tf.doc_id <> {MLT_DOC}
+      GROUP BY 1
     )
     SELECT 'phrase' AS feature, '{PHRASE_QUERY}' AS key, doc_id,
            n_occurrences AS ival, 0.0::DOUBLE AS score, '' AS sval
@@ -3579,6 +3675,23 @@ def _search_features_sql() -> str:
     SELECT 'facet', col, (-1)::BIGINT, n_docs, 0.0, value FROM (
 {facet_union}
     )
+    UNION ALL
+    SELECT 'prefix', '{PREFIX_TERM}*', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (SELECT * FROM pscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'syn', '{SYN_QUERY}', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (SELECT * FROM sscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'filterq', '{FILTER_QUERY}', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (
+      SELECT s.doc_id, s.score FROM scores s
+      JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en'
+      ORDER BY s.score DESC, s.doc_id LIMIT {BM25_K}
+    )
+    UNION ALL
+    SELECT 'mlt', 'doc{MLT_DOC}', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (SELECT * FROM mltscores ORDER BY score DESC, doc_id LIMIT {MLT_K})
 """
 
 
