@@ -495,3 +495,133 @@ def proximity_scan(ds, query: str, window: int, k: int = 10,
         if t.num_rows
     ]
     return _merge_span_topk(parts, k)
+
+
+def _ordered_spans(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_codes, min_slop) for ORDERED matches of the phrase terms.
+
+    ``keys[i]`` is the sorted (doc<<32|pos) occurrence array of the i-th
+    phrase term (repeated terms share an array). A match is positions
+    ``p_0 < p_1 < ... < p_{k-1}`` in phrase order; its slop is
+    ``p_{k-1} - p_0 - (k-1)`` (0 = exact phrase). Greedy next-occurrence
+    chaining from every start is optimal for minimizing the end given the
+    start, so the per-doc min over starts is the true minimum; each chain
+    step is one vectorized ``searchsorted`` (keys sort by (doc, pos), so
+    "next same-doc occurrence strictly after cur" is the insertion point
+    of cur+1, doc-checked via the high bits)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if any(len(ks) == 0 for ks in keys):
+        return empty
+    start = keys[0]
+    doc0 = (start >> _HI32).astype(np.int64)
+    if len(keys) == 1:
+        docs = np.unique(doc0)
+        return docs, np.zeros(len(docs), dtype=np.int64)
+    cur = start.copy()
+    valid = np.ones(len(start), dtype=bool)
+    for ks in keys[1:]:
+        idx = np.searchsorted(ks, cur + np.uint64(1))
+        ok = idx < len(ks)
+        nxt = ks[np.minimum(idx, len(ks) - 1)]
+        ok &= (nxt >> _HI32).astype(np.int64) == doc0
+        valid &= ok
+        cur = np.where(valid, nxt, cur)
+    if not valid.any():
+        return empty
+    mask = np.uint64(0xFFFFFFFF)
+    slops = (
+        (cur[valid] & mask).astype(np.int64)
+        - (start[valid] & mask).astype(np.int64)
+        - (len(keys) - 1)
+    )
+    docs = doc0[valid]  # nondecreasing: start is key-sorted
+    starts_i = np.flatnonzero(
+        np.concatenate([[True], docs[1:] != docs[:-1]])
+    )
+    return docs[starts_i], np.minimum.reduceat(slops, starts_i)
+
+
+def span_near_search(
+    index_dir: str, phrase: str, slop: int, k: int = 10
+) -> pa.Table:
+    """Ordered phrase-with-slop over the positional sidecar (Lucene
+    ``"a b"~slop`` SpanNear with ``inOrder=true``): docs where the phrase
+    terms occur IN ORDER with at most ``slop`` extra positions between the
+    first and last (slop 0 = exact phrase). Returns (docid, min_slop)
+    sorted (min_slop asc, docid asc), limit ``k``; same scale shape as
+    ``phrase_search`` — pruned read, one doc-sharded groupby, shard-local
+    top-k, bounded driver merge."""
+    terms = _phrase_terms(phrase)  # phrase ORDER, repeats kept
+    ds = positions_dataset(index_dir, sorted(set(terms)))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        term_col = group["term"].combine_chunks()
+        docid_np = group["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_docs, doc_codes = np.unique(docid_np, return_inverse=True)
+        lists = group["positions"].combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        sizes = lists.value_lengths().to_numpy(zero_copy_only=False)
+        row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
+        key_all = (doc_codes[row_of_pos].astype(np.uint64) << _HI32) | flat
+        by_term = {
+            t: np.sort(
+                key_all[
+                    pc.equal(term_col, t).to_numpy(zero_copy_only=False)[
+                        row_of_pos
+                    ]
+                ]
+            )
+            for t in set(terms)
+        }
+        codes, slops = _ordered_spans([by_term[t] for t in terms])
+        keep = slops <= slop
+        docs, slops = uniq_docs[codes[keep]], slops[keep]
+        return _span_table(*_partial_span_topk(docs, slops, k))
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.groupby("shard")
+            .map_groups(per_shard, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return _merge_span_topk(parts, k)
+
+
+def span_near_scan(ds, phrase: str, slop: int, k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Index-free differential twin of ``span_near_search`` (direct corpus
+    scan; batch rows are whole docs, so slops are batch-local-exact)."""
+    terms = _phrase_terms(phrase)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        parents, tokens, pos = split_tokens(batch[text_col])
+        if len(tokens) == 0:
+            return _span_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        docids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key_all = (parents.astype(np.uint64) << _HI32) | pos.astype(np.uint64)
+        by_term = {
+            t: np.sort(
+                key_all[pc.equal(tokens, t).to_numpy(zero_copy_only=False)]
+            )
+            for t in set(terms)
+        }
+        rows, slops = _ordered_spans([by_term[t] for t in terms])
+        keep = slops <= slop
+        docs, slops = docids[rows[keep]], slops[keep]
+        return _span_table(*_partial_span_topk(docs, slops, k))
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(per_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return _merge_span_topk(parts, k)

@@ -2915,6 +2915,9 @@ SYN_MEMBERS = ("spark", "stream")
 SYN_QUERY = "{" + ",".join(SYN_MEMBERS) + "} join"
 FILTER_QUERY = " ".join(BM25_QUERY_TERMS) + " #lang:en"
 MLT_DOC, MLT_TOPN, MLT_K = 3, 5, 20
+SPAN_SLOP = 8  # ordered "table hash"~8
+BOOST_TERM, BOOST_W = "spark", 2.0
+BOOST_QUERY = f"{BOOST_TERM}^{BOOST_W:g} hash join"
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -2945,10 +2948,11 @@ def q_search_features(sf_dir: str):
     SymSpell deletes-index fuzzy suggestions (``fuzzy``), candidate-set
     facet counts (``facet``), capped prefix expansion BM25 (``prefix``),
     synonym-group blended BM25 (``syn``), metadata-filtered BM25
-    (``filterq``), and more-like-this (``mlt``). Each constituent keeps
-    its own pytest differential suite (tests/test_phrase|proximity|
-    negation|fuzzy|facets|expand.py); the twin re-derives all nine from
-    the raw corpus."""
+    (``filterq``), more-like-this (``mlt``), ordered span-near with slop
+    (``spannear``), and per-term ^boosts (``boost``). Each constituent
+    keeps its own pytest differential suite (tests/test_phrase|proximity|
+    negation|fuzzy|facets|expand|spannear.py); the twin re-derives all
+    eleven from the raw corpus."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -2995,12 +2999,19 @@ def q_search_features(sf_dir: str):
         fc = facet_counts(idx, FACET_QUERY, col, counter=counter, scorer=scorer)
         for v, nd in zip(fc["value"].to_pylist(), fc["n_docs"].to_pylist()):
             add("facet", col, -1, nd, 0.0, v)
-    # expansion / filter / more-like-this (round 3: tests/test_expand.py)
+    # ordered span-near (round 3: tests/test_spannear.py)
+    from tangent_ray.index.positions import span_near_search
+
+    sn = span_near_search(pos, PHRASE_QUERY, slop=SPAN_SLOP, k=PROX_K)
+    for d, sl in zip(sn["docid"].to_pylist(), sn["min_span"].to_pylist()):
+        add("spannear", PHRASE_QUERY, d, sl, 0.0, "")
+    # expansion / boost / filter / more-like-this (tests/test_expand.py)
     scorer.prefix_max_expansions = PREFIX_CAP
     for tag, q in (
         ("prefix", PREFIX_TERM + "*"),
         ("syn", SYN_QUERY),
         ("filterq", FILTER_QUERY),
+        ("boost", BOOST_QUERY),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -3642,6 +3653,27 @@ def _search_features_sql() -> str:
       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
       WHERE tf.term IN (SELECT term FROM mltsel) AND tf.doc_id <> {MLT_DOC}
       GROUP BY 1
+    ),
+    snear AS (
+      -- ordered: a = the phrase's FIRST term, b = its second
+      SELECT a.doc_id AS docid, min(b.pos - a.pos - 1)::BIGINT AS min_slop
+      FROM tokp a JOIN tokp b USING (doc_id)
+      WHERE a.term = '{PHRASE_QUERY.split()[0]}'
+        AND b.term = '{PHRASE_QUERY.split()[1]}' AND b.pos > a.pos
+      GROUP BY 1 HAVING min(b.pos - a.pos - 1) <= {SPAN_SLOP}
+      ORDER BY 2, 1 LIMIT {PROX_K}
+    ),
+    bscores AS (
+      SELECT tf.doc_id,
+             sum( (CASE WHEN tf.term = '{BOOST_TERM}' THEN {BOOST_W}
+                   ELSE 1.0 END)
+                  * ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                ) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term IN ({q_terms})
+      GROUP BY 1
     )
     SELECT 'phrase' AS feature, '{PHRASE_QUERY}' AS key, doc_id,
            n_occurrences AS ival, 0.0::DOUBLE AS score, '' AS sval
@@ -3692,6 +3724,11 @@ def _search_features_sql() -> str:
     UNION ALL
     SELECT 'mlt', 'doc{MLT_DOC}', doc_id, 0::BIGINT, round(score, 6), ''
     FROM (SELECT * FROM mltscores ORDER BY score DESC, doc_id LIMIT {MLT_K})
+    UNION ALL
+    SELECT 'spannear', '{PHRASE_QUERY}', docid, min_slop, 0.0, '' FROM snear
+    UNION ALL
+    SELECT 'boost', '{BOOST_QUERY}', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (SELECT * FROM bscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
 """
 
 

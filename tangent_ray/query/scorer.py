@@ -549,11 +549,20 @@ class QueryScorer:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(cand))
 
-    # -- query expansion (prefix / synonym groups) + metadata filters ----
-    #: ``term*`` — trailing-star prefix query (Lucene MultiTermQuery)
-    _PREFIX_RE = re.compile(r"(?<![\w*])([a-z0-9]+)\*", re.IGNORECASE)
-    #: ``{a,b,c}`` / ``{a|b|c}`` — a query-time synonym group
-    _SYN_RE = re.compile(r"\{([a-z0-9]+(?:[,|][a-z0-9]+)*)\}", re.IGNORECASE)
+    # -- query expansion (prefix / synonym groups) + boosts + filters ----
+    #: ``term*`` — trailing-star prefix query (Lucene MultiTermQuery);
+    #: optional ``^boost`` suffix
+    _PREFIX_RE = re.compile(
+        r"(?<![\w*])([a-z0-9]+)\*(?:\^(\d+(?:\.\d+)?))?", re.IGNORECASE
+    )
+    #: ``{a,b,c}`` / ``{a|b|c}`` — a query-time synonym group; ``^boost``
+    _SYN_RE = re.compile(
+        r"\{([a-z0-9]+(?:[,|][a-z0-9]+)*)\}(?:\^(\d+(?:\.\d+)?))?",
+        re.IGNORECASE,
+    )
+    #: ``term^2`` — a boosted plain term (scored as a singleton group)
+    _BOOST_RE = re.compile(r"(?<![\w^])([a-z0-9]+)\^(\d+(?:\.\d+)?)",
+                           re.IGNORECASE)
     #: ``#col:value`` — a metadata equality filter over the facet sidecar
     _FILTER_RE = re.compile(r"(?<!\w)#([A-Za-z_]\w*):([^\s]+)")
     #: Lucene-style cap on prefix expansion (kept by global-df desc)
@@ -561,45 +570,58 @@ class QueryScorer:
 
     def _split_extensions(
         self, text: str
-    ) -> tuple[str, list[tuple[str, ...]], list[tuple[str, str]]]:
+    ) -> tuple[
+        str, list[tuple[tuple[str, ...], float]], list[tuple[str, str]]
+    ]:
         """Strip extended-syntax tokens from the query text (outside $math$
         spans) and return ``(cleaned text, groups, filters)``.
 
-        ``groups``: one tuple of concrete index terms per ``prefix*`` or
-        ``{a,b,c}`` synonym group, scored with Lucene SynonymQuery
-        semantics in ``_score_bm25`` (per-doc tf = sum of member tfs, df =
-        max member df — union df is not derivable from per-term stats, and
-        max keeps idf identical under sharded serving). Synonym members
-        are stemmed like plain query terms; prefixes match the INDEXED
-        (post-stem) vocabulary as-is. ``filters``: ``(col, value)`` pairs
-        from ``#col:value``, applied to candidates before the top-k cut.
+        ``groups``: one ``(member terms, boost)`` per ``prefix*``,
+        ``{a,b,c}`` synonym group, or boosted plain ``term^2``, scored
+        with Lucene SynonymQuery semantics in ``_score_bm25`` (per-doc tf
+        = sum of member tfs, df = max member df — union df is not
+        derivable from per-term stats, and max keeps idf identical under
+        sharded serving); the boost multiplies the group's contribution.
+        Synonym members and boosted terms are stemmed like plain query
+        terms; prefixes match the INDEXED (post-stem) vocabulary as-is.
+        ``filters``: ``(col, value)`` pairs from ``#col:value``, applied
+        to candidates before the top-k cut.
         """
-        if not any(c in text for c in "*{#") or "<math" in text:
+        if not any(c in text for c in "*{#^") or "<math" in text:
             return text, [], []
-        groups: list[tuple[str, ...]] = []
+        groups: list[tuple[tuple[str, ...], float]] = []
         filters: list[tuple[str, str]] = []
+
+        def stemmed(members: list[str]) -> tuple[str, ...]:
+            if self.cfg.stem:
+                from tangent_ray.tokenize.porter import porter_stem
+
+                members = [porter_stem(t) for t in members]
+            return tuple(sorted(set(members)))
 
         def rewrite(seg: str) -> str:
             for col, val in self._FILTER_RE.findall(seg):
                 filters.append((col, val))
             seg = self._FILTER_RE.sub(" ", seg)
-            for body in self._SYN_RE.findall(seg):
+            for body, boost in self._SYN_RE.findall(seg):
                 members = [t.lower() for t in re.split(r"[,|]", body) if t]
-                if self.cfg.stem:
-                    from tangent_ray.tokenize.porter import porter_stem
-
-                    members = [porter_stem(t) for t in members]
-                groups.append(tuple(sorted(set(members))))
+                groups.append((stemmed(members), float(boost or 1.0)))
             seg = self._SYN_RE.sub(" ", seg)
-            for pref in self._PREFIX_RE.findall(seg):
+            for pref, boost in self._PREFIX_RE.findall(seg):
                 groups.append(
-                    tuple(
-                        self.reader.expand_prefix(
-                            pref.lower(), self.prefix_max_expansions
-                        )
+                    (
+                        tuple(
+                            self.reader.expand_prefix(
+                                pref.lower(), self.prefix_max_expansions
+                            )
+                        ),
+                        float(boost or 1.0),
                     )
                 )
-            return self._PREFIX_RE.sub(" ", seg)
+            seg = self._PREFIX_RE.sub(" ", seg)
+            for term, boost in self._BOOST_RE.findall(seg):
+                groups.append((stemmed([term.lower()]), float(boost)))
+            return self._BOOST_RE.sub(" ", seg)
 
         pieces: list[str] = []
         pos = 0
@@ -707,13 +729,14 @@ class QueryScorer:
             for seg in r.segments:
                 for row in seg.lookup.get(term, ()):
                     plan.append((idf, seg, row))
-        # expansion groups (prefix / synonym): each scores as ONE
-        # pseudo-term — per-doc tf summed over members, idf from the max
-        # member df (Lucene SynonymQuery). Groups are rare vs plain terms
-        # and need a per-doc tf merge before saturation, so their presence
-        # forces the (exact) TAAT path.
+        # expansion groups (prefix / synonym / boosted term): each scores
+        # as ONE pseudo-term — per-doc tf summed over members, idf from
+        # the max member df (Lucene SynonymQuery), contribution scaled by
+        # the group's ^boost. Groups are rare vs plain terms and need a
+        # per-doc tf merge before saturation, so their presence forces
+        # the (exact) TAAT path.
         gplan: list[tuple[float, list[tuple["Segment", int]]]] = []
-        for members in groups:
+        for members, boost in groups:
             dfs = [r.global_df(t) for t in members]
             df_g = max(dfs, default=0)
             if df_g == 0:
@@ -726,7 +749,7 @@ class QueryScorer:
                 for seg in r.segments
                 for row in seg.lookup.get(t, ())
             ]
-            gplan.append((_bm25_idf(r.N, df_g), rows))
+            gplan.append((boost * _bm25_idf(r.N, df_g), rows))
         if (
             not gplan
             and k is not None

@@ -283,5 +283,44 @@ def test_extensions_ignore_math_spans(idx):
     sc = QueryScorer(idx)
     clean, groups, filters = sc._split_extensions("alpha $[V!x*]$ bet*")
     assert "$[V!x*]$" in clean
-    assert groups == [("beta",)]  # bet* expanded; x* untouched
+    assert groups == [(("beta",), 1.0)]  # bet* expanded; x* untouched
     assert filters == []
+
+
+def test_boosted_term_vs_duckdb(idx):
+    """term^2.5 multiplies that term's contribution; other terms keep
+    their plain scores (sum of the two parts)."""
+    con = _duck()
+    boosted = {
+        d: 2.5 * s
+        for d, s in _sqlrows(
+            con, _GROUP_SQL.format(sel="SELECT 'beta' AS term", k1=K1, b=B)
+        )
+    }
+    plain = dict(
+        _sqlrows(
+            con, _GROUP_SQL.format(sel="SELECT 'gamma' AS term", k1=K1, b=B)
+        )
+    )
+    want = {
+        d: round(boosted.get(d, 0.0) + plain.get(d, 0.0), 6)
+        for d in set(boosted) | set(plain)
+    }
+    got = {d: round(s, 6) for d, s in _engine(idx, "beta^2.5 gamma")}
+    assert got == want
+
+
+def test_boosted_group_and_prefix(idx):
+    """{a,b}^2 and pre*^2 scale the blended group score by 2 (up to fp
+    association: the boost multiplies idf BEFORE the tf kernel)."""
+    for base_q, boost_q in (("{beta,gamma}", "{beta,gamma}^2"),
+                            ("alp*", "alp*^2")):
+        base = dict(_engine(idx, base_q))
+        got = dict(_engine(idx, boost_q))
+        assert set(got) == set(base)
+        for d, s in base.items():
+            assert np.isclose(got[d], 2 * s, rtol=1e-12)
+
+
+def test_boost_one_is_identity(idx):
+    assert _engine(idx, "beta^1 gamma") == _engine(idx, "{beta} gamma")
