@@ -1,0 +1,134 @@
+"""Soak the round-3 retrieval-feature wave at scale (default 1M docs):
+
+- expansion-lexicon (text_vocab) build time per reader;
+- prefix query p50 at heavy (cap 128) and light (cap 4) expansion;
+- synonym-group, boosted, metadata-filtered query p50 (facet sidecar
+  build throughput included);
+- more-like-this p50 (term selection + OR BM25);
+- ordered span-near p50 over the positional sidecar.
+
+Usage: python tools/soak_expand.py [n_docs] [num_cpus]
+Prints one JSON line; reuses bench_ops' deterministic corpus generator
+and caches the built index under /tmp/tangent_ray_cache (keyed by size),
+so repeat runs measure only the queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from bench_ops import write_corpus  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    import logging
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    corpus = write_corpus(f"/tmp/tangent_ray_cache/opsbench-v2-{n_docs}", n_docs)
+    out: dict = {}
+
+    import dataclasses
+
+    from tangent_ray.config import SQL_PARITY_CONFIG
+    from tangent_ray.index.build import build_index
+    from tangent_ray.index.positions import build_position_index, span_near_search
+    from tangent_ray.query.facets import FACETS_DIR, build_facet_sidecar
+    from tangent_ray.query.mlt import more_like_this
+    from tangent_ray.query.scorer import QueryScorer
+    from tangent_ray.sources.corpus import DocumentsCorpus
+
+    root = f"/tmp/tangent_ray_cache/soakexpand-{n_docs}"
+    idx = os.path.join(root, "idx")
+    pos_dir = os.path.join(root, "pos")
+    cfg = dataclasses.replace(SQL_PARITY_CONFIG,
+                              partitions=max(8, num_cpus // 4))
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        os.makedirs(root, exist_ok=True)
+        t0 = time.perf_counter()
+        build_index(corpus, idx, cfg, DocumentsCorpus())
+        out["index_build_sec"] = round(time.perf_counter() - t0, 2)
+    if not os.path.isdir(pos_dir):
+        t0 = time.perf_counter()
+        build_position_index(
+            ray.data.read_parquet(corpus, columns=["doc_id", "text"]),
+            pos_dir, num_shards=max(64, num_cpus * 4),
+        )
+        out["positions_build_sec"] = round(time.perf_counter() - t0, 2)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        p0 = json.load(f)["partials"][0]
+    if not os.path.isdir(os.path.join(idx, "partials", p0, FACETS_DIR)):
+        t0 = time.perf_counter()
+        build_facet_sidecar(idx, ["source"])
+        dt = time.perf_counter() - t0
+        out["facet_sidecar_build"] = {"sec": round(dt, 2),
+                                      "docs_per_sec": round(n_docs / dt)}
+
+    s = QueryScorer(idx)
+    t0 = time.perf_counter()
+    vocab_terms = len(s.reader.text_vocab()[0])
+    out["text_vocab"] = {"sec": round(time.perf_counter() - t0, 3),
+                         "terms": vocab_terms}
+
+    def p50(fn, reps=30):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(float(np.median(ts) * 1000), 2)
+
+    def q(text):
+        return lambda: s.score_query(text, "text", 10)
+
+    # the synthetic vocab is ~40 words; s* expands to several corpus-hot
+    # terms, so heavy expansion unions multiple full posting lists — the
+    # worst case for a blended group
+    s.prefix_max_expansions = 128
+    out["prefix_heavy_p50_ms"] = p50(q("s*"), reps=10)
+    s.prefix_max_expansions = 4
+    out["prefix_cap4_p50_ms"] = p50(q("s*"), reps=10)
+    out["syn_p50_ms"] = p50(q("{spark,stream} join"), reps=10)
+    out["boost_p50_ms"] = p50(q("spark^2 hash join"), reps=10)
+    out["filter_p50_ms"] = p50(q("spark hash #source:src3"), reps=10)
+    first_text = (
+        ray.data.read_parquet(corpus, columns=["text"]).take(1)[0]["text"]
+    )
+    out["mlt_p50_ms"] = p50(
+        lambda: more_like_this(s, first_text, k=10, max_query_terms=10),
+        reps=10,
+    )
+    w = first_text.split()
+    out["spannear_p50_ms"] = p50(
+        lambda: span_near_search(pos_dir, f"{w[0]} {w[1]}", slop=8, k=20),
+        reps=5,
+    )
+
+    out["n_docs"] = n_docs
+    out["num_cpus"] = num_cpus
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
