@@ -2918,6 +2918,7 @@ MLT_DOC, MLT_TOPN, MLT_K = 3, 5, 20
 SPAN_SLOP = 8  # ordered "table hash"~8
 BOOST_TERM, BOOST_W = "spark", 2.0
 BOOST_QUERY = f"{BOOST_TERM}^{BOOST_W:g} hash join"
+RRF_DEPTH, RRF_K, RRF_C = 20, 10, 60  # hybrid BM25+ANN fusion
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -2949,10 +2950,11 @@ def q_search_features(sf_dir: str):
     facet counts (``facet``), capped prefix expansion BM25 (``prefix``),
     synonym-group blended BM25 (``syn``), metadata-filtered BM25
     (``filterq``), more-like-this (``mlt``), ordered span-near with slop
-    (``spannear``), and per-term ^boosts (``boost``). Each constituent
-    keeps its own pytest differential suite (tests/test_phrase|proximity|
-    negation|fuzzy|facets|expand|spannear.py); the twin re-derives all
-    eleven from the raw corpus."""
+    (``spannear``), per-term ^boosts (``boost``), and hybrid BM25+ANN
+    reciprocal-rank fusion (``rrf``). Each constituent keeps its own
+    pytest differential suite (tests/test_phrase|proximity|negation|
+    fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
+    twelve from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3033,6 +3035,30 @@ def q_search_features(sf_dir: str):
         round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
     ):
         add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
+    # hybrid BM25+ANN reciprocal-rank fusion (tests/test_hybrid.py)
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from tangent_ray.query.hybrid import hybrid_search
+
+    epath = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(epath, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        qt.filter(pc.equal(qt["vec_id"], KNN_QUERY_VEC_ID))["embedding"][0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    hy = hybrid_search(
+        scorer, " ".join(BM25_QUERY_TERMS),
+        ray.data.read_parquet(epath, columns=["vec_id", "embedding"]),
+        qvec, k=RRF_K, depth=RRF_DEPTH, c=RRF_C,
+    )
+    for rk, dd, ss in zip(
+        hy["rank"].to_pylist(), hy["docid"].to_pylist(),
+        round_half_away(hy["rrf_score"].to_numpy(zero_copy_only=False), 6),
+    ):
+        add("rrf", " ".join(BM25_QUERY_TERMS), dd, rk, ss, "")
     return pa.table(
         {
             "feature": pa.array(rows["feature"], type=pa.string()),
@@ -3674,6 +3700,29 @@ def _search_features_sql() -> str:
       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
       WHERE tf.term IN ({q_terms})
       GROUP BY 1
+    ),
+    rrfa AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM scores QUALIFY r <= {RRF_DEPTH}
+    ),
+    rrfb AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(
+                 embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = {KNN_QUERY_VEC_ID})
+               ) DESC, vec_id
+             ) AS r
+      FROM embeddings QUALIFY r <= {RRF_DEPTH}
+    ),
+    rrff AS (
+      SELECT doc_id, sum(1.0 / ({RRF_C} + r)) AS score,
+             row_number() OVER (
+               ORDER BY sum(1.0 / ({RRF_C} + r)) DESC, doc_id
+             ) AS rank
+      FROM (SELECT * FROM rrfa UNION ALL SELECT * FROM rrfb)
+      GROUP BY doc_id QUALIFY rank <= {RRF_K}
     )
     SELECT 'phrase' AS feature, '{PHRASE_QUERY}' AS key, doc_id,
            n_occurrences AS ival, 0.0::DOUBLE AS score, '' AS sval
@@ -3729,6 +3778,10 @@ def _search_features_sql() -> str:
     UNION ALL
     SELECT 'boost', '{BOOST_QUERY}', doc_id, 0::BIGINT, round(score, 6), ''
     FROM (SELECT * FROM bscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'rrf', '{" ".join(BM25_QUERY_TERMS)}', doc_id, rank,
+           round(score, 6), ''
+    FROM rrff
 """
 
 
