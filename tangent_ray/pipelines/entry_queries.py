@@ -2950,11 +2950,12 @@ def q_search_features(sf_dir: str):
     facet counts (``facet``), capped prefix expansion BM25 (``prefix``),
     synonym-group blended BM25 (``syn``), metadata-filtered BM25
     (``filterq``), more-like-this (``mlt``), ordered span-near with slop
-    (``spannear``), per-term ^boosts (``boost``), and hybrid BM25+ANN
-    reciprocal-rank fusion (``rrf``). Each constituent keeps its own
+    (``spannear``), per-term ^boosts (``boost``), hybrid BM25+ANN
+    reciprocal-rank fusion (``rrf``), and search_after page-2 cursor
+    paging (``page2``). Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    twelve from the raw corpus + embeddings tables."""
+    thirteen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3035,6 +3036,16 @@ def q_search_features(sf_dir: str):
         round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
     ):
         add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
+    # search_after page 2 (tests/test_search_after.py): the next BM25_K
+    # rows after page 1's cursor — twin = OFFSET paging of the same order
+    bq = " ".join(BM25_QUERY_TERMS)
+    d1, s1 = scorer.score_query(bq, "text", BM25_K)
+    if len(d1):
+        d2, s2 = scorer.score_query(
+            bq, "text", BM25_K, after=(float(s1[-1]), int(d1[-1]))
+        )
+        for dd, ss in zip(d2.tolist(), round_half_away(s2, 6)):
+            add("page2", bq, dd, 0, ss, "")
     # hybrid BM25+ANN reciprocal-rank fusion (tests/test_hybrid.py)
     import pyarrow.parquet as pq
 
@@ -3782,6 +3793,11 @@ def _search_features_sql() -> str:
     SELECT 'rrf', '{" ".join(BM25_QUERY_TERMS)}', doc_id, rank,
            round(score, 6), ''
     FROM rrff
+    UNION ALL
+    SELECT 'page2', '{" ".join(BM25_QUERY_TERMS)}', doc_id, 0::BIGINT,
+           round(score, 6), ''
+    FROM (SELECT * FROM scores ORDER BY score DESC, doc_id
+          LIMIT {BM25_K} OFFSET {BM25_K})
 """
 
 

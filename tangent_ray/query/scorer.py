@@ -437,10 +437,23 @@ class QueryScorer:
             if "kind" in batch.column_names
             else ["text"] * batch.num_rows
         )
-        for qid, kind, text, k in zip(
-            batch["query_id"].to_pylist(), kinds, batch["text"].to_pylist(), topks
+        # optional search_after cursor columns (null = first page)
+        if "after_score" in batch.column_names:
+            afters = [
+                None if s_ is None else (float(s_), int(d_ or 0))
+                for s_, d_ in zip(
+                    batch["after_score"].to_pylist(),
+                    batch["after_docid"].to_pylist(),
+                )
+            ]
+        else:
+            afters = [None] * batch.num_rows
+        for qid, kind, text, k, after in zip(
+            batch["query_id"].to_pylist(), kinds, batch["text"].to_pylist(),
+            topks, afters,
         ):
-            d, s = self.score_query(text, kind, int(k or self.topk))
+            d, s = self.score_query(text, kind, int(k or self.topk),
+                                    after=after)
             qids.extend([qid] * len(d))
             ranks.append(np.arange(1, len(d) + 1, dtype=np.int32))
             docids.append(d)
@@ -647,7 +660,17 @@ class QueryScorer:
             keep &= self._facets.mask(docids, col, val)
         return keep
 
-    def score_query(self, text: str, kind: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def score_query(
+        self, text: str, kind: str, k: int,
+        after: tuple[float, int] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k for a query; ``after=(score, docid)`` — the last row of
+        the previous page — returns the NEXT k rows of the same total
+        (score desc, docid asc) order (Elasticsearch search_after
+        pagination: a cursor filter, cheaper and consistent-under-refresh
+        vs offset paging). The cursor disables WAND (pruning below the
+        cursor needs the full candidate order), so deep paging pays one
+        TAAT pass — the standard tradeoff."""
         import time
 
         t0 = time.perf_counter()
@@ -671,7 +694,7 @@ class QueryScorer:
                 )
         terms, bag, qtc, n_formulae = self.parse_query(text)
         if kind == "text":
-            d, s = self._score_bm25(terms, k, groups=groups)
+            d, s = self._score_bm25(terms, None if after else k, groups=groups)
         elif kind == "math":
             d, s = self._score_fmeasure(bag, qtc)
         else:
@@ -686,6 +709,10 @@ class QueryScorer:
         if filters and len(d):
             keep = self._facet_mask(d, filters)
             self.last_stats["filtered_out"] = int(len(d) - keep.sum())
+            d, s = d[keep], s[keep]
+        if after is not None and len(d):
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (s < a_s) | ((s == a_s) & (d > a_d))
             d, s = d[keep], s[keep]
         self.last_stats["candidates"] = int(len(d))
         out = _topk(d, s, k)
