@@ -2951,11 +2951,11 @@ def q_search_features(sf_dir: str):
     synonym-group blended BM25 (``syn``), metadata-filtered BM25
     (``filterq``), more-like-this (``mlt``), ordered span-near with slop
     (``spannear``), per-term ^boosts (``boost``), hybrid BM25+ANN
-    reciprocal-rank fusion (``rrf``), and search_after page-2 cursor
-    paging (``page2``). Each constituent keeps its own
+    reciprocal-rank fusion (``rrf``), search_after page-2 cursor
+    paging (``page2``), and df-ranked autocomplete (``complete``). Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    thirteen from the raw corpus + embeddings tables."""
+    fourteen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3036,6 +3036,10 @@ def q_search_features(sf_dir: str):
         round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
     ):
         add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
+    # autocomplete: top completions of the fuzzy word's first 2 chars
+    comp = scorer.reader.complete(FUZZY_WORD[:2], n=FUZZY_TOPN)
+    for t_, df_ in zip(comp["term"].to_pylist(), comp["df"].to_pylist()):
+        add("complete", FUZZY_WORD[:2], -1, df_, 0.0, t_)
     # search_after page 2 (tests/test_search_after.py): the next BM25_K
     # rows after page 1's cursor — twin = OFFSET paging of the same order
     bq = " ".join(BM25_QUERY_TERMS)
@@ -3798,6 +3802,11 @@ def _search_features_sql() -> str:
            round(score, 6), ''
     FROM (SELECT * FROM scores ORDER BY score DESC, doc_id
           LIMIT {BM25_K} OFFSET {BM25_K})
+    UNION ALL
+    SELECT 'complete', '{FUZZY_WORD[:2]}', (-1)::BIGINT, df, 0.0, term
+    FROM (SELECT term, df::BIGINT AS df FROM vocab
+          WHERE term LIKE '{FUZZY_WORD[:2]}%'
+          ORDER BY df DESC, term LIMIT {FUZZY_TOPN})
 """
 
 

@@ -213,13 +213,27 @@ class IndexReader:
         if self._is_subset:
             return self._load_stats()
         if self._vocab is None:
-            agg: dict[str, int] = {}
-            for s in self.segments:
-                for i in np.flatnonzero(s.kind == 0):
-                    t = s.terms[i]
-                    agg[t] = agg.get(t, 0) + int(s.df[i])
-            terms = np.array(sorted(agg), dtype=object)
-            dfs = np.array([agg[t] for t in terms], dtype=np.int64)
+            import pyarrow.compute as pc_
+
+            parts = [
+                s.table.select(["term", "kind", "df"]).filter(
+                    pc_.equal(s.table["kind"], 0)
+                )
+                for s in self.segments
+            ]
+            t = pa.concat_tables(parts) if parts else pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+            # vectorized: one Arrow group_by sum (salted/bucketed rows of a
+            # term fold here) + one sort — no Python loop over the vocab
+            g = t.group_by("term").aggregate([("df", "sum")])
+            order = pc_.sort_indices(g["term"])
+            terms = g["term"].take(order).to_numpy(zero_copy_only=False)
+            dfs = (
+                g["df_sum"].take(order).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             self._vocab = (terms, dfs)
         return self._vocab
 
@@ -236,6 +250,22 @@ class IndexReader:
         cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
         order = np.lexsort((cand_t, -cand_df))[:max_expansions]
         return [str(cand_t[i]) for i in order]
+
+    def complete(self, prefix: str, n: int = 10) -> pa.Table:
+        """Autocomplete: the top-``n`` vocabulary completions of ``prefix``
+        by (global df desc, term asc) — the suggest-as-you-type surface,
+        served from the same expansion lexicon as prefix queries."""
+        terms, dfs = self.text_vocab()
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "\uffff"))
+        cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
+        order = np.lexsort((cand_t, -cand_df))[:n]
+        return pa.table(
+            {
+                "term": pa.array([str(cand_t[i]) for i in order], pa.string()),
+                "df": pa.array(cand_df[order].astype(np.int64), pa.int64()),
+            }
+        )
 
     def dockey_of(self, docids: np.ndarray) -> list[str]:
         from tangent_ray.sources.corpus import TranscriptsCorpus, corpus_from_json

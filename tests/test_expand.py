@@ -324,3 +324,17 @@ def test_boosted_group_and_prefix(idx):
 
 def test_boost_one_is_identity(idx):
     assert _engine(idx, "beta^1 gamma") == _engine(idx, "{beta} gamma")
+
+
+def test_complete_vs_duckdb(idx):
+    sc = QueryScorer(idx)
+    got = sc.reader.complete("alp", n=2)
+    want = _duck().execute(
+        "SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks "
+        "WHERE term LIKE 'alp%' GROUP BY 1 "
+        "ORDER BY df DESC, term LIMIT 2"
+    ).fetchall()
+    assert list(zip(got["term"].to_pylist(), got["df"].to_pylist())) == [
+        (t, int(d)) for t, d in want
+    ]
+    assert sc.reader.complete("zzz").num_rows == 0
