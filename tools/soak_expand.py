@@ -108,9 +108,9 @@ def main() -> None:
     out["prefix_heavy_p50_ms"] = p50(q("s*"), reps=10)
     s.prefix_max_expansions = 4
     out["prefix_cap4_p50_ms"] = p50(q("s*"), reps=10)
-    out["syn_p50_ms"] = p50(q("{spark,stream} join"), reps=10)
-    out["boost_p50_ms"] = p50(q("spark^2 hash join"), reps=10)
-    out["filter_p50_ms"] = p50(q("spark hash #source:src3"), reps=10)
+    out["syn_p50_ms"] = p50(q("{stream,query} join"), reps=10)
+    out["boost_p50_ms"] = p50(q("stream^2 index join"), reps=10)
+    out["filter_p50_ms"] = p50(q("stream index #source:src3"), reps=10)
     first_text = (
         ray.data.read_parquet(corpus, columns=["text"]).take(1)[0]["text"]
     )
@@ -123,6 +123,36 @@ def main() -> None:
         lambda: span_near_search(pos_dir, f"{w[0]} {w[1]}", slop=8, k=20),
         reps=5,
     )
+
+    # search_after page 2 + autocomplete
+    d1, s1 = s.score_query("stream index", "text", 10)
+    out["page2_p50_ms"] = p50(
+        lambda: s.score_query("stream index", "text", 10,
+                              after=(float(s1[-1]), int(d1[-1]))),
+        reps=10,
+    )
+    out["complete_p50_ms"] = p50(lambda: s.reader.complete("sp", 10), reps=30)
+
+    # hybrid RRF: BM25 leg + 1M-vector brute-force cosine leg
+    from bench_ops import write_vecs
+
+    from tangent_ray.query.hybrid import hybrid_search
+
+    vdir = write_vecs(f"/tmp/tangent_ray_cache/opsbench-vecs-{n_docs}", n_docs)
+    emb = ray.data.read_parquet(vdir, columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq_
+
+    qvec = np.asarray(
+        pq_.read_table(
+            os.path.join(vdir, sorted(os.listdir(vdir))[0]),
+            columns=["vec_id", "embedding"],
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    t0 = time.perf_counter()
+    hy = hybrid_search(s, "stream index join", emb, qvec, k=10, depth=50)
+    out["hybrid_rrf"] = {"sec": round(time.perf_counter() - t0, 2),
+                         "rows": hy.num_rows}
 
     out["n_docs"] = n_docs
     out["num_cpus"] = num_cpus
