@@ -723,8 +723,13 @@ class QueryScorer:
                     np.union1d(self._dead, excl) if self._dead.size else excl
                 )
         terms, bag, qtc, n_formulae = self.parse_query(text)
+        # a cursor or a metadata filter cuts AFTER scoring, so WAND's
+        # top-k truncation would under-fill the page — force the full
+        # TAAT candidate set in both cases
+        full_cand = after is not None or bool(filters)
         if kind == "text":
-            d, s = self._score_bm25(terms, None if after else k, groups=groups)
+            d, s = self._score_bm25(terms, None if full_cand else k,
+                                    groups=groups)
         elif kind == "math":
             d, s = self._score_fmeasure(bag, qtc)
         else:

@@ -191,6 +191,23 @@ def test_filter_no_match_value_and_bad_column(idx):
         _engine(idx, "beta #nosuch:x")
 
 
+def test_filter_disables_wand_truncation(idx):
+    """With the WAND gates forced open, a filtered query must still fill
+    k from BELOW the unfiltered top-k (WAND would have truncated the
+    candidate set before the filter cut)."""
+    sc = QueryScorer(idx)
+    sc.wand_min_postings = 1
+    sc.wand_drive_ratio = 0
+    # unfiltered top-1 of "alpha beta" is an 'en' doc; ask for de only
+    d, s = sc.score_query("alpha beta #lang:de", "text", 10)
+    want = [
+        (dd, ss) for dd, ss in _engine(idx, "alpha beta")
+        if ROWS[dd][2] == "de"
+    ]
+    assert list(zip(d.tolist(), np.round(s, 9).tolist())) == want
+    assert len(want) >= 2  # the second row sits below the unfiltered top-k
+
+
 def test_sharded_identity(idx):
     """Each single-partial scorer returns its own docs with the SAME
     blended scores as the full reader (global df / expansion via the
