@@ -25,21 +25,16 @@ def rrf_fuse(
     Returns (ids, rrf_scores) sorted (score desc, id asc). An id may
     appear in any subset of legs; each appearance adds ``1/(c + rank)``.
     """
+    from tangent_ray.query.scorer import _accumulate, _topk
+
     ids_l: list[np.ndarray] = []
     contrib_l: list[np.ndarray] = []
     for leg in legs:
         leg = np.asarray(leg, dtype=np.int64)
         ids_l.append(leg)
         contrib_l.append(1.0 / (c + np.arange(1, len(leg) + 1, dtype=np.float64)))
-    if not ids_l or not sum(len(x) for x in ids_l):
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    ids = np.concatenate(ids_l)
-    contrib = np.concatenate(contrib_l)
-    uniq, inv = np.unique(ids, return_inverse=True)
-    score = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(score, inv, contrib)
-    order = np.lexsort((uniq, -score))[:k]
-    return uniq[order], score[order]
+    # same per-id sum + (score desc, id asc) cut as the BM25 path
+    return _topk(*_accumulate(ids_l, contrib_l), k)
 
 
 def hybrid_search(

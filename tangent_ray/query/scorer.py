@@ -237,33 +237,37 @@ class IndexReader:
             self._vocab = (terms, dfs)
         return self._vocab
 
-    def expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
-        """Concrete index terms matching ``prefix*``, capped at
-        ``max_expansions`` by (global df desc, term asc) — the Lucene
-        MultiTermQuery rewrite rule of keeping the most frequent terms.
-        Deterministic and shard-consistent (see ``text_vocab``)."""
-        terms, dfs = self.text_vocab()
-        lo = int(np.searchsorted(terms, prefix))
-        hi = int(np.searchsorted(terms, prefix + "\uffff"))
-        if hi <= lo:
-            return []
-        cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
-        order = np.lexsort((cand_t, -cand_df))[:max_expansions]
-        return [str(cand_t[i]) for i in order]
-
-    def complete(self, prefix: str, n: int = 10) -> pa.Table:
-        """Autocomplete: the top-``n`` vocabulary completions of ``prefix``
-        by (global df desc, term asc) — the suggest-as-you-type surface,
-        served from the same expansion lexicon as prefix queries."""
+    def _prefix_ranked(
+        self, prefix: str, n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(terms, dfs) of the lexicon range matching ``prefix``, ranked
+        (global df desc, term asc), cut to ``n`` — the ONE range+rank rule
+        shared by prefix expansion and autocomplete so the two surfaces
+        can never diverge."""
         terms, dfs = self.text_vocab()
         lo = int(np.searchsorted(terms, prefix))
         hi = int(np.searchsorted(terms, prefix + "\uffff"))
         cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
         order = np.lexsort((cand_t, -cand_df))[:n]
+        return cand_t[order], cand_df[order]
+
+    def expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
+        """Concrete index terms matching ``prefix*``, capped at
+        ``max_expansions`` by (global df desc, term asc) — the Lucene
+        MultiTermQuery rewrite rule of keeping the most frequent terms.
+        Deterministic and shard-consistent (see ``text_vocab``)."""
+        t, _ = self._prefix_ranked(prefix, max_expansions)
+        return [str(x) for x in t]
+
+    def complete(self, prefix: str, n: int = 10) -> pa.Table:
+        """Autocomplete: the top-``n`` vocabulary completions of ``prefix``
+        by (global df desc, term asc) — the suggest-as-you-type surface,
+        served from the same expansion lexicon as prefix queries."""
+        t, df = self._prefix_ranked(prefix, n)
         return pa.table(
             {
-                "term": pa.array([str(cand_t[i]) for i in order], pa.string()),
-                "df": pa.array(cand_df[order].astype(np.int64), pa.int64()),
+                "term": pa.array([str(x) for x in t], pa.string()),
+                "df": pa.array(df.astype(np.int64), pa.int64()),
             }
         )
 
@@ -467,15 +471,28 @@ class QueryScorer:
             if "kind" in batch.column_names
             else ["text"] * batch.num_rows
         )
-        # optional search_after cursor columns (null = first page)
+        # optional search_after cursor columns (null = first page); a
+        # cursor needs BOTH halves — a score without a docid cannot break
+        # ties and silently paging from a fabricated (score, 0) cursor
+        # would drop tied rows, so malformed cursors are rejected loudly
         if "after_score" in batch.column_names:
-            afters = [
-                None if s_ is None else (float(s_), int(d_ or 0))
-                for s_, d_ in zip(
-                    batch["after_score"].to_pylist(),
-                    batch["after_docid"].to_pylist(),
+            if "after_docid" not in batch.column_names:
+                raise ValueError(
+                    "after_score without after_docid: a search_after "
+                    "cursor is the (score, docid) pair of the previous "
+                    "page's last row"
                 )
-            ]
+            afters = []
+            for s_, d_ in zip(
+                batch["after_score"].to_pylist(),
+                batch["after_docid"].to_pylist(),
+            ):
+                if (s_ is None) != (d_ is None):
+                    raise ValueError(
+                        "malformed search_after cursor: after_score and "
+                        "after_docid must be both set or both null"
+                    )
+                afters.append(None if s_ is None else (float(s_), int(d_)))
         else:
             afters = [None] * batch.num_rows
         for qid, kind, text, k, after in zip(
@@ -553,32 +570,52 @@ class QueryScorer:
         return sorted(set(terms.to_pylist())), bag, qtc, n_formulae
 
     # -- boolean NOT -----------------------------------------------------
-    _NEG_RE = re.compile(r"(?<!\w)-([a-z0-9]+)", re.IGNORECASE)
+    #: ``-term``, ``-term*`` (negated prefix), ``-{a,b}`` (negated group)
+    _NEG_RE = re.compile(
+        r"(?<!\w)-([a-z0-9]+\*?|\{[a-z0-9]+(?:[,|][a-z0-9]+)*\})",
+        re.IGNORECASE,
+    )
 
     def _split_negations(self, text: str) -> tuple[str, list[str]]:
         """Strip ``-term`` exclusions from the query text (outside $math$
-        spans) and return (cleaned text, stemmed excluded terms)."""
+        spans) and return (cleaned text, stemmed excluded terms).
+
+        A negated prefix ``-spar*`` excludes docs containing ANY indexed
+        term with that prefix (full expansion, no Lucene cap — exclusion
+        must be complete or docs the user asked to drop still rank); a
+        negated group ``-{a,b}`` excludes all member terms."""
         # MathML-format topics (the reference query format) carry hyphens
         # in markup; NOT syntax applies only to plain/SLT-span queries
         if "-" not in text or "<math" in text or ":math" in text:
             return text, []
         pieces: list[str] = []
-        negs: list[str] = []
+        raw: list[str] = []
         pos = 0
         for m in _MATH_RE.finditer(text):  # never rewrite inside a formula
             seg = text[pos : m.start()]
-            negs.extend(g.lower() for g in self._NEG_RE.findall(seg))
+            raw.extend(g.lower() for g in self._NEG_RE.findall(seg))
             pieces.append(self._NEG_RE.sub(" ", seg))
             pieces.append(m.group(0))
             pos = m.end()
         seg = text[pos:]
-        negs.extend(g.lower() for g in self._NEG_RE.findall(seg))
+        raw.extend(g.lower() for g in self._NEG_RE.findall(seg))
         pieces.append(self._NEG_RE.sub(" ", seg))
-        if self.cfg.stem:
+        negs: list[str] = []
+        literals: list[str] = []
+        for g in raw:
+            if g.endswith("*"):
+                negs.extend(
+                    self.reader.expand_prefix(g[:-1], 1 << 30)
+                )  # pre-stemmed: indexed vocabulary
+            elif g.startswith("{"):
+                literals.extend(t for t in re.split(r"[,|]", g[1:-1]) if t)
+            else:
+                literals.append(g)
+        if self.cfg.stem and literals:
             from tangent_ray.tokenize.porter import porter_stem
 
-            negs = [porter_stem(t) for t in negs]
-        return "".join(pieces), sorted(set(negs))
+            literals = [porter_stem(t) for t in literals]
+        return "".join(pieces), sorted(set(negs + literals))
 
     def _excluded_docs(self, neg_terms: list[str]) -> np.ndarray:
         """Sorted unique docids containing ANY excluded term (bounded by
@@ -741,7 +778,9 @@ class QueryScorer:
             hit, _ = sorted_lookup(dead, d)
             if hit.any():
                 d, s = d[~hit], s[~hit]
-        if filters and len(d):
+        if filters:
+            # validate even with zero candidates: a typo'd facet column
+            # must raise, not silently return [] for no-match terms
             keep = self._facet_mask(d, filters)
             self.last_stats["filtered_out"] = int(len(d) - keep.sum())
             d, s = d[keep], s[keep]
@@ -774,7 +813,7 @@ class QueryScorer:
     # -- BM25 ------------------------------------------------------------
     def _score_bm25(
         self, terms: list[str], k: int | None = None,
-        groups: list[tuple[str, ...]] = (),
+        groups: list[tuple[tuple[str, ...], float]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self.reader
         plan: list[tuple[float, "Segment", int]] = []  # (idf, seg, row)
@@ -1072,7 +1111,7 @@ class QueryScorer:
 
     def _score_mixed(
         self, terms: list[str], bag: Counter, qtc: int, n_formulae: int,
-        groups: list[tuple[str, ...]] = (),
+        groups: list[tuple[tuple[str, ...], float]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
         if qtc == 0 or n_formulae == 0:
             return self._score_bm25(terms, groups=groups)

@@ -189,6 +189,49 @@ def test_filter_no_match_value_and_bad_column(idx):
     assert _engine(idx, "beta #lang:xx") == []
     with pytest.raises(KeyError):
         _engine(idx, "beta #nosuch:x")
+    # a typo'd column raises even when the terms match nothing
+    with pytest.raises(KeyError):
+        _engine(idx, "zzznomatch #nosuch:x")
+
+
+def test_negated_prefix_and_group(idx):
+    # -alp* excludes every doc containing ANY alp-prefixed term (full
+    # expansion, not the scoring cap)
+    con = _duck()
+    excluded = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'alp%'"
+        ).fetchall()
+    }
+    got = dict(_engine(idx, "beta -alp*"))
+    want = {d: s for d, s in _engine(idx, "beta") if d not in excluded}
+    assert got == want
+    # -{gamma,delta} excludes both members
+    exc2 = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT doc_id FROM toks WHERE term IN ('gamma','delta')"
+        ).fetchall()
+    }
+    got2 = dict(_engine(idx, "beta -{gamma,delta}"))
+    assert got2 == {d: s for d, s in _engine(idx, "beta") if d not in exc2}
+
+
+def test_malformed_cursor_rejected(idx, ray_session):
+    from tangent_ray.query.scorer import search
+
+    qt = pa.table(
+        {
+            "query_id": pa.array(["q"], pa.string()),
+            "kind": pa.array(["text"], pa.string()),
+            "text": pa.array(["beta"], pa.string()),
+            "after_score": pa.array([1.5], pa.float64()),
+            "after_docid": pa.array([None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="malformed search_after cursor"):
+        search(qt, idx).take_all()
 
 
 def test_filter_disables_wand_truncation(idx):

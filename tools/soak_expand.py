@@ -119,10 +119,11 @@ def main() -> None:
         reps=10,
     )
     w = first_text.split()
-    out["spannear_p50_ms"] = p50(
-        lambda: span_near_search(pos_dir, f"{w[0]} {w[1]}", slop=8, k=20),
-        reps=5,
-    )
+    if len(w) >= 2:  # a 1-token first doc would crash AFTER the builds
+        out["spannear_p50_ms"] = p50(
+            lambda: span_near_search(pos_dir, f"{w[0]} {w[1]}", slop=8, k=20),
+            reps=5,
+        )
 
     # search_after page 2 + autocomplete
     d1, s1 = s.score_query("stream index", "text", 10)
