@@ -37,14 +37,31 @@ import pyarrow.parquet as pq
 FACETS_DIR = "facets"
 
 
+def _sidecar_current(out: str, facet_cols: list[str]) -> bool:
+    """An existing per-partial sidecar is reusable iff it carries exactly
+    the requested facet columns."""
+    if not os.path.isdir(out):
+        return False
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    if not parts:
+        return False
+    schema = pq.read_schema(os.path.join(out, parts[0]))
+    return set(schema.names) == {"docid", *facet_cols}
+
+
 def build_facet_sidecar(
-    index_dir: str, facet_cols: list[str], corpus=None
+    index_dir: str, facet_cols: list[str], corpus=None, force: bool = False
 ) -> list[str]:
     """Add a facet sidecar to every partial of an index; returns the dirs.
 
     Reads each partial's lineage ``input_files`` with column pruning
     (id + facet columns only). Null facet values are kept as nulls and
-    reported under the ``None`` bucket."""
+    reported under the ``None`` bucket.
+
+    INCREMENTAL: a partial whose sidecar already exists with the same
+    facet columns is skipped (pass ``force=True`` to rebuild) — after
+    ``add_increment`` or ``compact_index`` a re-run touches only the new
+    partials, so sidecar catch-up costs O(new docs), not O(corpus)."""
     import ray.data
 
     from tangent_ray.sources.corpus import corpus_from_json
@@ -56,6 +73,11 @@ def build_facet_sidecar(
     out_dirs: list[str] = []
     pdir = os.path.join(index_dir, "partials")
     for p in g["partials"]:
+        if not force and _sidecar_current(
+            os.path.join(pdir, p, FACETS_DIR), facet_cols
+        ):
+            out_dirs.append(os.path.join(pdir, p, FACETS_DIR))
+            continue
         with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
             files = json.load(f)["input_files"]
         key_cols = [c for c in corpus.columns if c != corpus.text_column]

@@ -218,6 +218,54 @@ def test_negated_prefix_and_group(idx):
     assert got2 == {d: s for d, s in _engine(idx, "beta") if d not in exc2}
 
 
+def test_facet_sidecar_incremental_catchup(ray_session, tmp_path):
+    """add_increment leaves new partials without facet sidecars (filtered
+    queries fail LOUDLY, not stale); re-running build_facet_sidecar
+    rebuilds ONLY the missing partials and the filter then sees docs from
+    both increments."""
+    import dataclasses
+
+    from tangent_ray.index.build import add_increment
+    from tangent_ray.query.facets import FacetCounter, build_facet_sidecar
+
+    src1 = str(tmp_path / "d1")
+    src2 = str(tmp_path / "d2")
+    for src, lo in ((src1, 0), (src2, 100)):
+        os.makedirs(src)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(lo, lo + 3), pa.int64()),
+                    "text": pa.array(["beta beta"] * 3, pa.string()),
+                    "lang": pa.array(["de", "en", "de"], pa.string()),
+                }
+            ),
+            os.path.join(src, "d.parquet"),
+        )
+    out = str(tmp_path / "idx")
+    build_index(src1, out,
+                dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    build_facet_sidecar(out, ["lang"])
+    add_increment(src2, out)
+    # loud failure on the increment's missing sidecar
+    with pytest.raises(FileNotFoundError):
+        FacetCounter(out)
+    import glob
+
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "partials", "*", "facets",
+                                        "*.parquet"))
+    }
+    build_facet_sidecar(out, ["lang"])  # incremental catch-up
+    for f, mt in before.items():  # untouched partials were NOT rebuilt
+        assert os.path.getmtime(f) == mt
+    sc = QueryScorer(out)
+    d, _ = sc.score_query("beta #lang:de", "text", 100)
+    assert set(d.tolist()) == {0, 2, 100, 102}
+
+
 def test_malformed_cursor_rejected(idx, ray_session):
     from tangent_ray.query.scorer import search
 
