@@ -45,21 +45,48 @@ SNIPPET_SCHEMA = pa.schema(
 )
 
 
-def query_terms(text: str, stem: bool = True) -> frozenset[str]:
-    """The distinct (optionally stemmed) TEXT terms of a query string —
-    the same token definition the index build uses. Math spans ($...$ SLT
-    and Presentation MathML) are stripped first, exactly as the scorer's
-    parse_query does: a math-only query has no text terms and produces no
-    snippets, and a mixed query never highlights SLT/markup syntax."""
+def query_match_spec(
+    text: str, stem: bool = True
+) -> tuple[frozenset[str], tuple[str, ...]]:
+    """(terms, prefixes) a snippet should highlight for a query string —
+    extension syntax parsed with the SCORER'S OWN regexes so the two
+    surfaces cannot drift: ``-term``/``-pre*``/``-{a,b}`` negations and
+    ``#col:value`` filters never highlight, ``{a,b}`` members and
+    ``term^2`` boosted terms highlight like plain terms, and ``pre*``
+    becomes a prefix pattern matched against the (stemmed) doc tokens —
+    mirroring prefix expansion over the stemmed vocabulary. Math spans
+    ($...$ SLT and Presentation MathML) are stripped first, exactly as
+    the scorer's parse_query does."""
+    from tangent_ray.query.scorer import QueryScorer
+
     text = _SLT_SPAN_RE.sub(" ", text)
     if "<math" in text or ":math" in text:
         from tangent_ray.tokenize.mathml import MATHML_SPAN_RE
 
         text = MATHML_SPAN_RE.sub(" ", text)
-    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
+    text = QueryScorer._NEG_RE.sub(" ", text)
+    text = QueryScorer._FILTER_RE.sub(" ", text)
+    extra: list[str] = []
+    for body, _boost in QueryScorer._SYN_RE.findall(text):
+        extra.extend(t.lower() for t in re.split(r"[,|]", body) if t)
+    text = QueryScorer._SYN_RE.sub(" ", text)
+    prefixes = tuple(
+        sorted({p.lower() for p, _b in QueryScorer._PREFIX_RE.findall(text)})
+    )
+    text = QueryScorer._PREFIX_RE.sub(" ", text)
+    for term, _b in QueryScorer._BOOST_RE.findall(text):
+        extra.append(term.lower())
+    text = QueryScorer._BOOST_RE.sub(" ", text)
+    toks = [t.lower() for t in _TOKEN_RE.findall(text)] + extra
     if stem:
         toks = [porter_stem(t) for t in toks]
-    return frozenset(toks)
+    return frozenset(toks), prefixes
+
+
+def query_terms(text: str, stem: bool = True) -> frozenset[str]:
+    """The distinct (optionally stemmed) highlightable TEXT terms of a
+    query string (see ``query_match_spec`` — prefix patterns excluded)."""
+    return query_match_spec(text, stem=stem)[0]
 
 
 def best_window(
@@ -89,16 +116,25 @@ def best_window(
 
 
 def extract_snippet(
-    text: str, terms: frozenset[str], width: int = 24, stem: bool = True
+    text: str, terms: frozenset[str], width: int = 24, stem: bool = True,
+    prefixes: tuple[str, ...] = (),
 ) -> tuple[str, str, int, int] | None:
     """(snippet, highlighted, n_hits, n_distinct) for one doc, or None when
     no query term occurs. The snippet spans ``width`` tokens centred on the
-    best window, cut at token boundaries of the ORIGINAL text."""
+    best window, cut at token boundaries of the ORIGINAL text. A token
+    hits when it equals a query term OR starts with a ``prefixes`` entry
+    (the ``pre*`` highlight rule)."""
     spans = [(m.start(), m.end(), m.group().lower()) for m in _TOKEN_RE.finditer(text)]
     if not spans:
         return None
     toks = [porter_stem(t) if stem else t for t in (s[2] for s in spans)]
-    hit_mask = np.fromiter((t in terms for t in toks), dtype=bool, count=len(toks))
+    hit_mask = np.fromiter(
+        (
+            t in terms or any(t.startswith(p) for p in prefixes)
+            for t in toks
+        ),
+        dtype=bool, count=len(toks),
+    )
     hits = np.flatnonzero(hit_mask)
     if not len(hits):
         return None
@@ -156,7 +192,7 @@ def snippets_for_results(
         corpus = TranscriptsCorpus()
 
     terms_by_query = {
-        qid: query_terms(text, stem=stem)
+        qid: query_match_spec(text, stem=stem)
         for qid, text in zip(
             queries["query_id"].to_pylist(), queries["text"].to_pylist()
         )
@@ -165,7 +201,8 @@ def snippets_for_results(
     for qid, docid in zip(
         results["query_id"].to_pylist(), results["docid"].to_pylist()
     ):
-        if terms_by_query.get(qid):
+        terms, prefixes = terms_by_query.get(qid, (frozenset(), ()))
+        if terms or prefixes:
             doc_queries.setdefault(int(docid), []).append(qid)
     if not doc_queries:
         return SNIPPET_SCHEMA.empty_table()
@@ -186,7 +223,9 @@ def snippets_for_results(
         for i in np.flatnonzero(mask):
             text = texts[i].as_py() or ""
             for qid in dq[int(ids[i])]:
-                got = extract_snippet(text, tq[qid], width=width, stem=stem)
+                q_terms, q_prefixes = tq[qid]
+                got = extract_snippet(text, q_terms, width=width, stem=stem,
+                                      prefixes=q_prefixes)
                 if got is None:
                     continue
                 snip, hl, n_hits, n_distinct = got

@@ -146,3 +146,28 @@ def test_empty_results(ray_session, tmp_path):
         corpus=DocumentsCorpus(),
     )
     assert out.num_rows == 0
+
+
+def test_match_spec_extension_syntax():
+    from tangent_ray.query.snippets import query_match_spec
+
+    # filters / negations never highlight; groups + boosts do; prefixes
+    # come back as patterns
+    terms, prefixes = query_match_spec(
+        "alpha^2 {beta,gamma} quer* -delta -eps* #lang:en", stem=False
+    )
+    assert terms == {"alpha", "beta", "gamma"}
+    assert prefixes == ("quer",)
+    # stemming applies to terms, not to prefix patterns
+    terms_s, prefixes_s = query_match_spec("merging runs* ", stem=True)
+    assert porter_stem("merging") in terms_s
+    assert prefixes_s == ("runs",)
+
+
+def test_extract_snippet_prefix_highlight():
+    text = "plain words then QUERYING and queries appear here"
+    got = extract_snippet(text, frozenset(), prefixes=("quer",), stem=False)
+    assert got is not None
+    snip, hl, n_hits, n_distinct = got
+    assert "<em>querying</em>" in hl.lower() and "<em>queries</em>" in hl.lower()
+    assert n_hits == 2
