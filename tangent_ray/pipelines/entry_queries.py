@@ -2919,6 +2919,7 @@ SPAN_SLOP = 8  # ordered "table hash"~8
 BOOST_TERM, BOOST_W = "spark", 2.0
 BOOST_QUERY = f"{BOOST_TERM}^{BOOST_W:g} hash join"
 RRF_DEPTH, RRF_K, RRF_C = 20, 10, 60  # hybrid BM25+ANN fusion
+WILD_PAT, WILD_LIKE = "s*a*", "s%a%"  # glob wildcard query + its LIKE twin
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -2952,10 +2953,11 @@ def q_search_features(sf_dir: str):
     (``filterq``), more-like-this (``mlt``), ordered span-near with slop
     (``spannear``), per-term ^boosts (``boost``), hybrid BM25+ANN
     reciprocal-rank fusion (``rrf``), search_after page-2 cursor
-    paging (``page2``), and df-ranked autocomplete (``complete``). Each constituent keeps its own
+    paging (``page2``), df-ranked autocomplete (``complete``), and glob
+    wildcard terms (``wild``). Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    fourteen from the raw corpus + embeddings tables."""
+    fifteen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3015,6 +3017,7 @@ def q_search_features(sf_dir: str):
         ("syn", SYN_QUERY),
         ("filterq", FILTER_QUERY),
         ("boost", BOOST_QUERY),
+        ("wild", WILD_PAT),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -3638,6 +3641,22 @@ def _search_features_sql() -> str:
       SELECT term FROM dfx WHERE term LIKE '{PREFIX_TERM}%'
       ORDER BY df DESC, term LIMIT {PREFIX_CAP}
     ),
+    wsel AS (
+      SELECT term FROM dfx WHERE term LIKE '{WILD_LIKE}'
+      ORDER BY df DESC, term LIMIT {PREFIX_CAP}
+    ),
+    wscores AS (
+      SELECT g.doc_id,
+             ln(1 + (stats.n - wdf.df + 0.5) / (wdf.df + 0.5))
+               * g.tf * 2.2
+               / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM (SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf JOIN wsel USING (term)
+            GROUP BY 1) g
+      JOIN dl USING (doc_id),
+           (SELECT max(df) AS df FROM dfx JOIN wsel USING (term)) wdf,
+           stats
+    ),
     pscores AS (
       SELECT g.doc_id,
              ln(1 + (stats.n - pdf.df + 0.5) / (pdf.df + 0.5))
@@ -3807,6 +3826,9 @@ def _search_features_sql() -> str:
     FROM (SELECT term, df::BIGINT AS df FROM vocab
           WHERE term LIKE '{FUZZY_WORD[:2]}%'
           ORDER BY df DESC, term LIMIT {FUZZY_TOPN})
+    UNION ALL
+    SELECT 'wild', '{WILD_PAT}', doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (SELECT * FROM wscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
 """
 
 

