@@ -78,6 +78,19 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _partials_fingerprint(index_dir: str) -> str:
+    """Stable hash of the manifest's partial list — the suggest sidecar's
+    staleness key (an ``add_increment``/``compact_index`` changes it)."""
+    import hashlib
+    import json
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        partials = sorted(json.load(f)["partials"])
+    return hashlib.blake2b(
+        "\x00".join(partials).encode(), digest_size=8
+    ).hexdigest()
+
+
 def build_suggest_index(
     index_dir: str, max_edit: int = 2, min_df: int = 1
 ) -> str:
@@ -135,8 +148,14 @@ def build_suggest_index(
     ]
     out_path = os.path.join(index_dir, SUGGEST_NAME)
     # self-describing: purge_deletes rebuilds the sidecar with the SAME
-    # parameters after postings change (df ranks / vanished terms go stale)
-    meta = {b"max_edit": str(max_edit).encode(), b"min_df": str(min_df).encode()}
+    # parameters after postings change (df ranks / vanished terms go
+    # stale); the partials fingerprint lets Suggester detect an index
+    # that grew via add_increment since the sidecar was built
+    meta = {
+        b"max_edit": str(max_edit).encode(),
+        b"min_df": str(min_df).encode(),
+        b"partials": _partials_fingerprint(index_dir).encode(),
+    }
     if not parts:
         merged = pa.table(
             {
@@ -157,10 +176,27 @@ def build_suggest_index(
 
 
 class Suggester:
-    """Loaded deletes index: ``suggest(word)`` -> ranked corrections."""
+    """Loaded deletes index: ``suggest(word)`` -> ranked corrections.
 
-    def __init__(self, index_dir: str, max_edit: int = 2):
+    STALE-SAFE: the sidecar records the partial list it was built from;
+    if the index has since grown (``add_increment``) or been compacted,
+    loading raises with a rebuild hint — suggestions silently missing
+    the new increments' vocabulary are worse than a loud error. Pass
+    ``allow_stale=True`` to serve the old vocabulary knowingly."""
+
+    def __init__(self, index_dir: str, max_edit: int = 2,
+                 allow_stale: bool = False):
         t = pq.read_table(os.path.join(index_dir, SUGGEST_NAME))
+        meta = t.schema.metadata or {}
+        built_from = meta.get(b"partials")
+        if built_from is not None and not allow_stale:
+            now = _partials_fingerprint(index_dir).encode()
+            if built_from != now:
+                raise ValueError(
+                    "suggest sidecar is stale (index partials changed "
+                    "since it was built) — re-run build_suggest_index, "
+                    "or pass allow_stale=True"
+                )
         self.dhash = t["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.terms = t["term"].combine_chunks()
         self.dfs = t["df"].to_numpy(zero_copy_only=False)

@@ -160,3 +160,46 @@ def test_purge_rebuilds_suggest_sidecar(idx, tmp_path, ray_session):
     purge_deletes(copy)
     after = Suggester(copy).suggest("qurey")
     assert all(t != "query" for t, _, _ in after)
+
+
+def test_suggest_stale_after_increment(ray_session, tmp_path):
+    """add_increment invalidates the suggest sidecar: loading raises with
+    a rebuild hint, allow_stale serves the old vocab, and a rebuild
+    clears the staleness."""
+    import dataclasses
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tangent_ray.config import SQL_PARITY_CONFIG
+    from tangent_ray.index.build import add_increment, build_index
+    from tangent_ray.query.fuzzy import Suggester, build_suggest_index
+    from tangent_ray.sources.corpus import DocumentsCorpus
+
+    src1, src2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    for src, lo, word in ((src1, 0, "alpha"), (src2, 10, "omega")):
+        os.makedirs(src)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(lo, lo + 2), pa.int64()),
+                    "text": pa.array([f"{word} words"] * 2, pa.string()),
+                }
+            ),
+            os.path.join(src, "d.parquet"),
+        )
+    out = str(tmp_path / "idx")
+    build_index(src1, out,
+                dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    build_suggest_index(out)
+    assert Suggester(out).suggest("alpa")  # fresh: loads fine
+    add_increment(src2, out)
+    with pytest.raises(ValueError, match="stale"):
+        Suggester(out)
+    stale = Suggester(out, allow_stale=True)
+    assert not stale.suggest("omeg")  # old vocab: increment word missing
+    build_suggest_index(out)
+    assert Suggester(out).suggest("omeg")  # rebuilt: increment word found
