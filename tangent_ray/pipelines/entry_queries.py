@@ -2920,6 +2920,7 @@ BOOST_TERM, BOOST_W = "spark", 2.0
 BOOST_QUERY = f"{BOOST_TERM}^{BOOST_W:g} hash join"
 RRF_DEPTH, RRF_K, RRF_C = 20, 10, 60  # hybrid BM25+ANN fusion
 WILD_PAT, WILD_LIKE = "s*a*", "s%a%"  # glob wildcard query + its LIKE twin
+COLLAPSE_COL, COLLAPSE_K, COLLAPSE_PER = "source", 5, 2  # field collapsing
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -2953,11 +2954,11 @@ def q_search_features(sf_dir: str):
     (``filterq``), more-like-this (``mlt``), ordered span-near with slop
     (``spannear``), per-term ^boosts (``boost``), hybrid BM25+ANN
     reciprocal-rank fusion (``rrf``), search_after page-2 cursor
-    paging (``page2``), df-ranked autocomplete (``complete``), and glob
-    wildcard terms (``wild``). Each constituent keeps its own
+    paging (``page2``), df-ranked autocomplete (``complete``), glob
+    wildcard terms (``wild``), and field collapsing (``collapse``). Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    fifteen from the raw corpus + embeddings tables."""
+    sixteen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3039,6 +3040,20 @@ def q_search_features(sf_dir: str):
         round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
     ):
         add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
+    # field collapsing: top sources by best doc, 2 reps each
+    from tangent_ray.query.facets import collapsed_search
+
+    co = collapsed_search(
+        idx, " ".join(BM25_QUERY_TERMS), COLLAPSE_COL,
+        k=COLLAPSE_K, per_group=COLLAPSE_PER, counter=counter, scorer=scorer,
+    )
+    for rk, val, dd, ss, gr in zip(
+        co["rank"].to_pylist(), co["value"].to_pylist(),
+        co["docid"].to_pylist(),
+        round_half_away(co["score"].to_numpy(zero_copy_only=False), 6),
+        co["group_rank"].to_pylist(),
+    ):
+        add("collapse", COLLAPSE_COL, dd, rk * 1000 + gr, ss, val)
     # autocomplete: top completions of the fuzzy word's first 2 chars
     comp = scorer.reader.complete(FUZZY_WORD[:2], n=FUZZY_TOPN)
     for t_, df_ in zip(comp["term"].to_pylist(), comp["df"].to_pylist()):
@@ -3829,6 +3844,29 @@ def _search_features_sql() -> str:
     UNION ALL
     SELECT 'wild', '{WILD_PAT}', doc_id, 0::BIGINT, round(score, 6), ''
     FROM (SELECT * FROM wscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'collapse', '{COLLAPSE_COL}', doc_id,
+           (vrank * 1000 + grank)::BIGINT, round(score, 6), value
+    FROM (
+      WITH cbase AS (
+        SELECT s.doc_id, s.score, d.{COLLAPSE_COL}::VARCHAR AS value
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.{COLLAPSE_COL} IS NOT NULL
+      ),
+      cg AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY value ORDER BY score DESC, doc_id) AS grank
+        FROM cbase
+      ),
+      cord AS (
+        SELECT value,
+               row_number() OVER (ORDER BY score DESC, value) AS vrank
+        FROM cg WHERE grank = 1 QUALIFY vrank <= {COLLAPSE_K}
+      )
+      SELECT o.vrank, cg.value, cg.doc_id, cg.score, cg.grank
+      FROM cg JOIN cord o USING (value)
+      WHERE cg.grank <= {COLLAPSE_PER}
+    )
 """
 
 

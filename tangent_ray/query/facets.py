@@ -174,6 +174,29 @@ class FacetCounter:
             }
         )
 
+    def values_of(self, docids: np.ndarray, col: str) -> list[str | None]:
+        """Per-docid facet value (None for nulls AND for docids absent
+        from every sidecar) — the field-collapsing lookup."""
+        q = np.asarray(docids, dtype=np.int64)
+        out: list[str | None] = [None] * len(q)
+        for ids_sorted, table in self._load():
+            if col not in table.column_names:
+                raise KeyError(
+                    f"facet column {col!r} not in sidecar "
+                    f"(has {[c for c in table.column_names if c != 'docid']})"
+                )
+            if not len(ids_sorted):
+                continue
+            pos = np.searchsorted(ids_sorted, q)
+            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+            if not len(hit):
+                continue
+            vals = table[col].take(pa.array(pos_c[hit])).to_pylist()
+            for i, v in zip(hit, vals):
+                out[int(i)] = v
+        return out
+
     def mask(self, docids: np.ndarray, col: str, value: str) -> np.ndarray:
         """Boolean keep-mask: ``facet[col] == value`` per docid (the
         ``#col:value`` filtered-search probe). Docids absent from every
@@ -237,3 +260,83 @@ def facet_counts(
         hit, _ = sorted_lookup(dead, d)
         d = d[~hit]
     return counter.counts(d, col)
+
+
+def collapsed_search(
+    index_dir: str,
+    query_text: str,
+    col: str,
+    k: int = 10,
+    per_group: int = 1,
+    counter: FacetCounter | None = None,
+    scorer=None,
+) -> pa.Table:
+    """Field collapsing (the Elasticsearch ``collapse`` / Lucene grouping
+    feature): rank GROUPS of a metadata column by their best-scoring doc,
+    keeping ``per_group`` representative docs each.
+
+    The full query syntax applies (prefix / groups / boosts / -negations;
+    a cursorless full-candidate pass, so collapsing never under-fills).
+    Docs with a null facet value (or absent from the sidecar) are
+    dropped — they belong to no group. Returns (rank, value, docid,
+    score, group_rank) sorted by (group's best score desc, value asc)
+    then group_rank; deterministic ties exactly like the scorer."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    if scorer is None:
+        scorer = QueryScorer(index_dir)
+    if counter is None:
+        counter = FacetCounter(index_dir)
+    # full candidate pass through the ordinary scoring path (filters,
+    # negations and expansion groups all apply); k large = no cut here
+    d, s = scorer.score_query(query_text, "text", 1 << 62)
+    vals = counter.values_of(d, col)
+    keep = np.fromiter((v is not None for v in vals), dtype=bool, count=len(d))
+    d, s = d[keep], s[keep]
+    vs = [v for v in vals if v is not None]
+    if not len(d):
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int32()),
+                "value": pa.array([], pa.string()),
+                "docid": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "group_rank": pa.array([], pa.int32()),
+            }
+        )
+    enc = pa.array(vs, pa.string()).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # within-group rank: sort (code, score desc, docid) and number runs
+    order = np.lexsort((d, -s, codes))
+    gcode, gd, gs = codes[order], d[order], s[order]
+    starts = np.concatenate([[True], gcode[1:] != gcode[:-1]])
+    idx = np.arange(len(gcode))
+    run_start = np.maximum.accumulate(np.where(starts, idx, 0))
+    grank = idx - run_start  # 0-based rank inside the group
+    top = grank < per_group
+    # group ordering key: the group's best (rank-0) doc score; ties by
+    # value asc — resolved on the group's dictionary string
+    best_s = gs[starts]
+    best_of = dict(
+        zip(gcode[starts].tolist(), best_s.tolist())
+    )
+    dictionary = enc.dictionary.to_pylist()
+    group_order = sorted(
+        best_of, key=lambda c: (-best_of[c], dictionary[c])
+    )[:k]
+    pos_of = {c: i for i, c in enumerate(group_order)}
+    rows = [
+        (pos_of[int(c)], dictionary[int(c)], int(dd), float(ss), int(gr) + 1)
+        for c, dd, ss, gr in zip(gcode[top], gd[top], gs[top], grank[top])
+        if int(c) in pos_of
+    ]
+    rows.sort(key=lambda r: (r[0], r[4]))
+    return pa.table(
+        {
+            "rank": pa.array([r[0] + 1 for r in rows], pa.int32()),
+            "value": pa.array([r[1] for r in rows], pa.string()),
+            "docid": pa.array([r[2] for r in rows], pa.int64()),
+            "score": pa.array([r[3] for r in rows], pa.float64()),
+            "group_rank": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )

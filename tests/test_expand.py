@@ -218,6 +218,69 @@ def test_negated_prefix_and_group(idx):
     assert got2 == {d: s for d, s in _engine(idx, "beta") if d not in exc2}
 
 
+def test_collapsed_search_vs_duckdb(idx):
+    """Field collapsing: groups of `lang` ranked by best doc, 2 reps per
+    group, vs a window-function twin."""
+    from tangent_ray.query.facets import collapsed_search
+
+    got = collapsed_search(idx, "alpha beta", "lang", k=3, per_group=2)
+    con = _duck()
+    con.register(
+        "documents",
+        _tab(),
+    )
+    want = con.execute(
+        f"""
+        WITH scores AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                      * tf.tf * ({K1} + 1)
+                      / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+                    ) AS score
+          FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+          WHERE tf.term IN ('alpha', 'beta') GROUP BY 1
+        ),
+        base AS (
+          SELECT s.doc_id, s.score, d.lang AS value
+          FROM scores s JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+        ),
+        g AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY value ORDER BY score DESC, doc_id) AS grank
+          FROM base
+        ),
+        ord AS (
+          SELECT value, score AS best,
+                 row_number() OVER (ORDER BY score DESC, value) AS vrank
+          FROM g WHERE grank = 1 QUALIFY vrank <= 3
+        )
+        SELECT o.vrank, g.value, g.doc_id, g.score, g.grank
+        FROM g JOIN ord o USING (value)
+        WHERE g.grank <= 2
+        ORDER BY o.vrank, g.grank
+        """
+    ).fetchall()
+    assert [
+        (r["rank"], r["value"], r["docid"], round(r["score"], 9),
+         r["group_rank"])
+        for r in got.to_pylist()
+    ] == [(int(v), str(val), int(d), round(float(s), 9), int(g))
+          for v, val, d, s, g in want]
+
+
+def test_collapsed_search_composes_with_extensions(idx):
+    from tangent_ray.query.facets import collapsed_search
+
+    # negation flows through: docs with delta never appear
+    got = collapsed_search(idx, "alpha -delta", "lang", k=5, per_group=5)
+    deltas = {0, 4}  # docs containing delta (see ROWS)
+    assert set(got["docid"].to_pylist()).isdisjoint(deltas)
+    # bad column raises
+    with pytest.raises(KeyError):
+        collapsed_search(idx, "alpha", "nosuch", k=2)
+
+
 def test_facet_sidecar_incremental_catchup(ray_session, tmp_path):
     """add_increment leaves new partials without facet sidecars (filtered
     queries fail LOUDLY, not stale); re-running build_facet_sidecar
