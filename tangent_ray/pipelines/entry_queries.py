@@ -2921,6 +2921,7 @@ BOOST_QUERY = f"{BOOST_TERM}^{BOOST_W:g} hash join"
 RRF_DEPTH, RRF_K, RRF_C = 20, 10, 60  # hybrid BM25+ANN fusion
 WILD_PAT, WILD_LIKE = "s*a*", "s%a%"  # glob wildcard query + its LIKE twin
 COLLAPSE_COL, COLLAPSE_K, COLLAPSE_PER = "source", 5, 2  # field collapsing
+RANGE_COL, RANGE_CUT = "n_chars", 300  # numeric range filter #n_chars>300
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -2937,10 +2938,10 @@ def _docs_feature_index(sf_dir: str) -> str:
         fcntl.flock(lf, fcntl.LOCK_EX)
         if not os.path.exists(os.path.join(idx, SUGGEST_NAME)):
             build_suggest_index(idx, max_edit=2)
-        with open(os.path.join(idx, "manifest.json")) as f:
-            p0 = json.load(f)["partials"][0]
-        if not os.path.exists(os.path.join(idx, "partials", p0, FACETS_DIR)):
-            build_facet_sidecar(idx, list(FACET_COLS))
+        # incremental: partials whose sidecar already carries exactly
+        # these columns are skipped, and a cached index built with an
+        # older column set rebuilds via the schema check
+        build_facet_sidecar(idx, [*FACET_COLS, RANGE_COL])
     return idx
 
 
@@ -2955,10 +2956,11 @@ def q_search_features(sf_dir: str):
     (``spannear``), per-term ^boosts (``boost``), hybrid BM25+ANN
     reciprocal-rank fusion (``rrf``), search_after page-2 cursor
     paging (``page2``), df-ranked autocomplete (``complete``), glob
-    wildcard terms (``wild``), and field collapsing (``collapse``). Each constituent keeps its own
+    wildcard terms (``wild``), field collapsing (``collapse``), and
+    numeric range filters (``rangef``). Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    sixteen from the raw corpus + embeddings tables."""
+    seventeen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3019,6 +3021,7 @@ def q_search_features(sf_dir: str):
         ("filterq", FILTER_QUERY),
         ("boost", BOOST_QUERY),
         ("wild", WILD_PAT),
+        ("rangef", " ".join(BM25_QUERY_TERMS) + f" #{RANGE_COL}>{RANGE_CUT}"),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -3844,6 +3847,15 @@ def _search_features_sql() -> str:
     UNION ALL
     SELECT 'wild', '{WILD_PAT}', doc_id, 0::BIGINT, round(score, 6), ''
     FROM (SELECT * FROM wscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'rangef', '{" ".join(BM25_QUERY_TERMS)} #{RANGE_COL}>{RANGE_CUT}',
+           doc_id, 0::BIGINT, round(score, 6), ''
+    FROM (
+      SELECT s.doc_id, s.score FROM scores s
+      JOIN documents d USING (doc_id)
+      WHERE d.{RANGE_COL} > {RANGE_CUT}
+      ORDER BY s.score DESC, s.doc_id LIMIT {BM25_K}
+    )
     UNION ALL
     SELECT 'collapse', '{COLLAPSE_COL}', doc_id,
            (vrank * 1000 + grank)::BIGINT, round(score, 6), value

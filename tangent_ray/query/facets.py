@@ -197,13 +197,24 @@ class FacetCounter:
                 out[int(i)] = v
         return out
 
-    def mask(self, docids: np.ndarray, col: str, value: str) -> np.ndarray:
-        """Boolean keep-mask: ``facet[col] == value`` per docid (the
-        ``#col:value`` filtered-search probe). Docids absent from every
-        sidecar and null facet values never match; string equality on the
-        sidecar's cast-to-string values."""
+    _OPS = {
+        ">": pc.greater, ">=": pc.greater_equal,
+        "<": pc.less, "<=": pc.less_equal,
+    }
+
+    def mask(self, docids: np.ndarray, col: str, value: str,
+             op: str = ":") -> np.ndarray:
+        """Boolean keep-mask per docid: ``facet[col] == value`` for the
+        ``:`` equality op (string equality on the sidecar's
+        cast-to-string values), or a NUMERIC comparison for ``> >= < <=``
+        (both sides cast to float64; a non-numeric sidecar value raises —
+        a range filter on a text column is a caller bug, not an empty
+        page). Docids absent from every sidecar and null facet values
+        never match."""
         q = np.asarray(docids, dtype=np.int64)
         out = np.zeros(len(q), dtype=bool)
+        if op != ":" and op not in self._OPS:
+            raise ValueError(f"unsupported facet filter op {op!r}")
         for ids_sorted, table in self._load():
             if col not in table.column_names:
                 raise KeyError(
@@ -218,7 +229,13 @@ class FacetCounter:
             if not len(hit):
                 continue
             vals = table[col].take(pa.array(pos_c[hit]))
-            eq = pc.fill_null(pc.equal(vals, value), False)
+            if op == ":":
+                eq = pc.fill_null(pc.equal(vals, value), False)
+            else:
+                nums = pc.cast(vals, pa.float64())  # raises on text values
+                eq = pc.fill_null(
+                    self._OPS[op](nums, float(value)), False
+                )
             eqn = eq.to_numpy(zero_copy_only=False).astype(bool)
             out[hit[eqn]] = True
         return out

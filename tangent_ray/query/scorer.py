@@ -677,14 +677,16 @@ class QueryScorer:
     _BOOST_RE = re.compile(r"(?<![\w^])([a-z0-9]+)\^(\d+(?:\.\d+)?)",
                            re.IGNORECASE)
     #: ``#col:value`` — a metadata equality filter over the facet sidecar
-    _FILTER_RE = re.compile(r"(?<!\w)#([A-Za-z_]\w*):([^\s]+)")
+    #: ``#col:value`` equality; ``#col>n`` / ``#col>=n`` / ``#col<n`` /
+    #: ``#col<=n`` numeric range filters
+    _FILTER_RE = re.compile(r"(?<!\w)#([A-Za-z_]\w*)(:|>=|<=|>|<)([^\s]+)")
     #: Lucene-style cap on prefix expansion (kept by global-df desc)
     prefix_max_expansions = 128
 
     def _split_extensions(
         self, text: str
     ) -> tuple[
-        str, list[tuple[tuple[str, ...], float]], list[tuple[str, str]]
+        str, list[tuple[tuple[str, ...], float]], list[tuple[str, str, str]]
     ]:
         """Strip extended-syntax tokens from the query text (outside $math$
         spans) and return ``(cleaned text, groups, filters)``.
@@ -697,8 +699,9 @@ class QueryScorer:
         sharded serving); the boost multiplies the group's contribution.
         Synonym members and boosted terms are stemmed like plain query
         terms; prefixes match the INDEXED (post-stem) vocabulary as-is.
-        ``filters``: ``(col, value)`` pairs from ``#col:value``, applied
-        to candidates before the top-k cut.
+        ``filters``: ``(col, op, value)`` triples from ``#col:value``
+        equality and ``#col>n`` / ``#col>=n`` / ``#col<n`` / ``#col<=n``
+        numeric range syntax, applied to candidates before the top-k cut.
         """
         if not any(c in text for c in "*{#^?") or "<math" in text:
             return text, [], []
@@ -713,8 +716,8 @@ class QueryScorer:
             return tuple(sorted(set(members)))
 
         def rewrite(seg: str) -> str:
-            for col, val in self._FILTER_RE.findall(seg):
-                filters.append((col, val))
+            for col, op, val in self._FILTER_RE.findall(seg):
+                filters.append((col, op, val))
             seg = self._FILTER_RE.sub(" ", seg)
             for body, boost in self._SYN_RE.findall(seg):
                 members = [t.lower() for t in re.split(r"[,|]", body) if t]
@@ -757,9 +760,10 @@ class QueryScorer:
         return "".join(pieces), groups, filters
 
     def _facet_mask(self, docids: np.ndarray,
-                    filters: list[tuple[str, str]]) -> np.ndarray:
-        """AND of the ``#col:value`` equality filters over the candidate
-        docids (facet-sidecar probe, no postings touched)."""
+                    filters: list[tuple[str, str, str]]) -> np.ndarray:
+        """AND of the ``#col:value`` equality / ``#col>n`` range filters
+        over the candidate docids (facet-sidecar probe, no postings
+        touched)."""
         if self._facets is None:
             from tangent_ray.query.facets import FacetCounter
 
@@ -767,8 +771,8 @@ class QueryScorer:
                 self.reader._index_dir, partials=self.reader.partials
             )
         keep = np.ones(len(docids), dtype=bool)
-        for col, val in filters:
-            keep &= self._facets.mask(docids, col, val)
+        for col, op, val in filters:
+            keep &= self._facets.mask(docids, col, val, op=op)
         return keep
 
     def score_query(

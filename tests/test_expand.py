@@ -40,6 +40,7 @@ def _tab():
             "doc_id": pa.array([r[0] for r in ROWS], pa.int64()),
             "text": pa.array([r[1] for r in ROWS], pa.string()),
             "lang": pa.array([r[2] for r in ROWS], pa.string()),
+            "nval": pa.array([10 * (r[0] + 1) for r in ROWS], pa.int64()),
         }
     )
 
@@ -57,7 +58,7 @@ def idx(ray_session, tmp_path_factory):
     out = str(root / "idx")
     build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=2),
                 DocumentsCorpus())
-    build_facet_sidecar(out, ["lang"])
+    build_facet_sidecar(out, ["lang", "nval"])
     return out
 
 
@@ -192,6 +193,25 @@ def test_filter_no_match_value_and_bad_column(idx):
     # a typo'd column raises even when the terms match nothing
     with pytest.raises(KeyError):
         _engine(idx, "zzznomatch #nosuch:x")
+
+
+def test_numeric_range_filters_vs_duckdb(idx):
+    """#nval>35 / #nval<=30 numeric range filters vs the raw column."""
+    base = _engine(idx, "beta")
+    nval = {r[0]: 10 * (r[0] + 1) for r in ROWS}
+    assert _engine(idx, "beta #nval>35") == [
+        (d, s) for d, s in base if nval[d] > 35
+    ]
+    assert _engine(idx, "beta #nval<=30") == [
+        (d, s) for d, s in base if nval[d] <= 30
+    ]
+    assert _engine(idx, "beta #nval>=20 #nval<40") == [
+        (d, s) for d, s in base if 20 <= nval[d] < 40
+    ]
+    assert _engine(idx, "beta #nval>99999") == []
+    # a range op on a TEXT column raises (caller bug, not an empty page)
+    with pytest.raises(Exception):
+        _engine(idx, "beta #lang>3")
 
 
 def test_negated_prefix_and_group(idx):
