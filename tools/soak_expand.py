@@ -111,6 +111,13 @@ def main() -> None:
     out["syn_p50_ms"] = p50(q("{stream,query} join"), reps=10)
     out["boost_p50_ms"] = p50(q("stream^2 index join"), reps=10)
     out["filter_p50_ms"] = p50(q("stream index #source:src3"), reps=10)
+    out["wild_p50_ms"] = p50(q("s*am"), reps=10)
+    from tangent_ray.query.facets import collapsed_search
+
+    t0 = time.perf_counter()
+    co = collapsed_search(idx, "stream index", "source", k=5, per_group=2)
+    out["collapse"] = {"sec": round(time.perf_counter() - t0, 2),
+                       "rows": co.num_rows}
     first_text = (
         ray.data.read_parquet(corpus, columns=["text"]).take(1)[0]["text"]
     )
