@@ -176,9 +176,11 @@ class FacetCounter:
 
     def values_of(self, docids: np.ndarray, col: str) -> list[str | None]:
         """Per-docid facet value (None for nulls AND for docids absent
-        from every sidecar) — the field-collapsing lookup."""
+        from every sidecar) — the field-collapsing lookup. Vectorized:
+        one searchsorted probe + one fancy object-array assignment per
+        partial, no per-candidate Python loop."""
         q = np.asarray(docids, dtype=np.int64)
-        out: list[str | None] = [None] * len(q)
+        out = np.full(len(q), None, dtype=object)
         for ids_sorted, table in self._load():
             if col not in table.column_names:
                 raise KeyError(
@@ -192,10 +194,9 @@ class FacetCounter:
             hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
             if not len(hit):
                 continue
-            vals = table[col].take(pa.array(pos_c[hit])).to_pylist()
-            for i, v in zip(hit, vals):
-                out[int(i)] = v
-        return out
+            vals = table[col].take(pa.array(pos_c[hit]))
+            out[hit] = vals.to_numpy(zero_copy_only=False)
+        return out.tolist()
 
     _OPS = {
         ">": pc.greater, ">=": pc.greater_equal,
@@ -307,10 +308,9 @@ def collapsed_search(
     # full candidate pass through the ordinary scoring path (filters,
     # negations and expansion groups all apply); k large = no cut here
     d, s = scorer.score_query(query_text, "text", 1 << 62)
-    vals = counter.values_of(d, col)
-    keep = np.fromiter((v is not None for v in vals), dtype=bool, count=len(d))
+    varr = pa.array(counter.values_of(d, col), pa.string())
+    keep = pc.is_valid(varr).to_numpy(zero_copy_only=False).astype(bool)
     d, s = d[keep], s[keep]
-    vs = [v for v in vals if v is not None]
     if not len(d):
         return pa.table(
             {
@@ -321,7 +321,7 @@ def collapsed_search(
                 "group_rank": pa.array([], pa.int32()),
             }
         )
-    enc = pa.array(vs, pa.string()).dictionary_encode()
+    enc = varr.filter(pa.array(keep)).dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     # within-group rank: sort (code, score desc, docid) and number runs
     order = np.lexsort((d, -s, codes))
