@@ -148,12 +148,10 @@ class FacetCounter:
         for ids_sorted, table in self._load():
             if not len(ids_sorted):
                 continue
-            pos = np.searchsorted(ids_sorted, q)
-            pos_c = np.minimum(pos, len(ids_sorted) - 1)
-            hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+            hit, rows = self._probe(ids_sorted, q)
             if not len(hit):
                 continue
-            vals = table[col].take(pa.array(pos_c[hit])).combine_chunks()
+            vals = table[col].take(pa.array(rows)).combine_chunks()
             enc = vals.dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False)
             if vals.null_count:
@@ -174,6 +172,16 @@ class FacetCounter:
             }
         )
 
+    @staticmethod
+    def _probe(ids_sorted: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit positions into q, matching sidecar rows) — the ONE
+        per-partial sorted-docid probe shared by counts / mask /
+        values_of."""
+        pos = np.searchsorted(ids_sorted, q)
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+        return hit, pos_c[hit]
+
     def values_of(self, docids: np.ndarray, col: str) -> list[str | None]:
         """Per-docid facet value (None for nulls AND for docids absent
         from every sidecar) — the field-collapsing lookup. Vectorized:
@@ -189,12 +197,10 @@ class FacetCounter:
                 )
             if not len(ids_sorted):
                 continue
-            pos = np.searchsorted(ids_sorted, q)
-            pos_c = np.minimum(pos, len(ids_sorted) - 1)
-            hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+            hit, rows = self._probe(ids_sorted, q)
             if not len(hit):
                 continue
-            vals = table[col].take(pa.array(pos_c[hit]))
+            vals = table[col].take(pa.array(rows))
             out[hit] = vals.to_numpy(zero_copy_only=False)
         return out.tolist()
 
@@ -214,8 +220,18 @@ class FacetCounter:
         never match."""
         q = np.asarray(docids, dtype=np.int64)
         out = np.zeros(len(q), dtype=bool)
-        if op != ":" and op not in self._OPS:
-            raise ValueError(f"unsupported facet filter op {op!r}")
+        fval = 0.0
+        if op != ":":
+            if op not in self._OPS:
+                raise ValueError(f"unsupported facet filter op {op!r}")
+            # validate ONCE, up front: a garbage bound must raise even
+            # when no candidate hits a sidecar row
+            try:
+                fval = float(value)
+            except ValueError:
+                raise ValueError(
+                    f"range filter bound {value!r} is not numeric"
+                ) from None
         for ids_sorted, table in self._load():
             if col not in table.column_names:
                 raise KeyError(
@@ -224,19 +240,15 @@ class FacetCounter:
                 )
             if not len(ids_sorted):
                 continue
-            pos = np.searchsorted(ids_sorted, q)
-            pos_c = np.minimum(pos, len(ids_sorted) - 1)
-            hit = np.flatnonzero((pos < len(ids_sorted)) & (ids_sorted[pos_c] == q))
+            hit, rows = self._probe(ids_sorted, q)
             if not len(hit):
                 continue
-            vals = table[col].take(pa.array(pos_c[hit]))
+            vals = table[col].take(pa.array(rows))
             if op == ":":
                 eq = pc.fill_null(pc.equal(vals, value), False)
             else:
                 nums = pc.cast(vals, pa.float64())  # raises on text values
-                eq = pc.fill_null(
-                    self._OPS[op](nums, float(value)), False
-                )
+                eq = pc.fill_null(self._OPS[op](nums, fval), False)
             eqn = eq.to_numpy(zero_copy_only=False).astype(bool)
             out[hit[eqn]] = True
         return out
@@ -307,7 +319,7 @@ def collapsed_search(
         counter = FacetCounter(index_dir)
     # full candidate pass through the ordinary scoring path (filters,
     # negations and expansion groups all apply); k large = no cut here
-    d, s = scorer.score_query(query_text, "text", 1 << 62)
+    d, s = scorer.score_query(query_text, "text", None)
     varr = pa.array(counter.values_of(d, col), pa.string())
     keep = pc.is_valid(varr).to_numpy(zero_copy_only=False).astype(bool)
     d, s = d[keep], s[keep]

@@ -237,19 +237,32 @@ class IndexReader:
             self._vocab = (terms, dfs)
         return self._vocab
 
+    def _vocab_range(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+        """The lexicon slice whose terms start with ``prefix`` (the whole
+        vocabulary for an empty prefix) — the ONE range-probe idiom shared
+        by prefix expansion, wildcard expansion, and autocomplete."""
+        terms, dfs = self.text_vocab()
+        if not prefix:
+            return terms, dfs
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "\uffff"))
+        return terms[lo:hi], dfs[lo:hi]
+
+    @staticmethod
+    def _rank_cut(
+        cand_t: np.ndarray, cand_df: np.ndarray, n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """The ONE (global df desc, term asc) rank + cap rule shared by
+        every expansion surface."""
+        order = np.lexsort((cand_t, -cand_df))[:n]
+        return cand_t[order], cand_df[order]
+
     def _prefix_ranked(
         self, prefix: str, n: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        """(terms, dfs) of the lexicon range matching ``prefix``, ranked
-        (global df desc, term asc), cut to ``n`` — the ONE range+rank rule
-        shared by prefix expansion and autocomplete so the two surfaces
-        can never diverge."""
-        terms, dfs = self.text_vocab()
-        lo = int(np.searchsorted(terms, prefix))
-        hi = int(np.searchsorted(terms, prefix + "\uffff"))
-        cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
-        order = np.lexsort((cand_t, -cand_df))[:n]
-        return cand_t[order], cand_df[order]
+        """Ranked-and-capped lexicon range for ``prefix`` (see
+        ``_vocab_range`` / ``_rank_cut``)."""
+        return self._rank_cut(*self._vocab_range(prefix), n)
 
     def expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
         """Concrete index terms matching ``prefix*``, capped at
@@ -269,10 +282,7 @@ class IndexReader:
         import fnmatch
 
         pre = re.split(r"[*?]", pattern, 1)[0]
-        terms, dfs = self.text_vocab()
-        lo = int(np.searchsorted(terms, pre))
-        hi = int(np.searchsorted(terms, pre + "\uffff")) if pre else len(terms)
-        cand_t, cand_df = terms[lo:hi], dfs[lo:hi]
+        cand_t, cand_df = self._vocab_range(pre)
         if not len(cand_t):
             return []
         rx = re.compile(fnmatch.translate(pattern))
@@ -280,9 +290,8 @@ class IndexReader:
             (rx.match(t) is not None for t in cand_t), dtype=bool,
             count=len(cand_t),
         )
-        cand_t, cand_df = cand_t[keep], cand_df[keep]
-        order = np.lexsort((cand_t, -cand_df))[:max_expansions]
-        return [str(cand_t[i]) for i in order]
+        t, _ = self._rank_cut(cand_t[keep], cand_df[keep], max_expansions)
+        return [str(x) for x in t]
 
     def complete(self, prefix: str, n: int = 10) -> pa.Table:
         """Autocomplete: the top-``n`` vocabulary completions of ``prefix``
@@ -597,7 +606,8 @@ class QueryScorer:
     # -- boolean NOT -----------------------------------------------------
     #: ``-term``, ``-term*`` (negated prefix), ``-{a,b}`` (negated group)
     _NEG_RE = re.compile(
-        r"(?<!\w)-([a-z0-9]+\*?|\{[a-z0-9]+(?:[,|][a-z0-9]+)*\})",
+        r"(?<![\w*?])-([a-z0-9*?]*[a-z0-9][a-z0-9*?]*"
+        r"|\{[a-z0-9]+(?:[,|][a-z0-9]+)*\})",
         re.IGNORECASE,
     )
 
@@ -605,10 +615,12 @@ class QueryScorer:
         """Strip ``-term`` exclusions from the query text (outside $math$
         spans) and return (cleaned text, stemmed excluded terms).
 
-        A negated prefix ``-spar*`` excludes docs containing ANY indexed
-        term with that prefix (full expansion, no Lucene cap — exclusion
-        must be complete or docs the user asked to drop still rank); a
-        negated group ``-{a,b}`` excludes all member terms."""
+        A negated wildcard ``-spar*`` / ``-t?st`` excludes docs containing
+        ANY indexed term matching the glob (full expansion, no Lucene
+        cap — exclusion must be complete or docs the user asked to drop
+        still rank); a negated group ``-{a,b}`` excludes all members. A
+        lone trailing ``?`` is punctuation (``-beta?`` == ``-beta``),
+        mirroring the positive-query rule."""
         # MathML-format topics (the reference query format) carry hyphens
         # in markup; NOT syntax applies only to plain/SLT-span queries
         if "-" not in text or "<math" in text or ":math" in text:
@@ -628,12 +640,16 @@ class QueryScorer:
         negs: list[str] = []
         literals: list[str] = []
         for g in raw:
-            if g.endswith("*"):
+            if g.startswith("{"):
+                literals.extend(t for t in re.split(r"[,|]", g[1:-1]) if t)
+            elif g.endswith("?") and "*" not in g and "?" not in g[:-1]:
+                literals.append(g[:-1])  # trailing ? = punctuation
+            elif re.fullmatch(r"[a-z0-9]+\*", g):
                 negs.extend(
                     self.reader.expand_prefix(g[:-1], 1 << 30)
                 )  # pre-stemmed: indexed vocabulary
-            elif g.startswith("{"):
-                literals.extend(t for t in re.split(r"[,|]", g[1:-1]) if t)
+            elif "*" in g or "?" in g:
+                negs.extend(self.reader.expand_wildcard(g, 1 << 30))
             else:
                 literals.append(g)
         if self.cfg.stem and literals:
@@ -706,7 +722,7 @@ class QueryScorer:
         if not any(c in text for c in "*{#^?") or "<math" in text:
             return text, [], []
         groups: list[tuple[tuple[str, ...], float]] = []
-        filters: list[tuple[str, str]] = []
+        filters: list[tuple[str, str, str]] = []
 
         def stemmed(members: list[str]) -> tuple[str, ...]:
             if self.cfg.stem:
@@ -776,16 +792,19 @@ class QueryScorer:
         return keep
 
     def score_query(
-        self, text: str, kind: str, k: int,
+        self, text: str, kind: str, k: int | None,
         after: tuple[float, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k for a query; ``after=(score, docid)`` — the last row of
-        the previous page — returns the NEXT k rows of the same total
-        (score desc, docid asc) order (Elasticsearch search_after
-        pagination: a cursor filter, cheaper and consistent-under-refresh
-        vs offset paging). The cursor disables WAND (pruning below the
-        cursor needs the full candidate order), so deep paging pays one
-        TAAT pass — the standard tradeoff."""
+        """Top-k for a query; ``k=None`` returns the FULL filtered
+        candidate set in ranked order (the field-collapsing /
+        facet-counting pass — forces TAAT, no WAND truncation).
+        ``after=(score, docid)`` — the last row of the previous page —
+        returns the NEXT k rows of the same total (score desc, docid asc)
+        order (Elasticsearch search_after pagination: a cursor filter,
+        cheaper and consistent-under-refresh vs offset paging). The
+        cursor disables WAND (pruning below the cursor needs the full
+        candidate order), so deep paging pays one TAAT pass — the
+        standard tradeoff."""
         import time
 
         t0 = time.perf_counter()
@@ -808,10 +827,10 @@ class QueryScorer:
                     np.union1d(self._dead, excl) if self._dead.size else excl
                 )
         terms, bag, qtc, n_formulae = self.parse_query(text)
-        # a cursor or a metadata filter cuts AFTER scoring, so WAND's
-        # top-k truncation would under-fill the page — force the full
-        # TAAT candidate set in both cases
-        full_cand = after is not None or bool(filters)
+        # a cursor, a metadata filter, or k=None (a full-candidate
+        # caller) cuts AFTER scoring, so WAND's top-k truncation would
+        # under-fill the page — force the full TAAT candidate set
+        full_cand = after is not None or bool(filters) or k is None
         if kind == "text":
             d, s = self._score_bm25(terms, None if full_cand else k,
                                     groups=groups)
@@ -837,7 +856,7 @@ class QueryScorer:
             keep = (s < a_s) | ((s == a_s) & (d > a_d))
             d, s = d[keep], s[keep]
         self.last_stats["candidates"] = int(len(d))
-        out = _topk(d, s, k)
+        out = _topk(d, s, len(d) if k is None else k)
         self.last_stats["returned"] = int(len(out[0]))
         self.last_stats["qt_ms"] = (time.perf_counter() - t0) * 1000.0
         return out

@@ -48,15 +48,16 @@ SNIPPET_SCHEMA = pa.schema(
 def query_match_spec(
     text: str, stem: bool = True
 ) -> tuple[frozenset[str], tuple[str, ...]]:
-    """(terms, prefixes) a snippet should highlight for a query string —
+    """(terms, glob patterns) a snippet should highlight for a query —
     extension syntax parsed with the SCORER'S OWN regexes so the two
     surfaces cannot drift: ``-term``/``-pre*``/``-{a,b}`` negations and
     ``#col:value`` filters never highlight, ``{a,b}`` members and
-    ``term^2`` boosted terms highlight like plain terms, and ``pre*``
-    becomes a prefix pattern matched against the (stemmed) doc tokens —
-    mirroring prefix expansion over the stemmed vocabulary. Math spans
-    ($...$ SLT and Presentation MathML) are stripped first, exactly as
-    the scorer's parse_query does."""
+    ``term^2`` boosted terms highlight like plain terms, and any glob
+    token (``pre*`` / ``te*m`` / ``t?st``) becomes a pattern matched
+    against the (stemmed) doc tokens — mirroring wildcard expansion over
+    the stemmed vocabulary; a lone trailing ``?`` is punctuation, like
+    the scorer. Math spans ($...$ SLT and Presentation MathML) are
+    stripped first, exactly as the scorer's parse_query does."""
     from tangent_ray.query.scorer import QueryScorer
 
     text = _SLT_SPAN_RE.sub(" ", text)
@@ -70,22 +71,28 @@ def query_match_spec(
     for body, _boost in QueryScorer._SYN_RE.findall(text):
         extra.extend(t.lower() for t in re.split(r"[,|]", body) if t)
     text = QueryScorer._SYN_RE.sub(" ", text)
-    prefixes = tuple(
-        sorted({p.lower() for p, _b in QueryScorer._PREFIX_RE.findall(text)})
-    )
-    text = QueryScorer._PREFIX_RE.sub(" ", text)
+    patterns: list[str] = []
+
+    def _wild(m: re.Match) -> str:
+        pat = m.group(1).lower()
+        if pat.endswith("?") and "*" not in pat and "?" not in pat[:-1]:
+            return pat[:-1]  # lone trailing ? is punctuation (scorer rule)
+        patterns.append(pat)
+        return " "
+
+    text = QueryScorer._WILD_RE.sub(_wild, text)
     for term, _b in QueryScorer._BOOST_RE.findall(text):
         extra.append(term.lower())
     text = QueryScorer._BOOST_RE.sub(" ", text)
     toks = [t.lower() for t in _TOKEN_RE.findall(text)] + extra
     if stem:
         toks = [porter_stem(t) for t in toks]
-    return frozenset(toks), prefixes
+    return frozenset(toks), tuple(sorted(set(patterns)))
 
 
 def query_terms(text: str, stem: bool = True) -> frozenset[str]:
     """The distinct (optionally stemmed) highlightable TEXT terms of a
-    query string (see ``query_match_spec`` — prefix patterns excluded)."""
+    query string (see ``query_match_spec`` — glob patterns excluded)."""
     return query_match_spec(text, stem=stem)[0]
 
 
@@ -117,20 +124,23 @@ def best_window(
 
 def extract_snippet(
     text: str, terms: frozenset[str], width: int = 24, stem: bool = True,
-    prefixes: tuple[str, ...] = (),
+    patterns: tuple[str, ...] = (),
 ) -> tuple[str, str, int, int] | None:
     """(snippet, highlighted, n_hits, n_distinct) for one doc, or None when
     no query term occurs. The snippet spans ``width`` tokens centred on the
     best window, cut at token boundaries of the ORIGINAL text. A token
-    hits when it equals a query term OR starts with a ``prefixes`` entry
-    (the ``pre*`` highlight rule)."""
+    hits when it equals a query term OR full-matches a ``patterns`` glob
+    (the ``pre*`` / ``te*m`` / ``t?st`` highlight rule)."""
+    import fnmatch
+
     spans = [(m.start(), m.end(), m.group().lower()) for m in _TOKEN_RE.finditer(text)]
     if not spans:
         return None
+    rxs = [re.compile(fnmatch.translate(p)) for p in patterns]
     toks = [porter_stem(t) if stem else t for t in (s[2] for s in spans)]
     hit_mask = np.fromiter(
         (
-            t in terms or any(t.startswith(p) for p in prefixes)
+            t in terms or any(rx.match(t) for rx in rxs)
             for t in toks
         ),
         dtype=bool, count=len(toks),
@@ -201,8 +211,8 @@ def snippets_for_results(
     for qid, docid in zip(
         results["query_id"].to_pylist(), results["docid"].to_pylist()
     ):
-        terms, prefixes = terms_by_query.get(qid, (frozenset(), ()))
-        if terms or prefixes:
+        terms, patterns = terms_by_query.get(qid, (frozenset(), ()))
+        if terms or patterns:
             doc_queries.setdefault(int(docid), []).append(qid)
     if not doc_queries:
         return SNIPPET_SCHEMA.empty_table()
@@ -223,9 +233,9 @@ def snippets_for_results(
         for i in np.flatnonzero(mask):
             text = texts[i].as_py() or ""
             for qid in dq[int(ids[i])]:
-                q_terms, q_prefixes = tq[qid]
+                q_terms, q_patterns = tq[qid]
                 got = extract_snippet(text, q_terms, width=width, stem=stem,
-                                      prefixes=q_prefixes)
+                                      patterns=q_patterns)
                 if got is None:
                     continue
                 snip, hl, n_hits, n_distinct = got

@@ -236,6 +236,17 @@ def test_negated_prefix_and_group(idx):
     }
     got2 = dict(_engine(idx, "beta -{gamma,delta}"))
     assert got2 == {d: s for d, s in _engine(idx, "beta") if d not in exc2}
+    # negated GLOB: -a?pha excludes docs containing alpha (not alpine)
+    exc3 = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'a_pha'"
+        ).fetchall()
+    }
+    got3 = dict(_engine(idx, "beta -a?pha"))
+    assert got3 == {d: s for d, s in _engine(idx, "beta") if d not in exc3}
+    # negated lone-trailing-? is the literal term
+    assert _engine(idx, "beta -delta?") == _engine(idx, "beta -delta")
 
 
 def test_collapsed_search_vs_duckdb(idx):
@@ -547,8 +558,10 @@ def test_lone_trailing_question_mark_is_punctuation(idx):
     # "beta?" means the word beta, not a 5-char wildcard
     assert _engine(idx, "beta?") == _engine(idx, "beta")
     assert _engine(idx, "beta?^2") == _engine(idx, "beta^2")
-    # but a real single-char wildcard still works mid-token
-    assert _engine(idx, "bet?") != _engine(idx, "beta") or True
+    # "bet?" is ALSO a lone trailing ? -> plain term "bet" (absent) -> []
+    assert _engine(idx, "bet?") == []
+    # in-query single-char wildcards need a non-trailing ? (or a *)
+    assert _engine(idx, "b?ta") == _engine(idx, "{beta}")
     sc = QueryScorer(idx)
     assert sc.reader.expand_wildcard("bet?", 10) == ["beta"]
 

@@ -153,20 +153,24 @@ def test_match_spec_extension_syntax():
 
     # filters / negations never highlight; groups + boosts do; prefixes
     # come back as patterns
-    terms, prefixes = query_match_spec(
+    terms, patterns = query_match_spec(
         "alpha^2 {beta,gamma} quer* -delta -eps* #lang:en", stem=False
     )
     assert terms == {"alpha", "beta", "gamma"}
-    assert prefixes == ("quer",)
-    # stemming applies to terms, not to prefix patterns
-    terms_s, prefixes_s = query_match_spec("merging runs* ", stem=True)
+    assert patterns == ("quer*",)
+    # stemming applies to terms, not to glob patterns
+    terms_s, patterns_s = query_match_spec("merging runs* ", stem=True)
     assert porter_stem("merging") in terms_s
-    assert prefixes_s == ("runs",)
+    assert patterns_s == ("runs*",)
+    # general globs come through whole; a lone trailing ? is punctuation
+    terms_g, patterns_g = query_match_spec("te*m t?st beta?", stem=False)
+    assert patterns_g == ("t?st", "te*m")
+    assert terms_g == {"beta"}
 
 
 def test_extract_snippet_prefix_highlight():
     text = "plain words then QUERYING and queries appear here"
-    got = extract_snippet(text, frozenset(), prefixes=("quer",), stem=False)
+    got = extract_snippet(text, frozenset(), patterns=("quer*",), stem=False)
     assert got is not None
     snip, hl, n_hits, n_distinct = got
     assert "<em>querying</em>" in hl.lower() and "<em>queries</em>" in hl.lower()
