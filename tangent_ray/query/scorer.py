@@ -968,6 +968,97 @@ class QueryScorer:
             contrib.append(idf * tfn)
         return _accumulate(cand, contrib)
 
+    def explain(self, text: str, docid: int) -> pa.Table:
+        """Per-term score breakdown of a text query against ONE document
+        (Lucene's ``explain()``): a row per contributing query term or
+        expansion group with (term, kind, tf, df, idf, boost, tfn,
+        contribution) — the contributions sum to the doc's score on the
+        TAAT path exactly. Negations/filters are reported as a synthetic
+        ``excluded``/``filtered`` row when they remove the doc."""
+        rows: list[dict] = []
+        docid = int(docid)
+        text, neg_terms = self._split_negations(text)
+        text, groups, filters = self._split_extensions(text)
+        r = self.reader
+        k1, b = self.cfg.k1, self.cfg.b
+
+        def doc_tf_dl(seg_rows) -> tuple[float, float]:
+            tf_sum, dl_of = 0.0, 0.0
+            for seg, row in seg_rows:
+                docs, tfs, dls, _ = seg.postings(row)
+                i = int(np.searchsorted(docs, docid))
+                if i < len(docs) and docs[i] == docid:
+                    tf_sum += float(tfs[i])
+                    dl_of = float(dls[i])
+            return tf_sum, dl_of
+
+        def add(term, kind, tf, df, idf, boost, dl):
+            tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / r.avgdl))
+            rows.append(
+                {
+                    "term": term, "kind": kind, "tf": tf, "df": int(df),
+                    "idf": idf, "boost": boost, "tfn": tfn,
+                    "contribution": boost * idf * tfn,
+                }
+            )
+
+        terms, _, _, _ = self.parse_query(text)
+        for term in terms:
+            df = r.global_df(term)
+            if df == 0:
+                continue
+            seg_rows = [
+                (seg, row)
+                for seg in r.segments
+                for row in seg.lookup.get(term, ())
+            ]
+            tf, dl = doc_tf_dl(seg_rows)
+            if tf:
+                add(term, "term", tf, df, _bm25_idf(r.N, df), 1.0, dl)
+        for members, boost in groups:
+            dfs = [r.global_df(t) for t in members]
+            df_g = max(dfs, default=0)
+            if df_g == 0:
+                continue
+            seg_rows = [
+                (seg, row)
+                for t in members
+                for seg in r.segments
+                for row in seg.lookup.get(t, ())
+            ]
+            tf, dl = doc_tf_dl(seg_rows)
+            if tf:
+                add("|".join(members), "group", tf, df_g,
+                    _bm25_idf(r.N, df_g), boost, dl)
+        if neg_terms:
+            excl = self._excluded_docs(neg_terms)
+            if excl.size and np.searchsorted(excl, docid) < len(excl) \
+                    and excl[np.searchsorted(excl, docid)] == docid:
+                rows.append(
+                    {"term": " ".join(neg_terms), "kind": "excluded",
+                     "tf": 0.0, "df": 0, "idf": 0.0, "boost": 0.0,
+                     "tfn": 0.0, "contribution": 0.0}
+                )
+        if filters:
+            keep = self._facet_mask(np.array([docid], np.int64), filters)
+            if not keep[0]:
+                rows.append(
+                    {"term": " ".join(f"#{c}{o}{v}" for c, o, v in filters),
+                     "kind": "filtered", "tf": 0.0, "df": 0, "idf": 0.0,
+                     "boost": 0.0, "tfn": 0.0, "contribution": 0.0}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("term", pa.string()), ("kind", pa.string()),
+                    ("tf", pa.float64()), ("df", pa.int64()),
+                    ("idf", pa.float64()), ("boost", pa.float64()),
+                    ("tfn", pa.float64()), ("contribution", pa.float64()),
+                ]
+            ),
+        )
+
     def _score_bm25_wand(
         self, plan: list[tuple[float, "Segment", int]], k: int,
         total_postings: int = 0,

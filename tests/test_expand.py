@@ -249,6 +249,33 @@ def test_negated_prefix_and_group(idx):
     assert _engine(idx, "beta -delta?") == _engine(idx, "beta -delta")
 
 
+def test_explain_sums_to_score(idx):
+    """explain(): per-term contributions sum EXACTLY to the doc's TAAT
+    score, for plain, boosted, grouped, prefix, and filtered queries."""
+    sc = QueryScorer(idx)
+    for q in ("alpha beta", "beta^2.5 gamma", "soup {beta,gamma}", "alp*",
+              "alpha beta #lang:de"):
+        d, s = sc.score_query(q, "text", 10)
+        for dd, ss in zip(d.tolist()[:3], s.tolist()[:3]):
+            ex = sc.explain(q, dd)
+            got = float(np.sum(ex["contribution"].to_numpy()))
+            assert abs(got - ss) < 1e-12, (q, dd, got, ss)
+            assert all(k in ("term", "group")
+                       for k in ex["kind"].to_pylist())
+
+
+def test_explain_excluded_and_filtered(idx):
+    sc = QueryScorer(idx)
+    # doc 0 contains delta -> excluded row present
+    ex = sc.explain("alpha -delta", 0)
+    assert "excluded" in ex["kind"].to_pylist()
+    # doc 0 is en -> filtered out by #lang:de
+    ex2 = sc.explain("alpha #lang:de", 0)
+    assert "filtered" in ex2["kind"].to_pylist()
+    # a doc that matches nothing explains to zero rows
+    assert sc.explain("zzznomatch", 0).num_rows == 0
+
+
 def test_collapsed_search_vs_duckdb(idx):
     """Field collapsing: groups of `lang` ranked by best doc, 2 reps per
     group, vs a window-function twin."""
