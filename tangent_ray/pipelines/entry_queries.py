@@ -2956,11 +2956,11 @@ def q_search_features(sf_dir: str):
     (``spannear``), per-term ^boosts (``boost``), hybrid BM25+ANN
     reciprocal-rank fusion (``rrf``), search_after page-2 cursor
     paging (``page2``), df-ranked autocomplete (``complete``), glob
-    wildcard terms (``wild``), field collapsing (``collapse``), and
-    numeric range filters (``rangef``). Each constituent keeps its own
+    wildcard terms (``wild``), field collapsing (``collapse``), numeric
+    range filters (``rangef``), and explain() breakdowns (``explain``). Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    seventeen from the raw corpus + embeddings tables."""
+    eighteen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3043,6 +3043,16 @@ def q_search_features(sf_dir: str):
         round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
     ):
         add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
+    # explain: per-term breakdown of the BM25 query's top-1 doc
+    d1x, _sx = scorer.score_query(" ".join(BM25_QUERY_TERMS), "text", 1)
+    if len(d1x):
+        ex = scorer.explain(" ".join(BM25_QUERY_TERMS), int(d1x[0]))
+        for t_, df_, c_ in zip(
+            ex["term"].to_pylist(), ex["df"].to_pylist(),
+            round_half_away(ex["contribution"].to_numpy(zero_copy_only=False),
+                            6),
+        ):
+            add("explain", t_, int(d1x[0]), df_, c_, "")
     # field collapsing: top sources by best doc, 2 reps each
     from tangent_ray.query.facets import collapsed_search
 
@@ -3855,6 +3865,19 @@ def _search_features_sql() -> str:
       JOIN documents d USING (doc_id)
       WHERE d.{RANGE_COL} > {RANGE_CUT}
       ORDER BY s.score DESC, s.doc_id LIMIT {BM25_K}
+    )
+    UNION ALL
+    SELECT 'explain', term, doc_id, df::BIGINT, round(contribution, 6), ''
+    FROM (
+      SELECT tf.term, tf.doc_id, dfx.df,
+             ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS contribution
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term IN ({q_terms})
+        AND tf.doc_id = (SELECT doc_id FROM scores
+                         ORDER BY score DESC, doc_id LIMIT 1)
     )
     UNION ALL
     SELECT 'collapse', '{COLLAPSE_COL}', doc_id,
