@@ -3043,16 +3043,6 @@ def q_search_features(sf_dir: str):
         round_half_away(mlt["score"].to_numpy(zero_copy_only=False), 6),
     ):
         add("mlt", f"doc{MLT_DOC}", dd, 0, ss, "")
-    # explain: per-term breakdown of the BM25 query's top-1 doc
-    d1x, _sx = scorer.score_query(" ".join(BM25_QUERY_TERMS), "text", 1)
-    if len(d1x):
-        ex = scorer.explain(" ".join(BM25_QUERY_TERMS), int(d1x[0]))
-        for t_, df_, c_ in zip(
-            ex["term"].to_pylist(), ex["df"].to_pylist(),
-            round_half_away(ex["contribution"].to_numpy(zero_copy_only=False),
-                            6),
-        ):
-            add("explain", t_, int(d1x[0]), df_, c_, "")
     # field collapsing: top sources by best doc, 2 reps each
     from tangent_ray.query.facets import collapsed_search
 
@@ -3081,6 +3071,20 @@ def q_search_features(sf_dir: str):
         )
         for dd, ss in zip(d2.tolist(), round_half_away(s2, 6)):
             add("page2", bq, dd, 0, ss, "")
+        # explain: per-term breakdown of the page's best doc, REUSING the
+        # page-1 scoring pass; the explained doc is selected on ROUNDED
+        # score (docid asc tie-break) so the twin's independent fp sort
+        # cannot flip the pick on a sub-1e-6 score tie
+        s1r = round_half_away(s1, 6)
+        best = int(d1[np.lexsort((d1, -s1r))[0]])
+        ex = scorer.explain(bq, best)
+        for t_, df_, c_ in zip(
+            ex["term"].to_pylist(), ex["df"].to_pylist(),
+            round_half_away(
+                ex["contribution"].to_numpy(zero_copy_only=False), 6
+            ),
+        ):
+            add("explain", t_, best, df_, c_, "")
     # hybrid BM25+ANN reciprocal-rank fusion (tests/test_hybrid.py)
     import pyarrow.parquet as pq
 
@@ -3876,8 +3880,13 @@ def _search_features_sql() -> str:
                AS contribution
       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
       WHERE tf.term IN ({q_terms})
-        AND tf.doc_id = (SELECT doc_id FROM scores
-                         ORDER BY score DESC, doc_id LIMIT 1)
+        -- the engine explains page 1's best doc selected on ROUNDED
+        -- score (doc_id asc ties), immune to sub-1e-6 fp sort flips
+        AND tf.doc_id = (
+          SELECT doc_id FROM (SELECT * FROM scores
+                              ORDER BY score DESC, doc_id LIMIT {BM25_K})
+          ORDER BY round(score, 6) DESC, doc_id LIMIT 1
+        )
     )
     UNION ALL
     SELECT 'collapse', '{COLLAPSE_COL}', doc_id,

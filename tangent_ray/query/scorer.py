@@ -883,41 +883,23 @@ class QueryScorer:
         groups: list[tuple[tuple[str, ...], float]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self.reader
-        plan: list[tuple[float, "Segment", int]] = []  # (idf, seg, row)
-        total_postings = 0
-        min_df = 1 << 62
-        for term in terms:  # sorted order fixes fp summation order
-            df = r.global_df(term)
-            if df == 0:
-                continue
-            idf = _bm25_idf(r.N, df)
-            self.last_stats["terms"] += 1
-            total_postings += df
-            min_df = min(min_df, df)
-            for seg in r.segments:
-                for row in seg.lookup.get(term, ()):
-                    plan.append((idf, seg, row))
-        # expansion groups (prefix / synonym / boosted term): each scores
-        # as ONE pseudo-term — per-doc tf summed over members, idf from
-        # the max member df (Lucene SynonymQuery), contribution scaled by
-        # the group's ^boost. Groups are rare vs plain terms and need a
-        # per-doc tf merge before saturation, so their presence forces
-        # the (exact) TAAT path.
-        gplan: list[tuple[float, list[tuple["Segment", int]]]] = []
-        for members, boost in groups:
-            dfs = [r.global_df(t) for t in members]
-            df_g = max(dfs, default=0)
-            if df_g == 0:
-                continue
-            self.last_stats["terms"] += 1
-            total_postings += sum(dfs)
-            rows = [
-                (seg, row)
-                for t in members
-                for seg in r.segments
-                for row in seg.lookup.get(t, ())
-            ]
-            gplan.append((boost * _bm25_idf(r.N, df_g), rows))
+        term_plan, group_plan = self._plan_bm25(terms, groups)
+        plan = [
+            (idf, seg, row)
+            for _t, _df, idf, rows in term_plan
+            for seg, row in rows
+        ]
+        total_postings = sum(df for _t, df, _i, _r in term_plan) + sum(
+            sdf for *_a, sdf, _r in group_plan
+        )
+        min_df = min(
+            (df for _t, df, _i, _r in term_plan), default=1 << 62
+        )
+        self.last_stats["terms"] += len(term_plan) + len(group_plan)
+        gplan = [
+            (boost * idf, rows)
+            for _m, _df, idf, boost, _sdf, rows in group_plan
+        ]
         if (
             not gplan
             and k is not None
@@ -929,19 +911,66 @@ class QueryScorer:
             return self._score_bm25_wand(plan, k, total_postings)
         return self._score_bm25_taat(plan, gplan)
 
+    def _plan_bm25(
+        self, terms: list[str],
+        groups: list[tuple[tuple[str, ...], float]] = (),
+    ) -> tuple[list, list]:
+        """THE shared BM25 planning step of scoring and ``explain()``:
+        ``(term_plan, group_plan)`` with zero-df entries dropped.
+        ``term_plan``: ``(term, df, idf, seg_rows)``. ``group_plan``:
+        ``(members, df_g, idf, boost, sum_dfs, seg_rows)`` — an expansion
+        group (prefix / synonym / boosted term) scores as ONE pseudo-term:
+        per-doc tf summed over members, idf from the max member df
+        (Lucene SynonymQuery), contribution scaled by the ^boost; groups
+        need a per-doc tf merge before saturation, so their presence
+        forces the (exact) TAAT path."""
+        r = self.reader
+        tp = []
+        for term in terms:  # sorted order fixes fp summation order
+            df = r.global_df(term)
+            if df == 0:
+                continue
+            rows = [
+                (seg, row)
+                for seg in r.segments
+                for row in seg.lookup.get(term, ())
+            ]
+            tp.append((term, df, _bm25_idf(r.N, df), rows))
+        gp = []
+        for members, boost in groups:
+            dfs = [r.global_df(t) for t in members]
+            df_g = max(dfs, default=0)
+            if df_g == 0:
+                continue
+            rows = [
+                (seg, row)
+                for t in members
+                for seg in r.segments
+                for row in seg.lookup.get(t, ())
+            ]
+            gp.append(
+                (members, df_g, _bm25_idf(r.N, df_g), boost, sum(dfs), rows)
+            )
+        return tp, gp
+
+    def _bm25_tfn(self, tf, dl):
+        """The ONE BM25 saturation kernel (scalar or vector) shared by
+        TAAT scoring and explain() — identical fp op order on both."""
+        k1, b = self.cfg.k1, self.cfg.b
+        return tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / self.reader.avgdl)
+        )
+
     def _score_bm25_taat(
         self, plan: list[tuple[float, "Segment", int]],
         gplan: list[tuple[float, list[tuple["Segment", int]]]] = (),
     ) -> tuple[np.ndarray, np.ndarray]:
-        r = self.reader
-        k1, b = self.cfg.k1, self.cfg.b
         cand: list[np.ndarray] = []
         contrib: list[np.ndarray] = []
         for idf, seg, row in plan:
             docs, tfs, dls, _ = seg.postings(row)
             self.last_stats["postings"] += len(docs)
-            tff = tfs.astype(np.float64)
-            tfn = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / r.avgdl))
+            tfn = self._bm25_tfn(tfs.astype(np.float64), dls)
             cand.append(docs.astype(np.int64))
             contrib.append(idf * tfn)
         for idf, rows in gplan:
@@ -963,7 +992,7 @@ class QueryScorer:
             np.add.at(utf, inv, np.concatenate(tfs_l))
             udl = np.zeros(len(uniq), dtype=np.float64)
             udl[inv] = np.concatenate(dls_l)  # dl is per-doc constant
-            tfn = utf * (k1 + 1.0) / (utf + k1 * (1.0 - b + b * udl / r.avgdl))
+            tfn = self._bm25_tfn(utf, udl)
             cand.append(uniq)
             contrib.append(idf * tfn)
         return _accumulate(cand, contrib)
@@ -973,14 +1002,15 @@ class QueryScorer:
         (Lucene's ``explain()``): a row per contributing query term or
         expansion group with (term, kind, tf, df, idf, boost, tfn,
         contribution) — the contributions sum to the doc's score on the
-        TAAT path exactly. Negations/filters are reported as a synthetic
-        ``excluded``/``filtered`` row when they remove the doc."""
+        TAAT path exactly (same plan builder and saturation kernel).
+        Negations, filters, and index tombstones are reported as
+        synthetic ``excluded``/``filtered``/``deleted`` rows when they
+        remove the doc from results."""
         rows: list[dict] = []
         docid = int(docid)
         text, neg_terms = self._split_negations(text)
         text, groups, filters = self._split_extensions(text)
         r = self.reader
-        k1, b = self.cfg.k1, self.cfg.b
 
         def doc_tf_dl(seg_rows) -> tuple[float, float]:
             tf_sum, dl_of = 0.0, 0.0
@@ -993,7 +1023,7 @@ class QueryScorer:
             return tf_sum, dl_of
 
         def add(term, kind, tf, df, idf, boost, dl):
-            tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / r.avgdl))
+            tfn = float(self._bm25_tfn(tf, dl))
             rows.append(
                 {
                     "term": term, "kind": kind, "tf": tf, "df": int(df),
@@ -1003,50 +1033,45 @@ class QueryScorer:
             )
 
         terms, _, _, _ = self.parse_query(text)
-        for term in terms:
-            df = r.global_df(term)
-            if df == 0:
-                continue
-            seg_rows = [
-                (seg, row)
-                for seg in r.segments
-                for row in seg.lookup.get(term, ())
-            ]
+        term_plan, group_plan = self._plan_bm25(terms, groups)
+        for term, df, idf, seg_rows in term_plan:
             tf, dl = doc_tf_dl(seg_rows)
             if tf:
-                add(term, "term", tf, df, _bm25_idf(r.N, df), 1.0, dl)
-        for members, boost in groups:
-            dfs = [r.global_df(t) for t in members]
-            df_g = max(dfs, default=0)
-            if df_g == 0:
-                continue
-            seg_rows = [
-                (seg, row)
-                for t in members
-                for seg in r.segments
-                for row in seg.lookup.get(t, ())
-            ]
+                add(term, "term", tf, df, idf, 1.0, dl)
+        for members, df_g, idf, boost, _sdf, seg_rows in group_plan:
             tf, dl = doc_tf_dl(seg_rows)
             if tf:
-                add("|".join(members), "group", tf, df_g,
-                    _bm25_idf(r.N, df_g), boost, dl)
-        if neg_terms:
-            excl = self._excluded_docs(neg_terms)
-            if excl.size and np.searchsorted(excl, docid) < len(excl) \
-                    and excl[np.searchsorted(excl, docid)] == docid:
-                rows.append(
-                    {"term": " ".join(neg_terms), "kind": "excluded",
-                     "tf": 0.0, "df": 0, "idf": 0.0, "boost": 0.0,
-                     "tfn": 0.0, "contribution": 0.0}
-                )
+                add("|".join(members), "group", tf, df_g, idf, boost, dl)
+
+        def marker(term, kind):
+            rows.append(
+                {"term": term, "kind": kind, "tf": 0.0, "df": 0,
+                 "idf": 0.0, "boost": 0.0, "tfn": 0.0, "contribution": 0.0}
+            )
+
+        # membership probes, bounded per term — NOT _excluded_docs's full
+        # decode+unique of every exclusion posting list for one doc
+        def contains(term: str) -> bool:
+            return doc_tf_dl(
+                [
+                    (seg, row)
+                    for seg in r.segments
+                    for row in seg.lookup.get(term, ())
+                ]
+            )[0] > 0
+
+        if neg_terms and any(contains(t) for t in neg_terms):
+            marker(" ".join(neg_terms), "excluded")
         if filters:
             keep = self._facet_mask(np.array([docid], np.int64), filters)
             if not keep[0]:
-                rows.append(
-                    {"term": " ".join(f"#{c}{o}{v}" for c, o, v in filters),
-                     "kind": "filtered", "tf": 0.0, "df": 0, "idf": 0.0,
-                     "boost": 0.0, "tfn": 0.0, "contribution": 0.0}
-                )
+                marker(" ".join(f"#{c}{o}{v}" for c, o, v in filters),
+                       "filtered")
+        ts = r.tombstones
+        if ts.size:
+            i = int(np.searchsorted(ts, docid))
+            if i < len(ts) and ts[i] == docid:
+                marker("", "deleted")
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(

@@ -276,6 +276,35 @@ def test_explain_excluded_and_filtered(idx):
     assert sc.explain("zzznomatch", 0).num_rows == 0
 
 
+def test_explain_deleted_doc(ray_session, tmp_path):
+    """A tombstoned doc explains with a synthetic 'deleted' row — the
+    engine can never surface it, and explain must say so."""
+    import dataclasses
+
+    from tangent_ray.index.deletes import delete_docs
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["alpha beta", "alpha"], pa.string()),
+            }
+        ),
+        os.path.join(src, "d.parquet"),
+    )
+    out = str(tmp_path / "idx")
+    build_index(src, out,
+                dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    delete_docs(out, docids=[0])
+    sc = QueryScorer(out)
+    ex = sc.explain("alpha", 0)
+    assert "deleted" in ex["kind"].to_pylist()
+    assert "deleted" not in sc.explain("alpha", 1)["kind"].to_pylist()
+
+
 def test_collapsed_search_vs_duckdb(idx):
     """Field collapsing: groups of `lang` ranked by best doc, 2 reps per
     group, vs a window-function twin."""
