@@ -205,6 +205,37 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    from tangent_ray.query.scorer import QueryScorer
+
+    ex = QueryScorer(cntl["index_dir"]).explain(args.text, args.docid)
+    for r in ex.to_pylist():
+        print(json.dumps(r))
+    return 0
+
+
+def cmd_complete(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    from tangent_ray.query.scorer import IndexReader
+
+    t = IndexReader(cntl["index_dir"]).complete(args.prefix, n=args.n)
+    for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+        print(json.dumps({"term": term, "df": df}))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    cntl = _load_cntl(args.cntl)
+    from tangent_ray.query.fuzzy import Suggester
+
+    for term, dist, df in Suggester(cntl["index_dir"]).suggest(
+        args.word, topn=args.n
+    ):
+        print(json.dumps({"term": term, "distance": dist, "df": df}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m tangent_ray", description=__doc__.splitlines()[0]
@@ -264,6 +295,24 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("verify", parents=[common],
                        help="distributed index invariant check (A4 verifyIndex)")
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("explain", parents=[common],
+                       help="per-term BM25 score breakdown of one doc")
+    p.add_argument("--text", required=True, help="query text (full syntax)")
+    p.add_argument("--docid", type=int, required=True)
+    p.set_defaults(fn=cmd_explain)
+
+    p = sub.add_parser("complete", parents=[common],
+                       help="df-ranked autocomplete for a prefix")
+    p.add_argument("--prefix", required=True)
+    p.add_argument("-n", type=int, default=10)
+    p.set_defaults(fn=cmd_complete)
+
+    p = sub.add_parser("suggest", parents=[common],
+                       help="SymSpell fuzzy suggestions for a word")
+    p.add_argument("--word", required=True)
+    p.add_argument("-n", type=int, default=5)
+    p.set_defaults(fn=cmd_suggest)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -79,3 +79,56 @@ def test_cli_bad_inputs(tmp_path):
         json.dump({"input": "/nope"}, f)  # missing index_dir
     with pytest.raises(SystemExit):
         main(["index", bad])
+
+
+def test_cli_explain_complete_suggest(ray_session, tmp_path, capsys):
+    """The explain/complete/suggest subcommands print one JSON row per
+    result against a real index + suggest sidecar."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tangent_ray.cli import main
+    from tangent_ray.query.fuzzy import build_suggest_index
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["alpha beta beta", "alphabet soup"],
+                                 pa.string()),
+            }
+        ),
+        os.path.join(src, "d.parquet"),
+    )
+    cntl = str(tmp_path / "cntl.json")
+    idx = str(tmp_path / "idx")
+    with open(cntl, "w") as f:
+        _json.dump(
+            {
+                "input": src, "index_dir": idx, "corpus": "documents",
+                "config": {"stem": False, "math": False, "window": 1,
+                           "eol": "none", "partitions": 1},
+            },
+            f,
+        )
+    assert main(["index", cntl]) == 0
+    capsys.readouterr()
+    build_suggest_index(idx)
+
+    assert main(["explain", cntl, "--text", "alpha beta^2", "--docid", "0"]) == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert {r["term"] for r in rows} == {"alpha", "beta"}
+    assert {r["kind"] for r in rows} == {"term", "group"}
+
+    assert main(["complete", cntl, "--prefix", "alp"]) == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert [r["term"] for r in rows] == ["alpha", "alphabet"]
+
+    assert main(["suggest", cntl, "--word", "alpah"]) == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert rows and rows[0]["term"] == "alpha"
