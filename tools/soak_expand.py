@@ -140,6 +140,11 @@ def main() -> None:
         reps=10,
     )
     out["complete_p50_ms"] = p50(lambda: s.reader.complete("sp", 10), reps=30)
+    if len(d1):
+        out["explain_p50_ms"] = p50(
+            lambda: s.explain("stream^2 index {join,merge}", int(d1[0])),
+            reps=10,
+        )
 
     # hybrid RRF: BM25 leg + 1M-vector brute-force cosine leg
     from bench_ops import write_vecs
