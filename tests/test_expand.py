@@ -368,6 +368,34 @@ def test_collapsed_search_composes_with_extensions(idx):
         collapsed_search(idx, "alpha", "nosuch", k=2)
 
 
+def test_actor_pool_batch_all_syntaxes(idx, ray_session):
+    """One query batch carrying every extension syntax through the
+    map_batches actor pool returns exactly what per-query score_query
+    returns — the pool surface and the resident scorer cannot drift."""
+    from tangent_ray.query.scorer import search
+
+    queries = [
+        "alp*", "{beta,gamma}", "beta^2.5 gamma", "al*a", "b?ta soup",
+        "beta #lang:de", "beta #nval>35", "alpha -delta", "beta -alp*",
+        "soup {beta|gamma}^2 alp* #lang:en",
+    ]
+    qt = pa.table(
+        {
+            "query_id": pa.array([f"q{i}" for i in range(len(queries))]),
+            "kind": pa.array(["text"] * len(queries)),
+            "text": pa.array(queries),
+            "topk": pa.array([10] * len(queries), pa.int32()),
+        }
+    )
+    got = search(qt, idx, concurrency=2).to_pandas()
+    sc = QueryScorer(idx)
+    for i, q in enumerate(queries):
+        d, s = sc.score_query(q, "text", 10)
+        rows = got[got.query_id == f"q{i}"]
+        assert list(rows.docid) == d.tolist(), q
+        assert np.allclose(rows.score.to_numpy(), s, rtol=0, atol=0), q
+
+
 def test_facet_sidecar_incremental_catchup(ray_session, tmp_path):
     """add_increment leaves new partials without facet sidecars (filtered
     queries fail LOUDLY, not stale); re-running build_facet_sidecar
