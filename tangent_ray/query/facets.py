@@ -200,7 +200,7 @@ class FacetCounter:
             hit, rows = self._probe(ids_sorted, q)
             if not len(hit):
                 continue
-            vals = table[col].take(pa.array(rows))
+            vals = pc.cast(table[col].take(pa.array(rows)), pa.string())
             out[hit] = vals.to_numpy(zero_copy_only=False)
         return out.tolist()
 
@@ -245,7 +245,12 @@ class FacetCounter:
                 continue
             vals = table[col].take(pa.array(rows))
             if op == ":":
-                eq = pc.fill_null(pc.equal(vals, value), False)
+                # compare on the cast-to-string view so a numeric sidecar
+                # column (e.g. #n_chars:300) matches like the SQL twin's
+                # ::VARCHAR instead of raising on equal(int64, string)
+                eq = pc.fill_null(
+                    pc.equal(pc.cast(vals, pa.string()), value), False
+                )
             else:
                 nums = pc.cast(vals, pa.float64())  # raises on text values
                 eq = pc.fill_null(self._OPS[op](nums, fval), False)

@@ -671,11 +671,6 @@ class QueryScorer:
         return np.unique(np.concatenate(cand))
 
     # -- query expansion (prefix / synonym groups) + boosts + filters ----
-    #: ``term*`` — trailing-star prefix query (Lucene MultiTermQuery);
-    #: optional ``^boost`` suffix
-    _PREFIX_RE = re.compile(
-        r"(?<![\w*])([a-z0-9]+)\*(?:\^(\d+(?:\.\d+)?))?", re.IGNORECASE
-    )
     #: any glob token — ``te*m``, ``t?st``, ``*ing`` (Lucene
     #: WildcardQuery); a trailing-star-only token takes the prefix-range
     #: fast path, a LONE trailing ``?`` is treated as punctuation
@@ -719,7 +714,13 @@ class QueryScorer:
         equality and ``#col>n`` / ``#col>=n`` / ``#col<n`` / ``#col<=n``
         numeric range syntax, applied to candidates before the top-k cut.
         """
-        if not any(c in text for c in "*{#^?") or "<math" in text:
+        # mirror _split_negations' guard: namespaced MathML (<m:math ...>)
+        # must not have its markup rewritten as extension syntax either
+        if (
+            not any(c in text for c in "*{#^?")
+            or "<math" in text
+            or ":math" in text
+        ):
             return text, [], []
         groups: list[tuple[tuple[str, ...], float]] = []
         filters: list[tuple[str, str, str]] = []

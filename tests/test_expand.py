@@ -662,3 +662,15 @@ def test_complete_vs_duckdb(idx):
         (t, int(d)) for t, d in want
     ]
     assert sc.reader.complete("zzz").num_rows == 0
+
+
+def test_extensions_skip_namespaced_mathml(idx):
+    """<m:math ...> (namespace-prefixed MathML) must bypass extension
+    rewriting entirely, mirroring _split_negations' ':math' guard — a *
+    or ^ inside the markup is formula text, not expansion syntax."""
+    sc = QueryScorer(idx)
+    q = ('<m:math xmlns:m="http://www.w3.org/1998/Math/MathML">'
+         "<m:msup><m:mi>x</m:mi><m:mn>2</m:mn></m:msup></m:math> a*b")
+    clean, groups, filters = sc._split_extensions(q)
+    assert clean == q
+    assert groups == [] and filters == []

@@ -128,3 +128,54 @@ def test_missing_sidecar_raises(ray_session, tmp_path):
                 DocumentsCorpus())
     with pytest.raises(FileNotFoundError):
         FacetCounter(out)
+
+
+def test_numeric_sidecar_column(ray_session, tmp_path):
+    """A sidecar holding a NUMERIC column (external/legacy build — ours
+    stringifies at build time) must still filter (#n_chars:10) and
+    collapse: mask/values_of compare on the cast-to-string view exactly
+    like the SQL twin's ::VARCHAR."""
+    import dataclasses
+    import json
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    t = _tab().append_column(
+        "n_chars", pa.array([len(r[1]) for r in ROWS], pa.int64())
+    )
+    pq.write_table(t, os.path.join(src, "d.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    build_facet_sidecar(out, ["n_chars"])
+    # rewrite the sidecar with the raw int64 column (the legacy layout)
+    with open(os.path.join(out, "manifest.json")) as f:
+        partials = json.load(f)["partials"]
+    for p in partials:
+        d = os.path.join(out, "partials", p, "facets")
+        side = pq.read_table(d)
+        import pyarrow.compute as pc
+
+        fixed = side.set_column(
+            side.schema.get_field_index("n_chars"), "n_chars",
+            pc.cast(side["n_chars"], pa.int64()),
+        )
+        for fn in os.listdir(d):
+            os.remove(os.path.join(d, fn))
+        pq.write_table(fixed, os.path.join(d, "part.parquet"))
+    counter = FacetCounter(out)
+    docids = np.array([r[0] for r in ROWS], dtype=np.int64)
+    want_len = len(ROWS[0][1])  # doc 0's text length
+    mask = counter.mask(docids, "n_chars", str(want_len), op=":")
+    assert mask.tolist() == [len(r[1]) == want_len for r in ROWS]
+    # range op keeps working on the numeric column
+    ge = counter.mask(docids, "n_chars", "12", op=">=")
+    assert ge.tolist() == [len(r[1]) >= 12 for r in ROWS]
+    # values_of stringifies, so collapsed_search groups on "10"/"11"/...
+    vals = counter.values_of(docids, "n_chars")
+    assert vals == [str(len(r[1])) for r in ROWS]
+    from tangent_ray.query.facets import collapsed_search
+
+    got = collapsed_search(out, "alpha", "n_chars", k=3)
+    assert got.num_rows > 0
+    assert all(v.isdigit() for v in got["value"].to_pylist())
