@@ -1,67 +1,90 @@
-"""Positional index sidecar + exact phrase search.
+"""Positional postings index + exact phrase / proximity / span-near search.
 
 The main transcript index stores only FIRST positions per (term, doc) —
 reference parity (``mathindexbase.h:248-255`` keeps one position per
-SubObject). Phrase queries need EVERY position, so they get a separate
-sidecar stream, the same layout decision Lucene makes (positions live in
-``.pos``, apart from the doc/freq stream): the core index stays
-rank-identical to the reference, and pipelines that never issue phrase
-queries never pay for positions.
+SubObject). Phrase-family queries need EVERY position, so they get a
+separate positional-postings file, the same layout decision Lucene makes
+(positions live in ``.pos``, apart from the doc/freq stream): the core
+index stays rank-identical to the reference, and pipelines that never
+issue phrase queries never pay for positions.
 
-Layout (doc-sharded, not term-sharded — the point of the design):
+Layout (TERM-sharded postings — the serving-grade design):
 
-- Build is ONE streaming pass, NO shuffle: each batch explodes to
-  (shard = splitmix(docid) % S, term, docid, positions:list<int32>) rows
-  and appends to partitioned Parquet. Every row of a given doc lands in
-  the same shard by construction.
-- Query reads the sidecar with ``columns=`` pruning and a pushed-down
-  ``term IN phrase_terms`` filter (only matching postings leave storage),
-  then ONE small ``groupby(shard)`` over the filtered stream — grouped by
-  doc-shard, each group holds complete per-doc postings for all phrase
-  terms, so adjacency verification is shard-local. Query cost scales with
-  the matching postings, not the corpus, and shards verify in parallel
-  with no all-to-all.
+- Build is one streaming tokenize pass + ONE ``groupby(skey)`` shuffle
+  keyed by ``crc32(term) % num_shards`` (the exact shape of the main index
+  build, ``index/build.py``). Each reduce group vectorized-encodes every
+  one of its terms into a single segment row::
 
-Adjacency check is fully vectorized: encode (doc, pos) as one uint64 key
-(doc code << 32 | pos) and chain ``np.intersect1d(keys_i - i)`` across the
-phrase terms — a doc position p survives iff term_i appears at p+i for
-every i, i.e. an exact phrase occurrence. Counts are integers end-to-end,
-so the DuckDB twin (positions self-join) matches bit-for-bit — no float
-scoring in the driver-gated surface.
+      (term, df, npos, docs:binary, counts:binary, positions:binary)
+
+  ``docs``      — LEB128 varint docid deltas (df values, ascending)
+  ``counts``    — varint positions-per-doc (df values)
+  ``positions`` — varint position deltas, reset at each doc (npos values)
+
+- Query-time access is O(df(term)): a resident :class:`PositionsReader`
+  (loaded once per actor / process, exactly like the BM25 ``Segment``)
+  maps term -> rows and decodes only the queried terms' byte runs. No
+  per-query Dataset job, no corpus-rate scan — phrase latency scales with
+  the phrase terms' document frequency, not the corpus. (The previous
+  design — a doc-sharded sidecar re-scanned per query with a pushed-down
+  term filter — cost seconds per query at 1M docs; see BASELINE.md.)
+
+- Scale contract: one reader holds ``total_positions_bytes`` resident
+  (~1-2 bytes/token). At cluster scale the shard files partition by
+  ``crc32(term)``, so a serving pool assigns disjoint file subsets per
+  actor (``PositionsReader(dir, files=...)``) and a phrase query fans out
+  one term-fetch per shard before the (tiny) key-intersection step.
+
+Adjacency / span checks are fully vectorized: encode (doc, pos) as one
+uint64 key (doc code << 32 | pos); a phrase position ``p`` survives iff
+term_i appears at ``p+i`` for every i (``np.isin`` chain over per-term
+key arrays). Counts are integers end-to-end, so the DuckDB twin
+(positions self-join) matches bit-for-bit — no float scoring in the
+driver-gated surface.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
+from tangent_ray.index.codec import _varint_encode_with_lengths, varint_decode
 from tangent_ray.tokenize.text import split_tokens
 
-#: doc -> shard must be stable across build and query; splitmix64 finalizer
-#: (same constants as ops/lm.py) so consecutive docids spread evenly.
-_C1 = np.uint64(0x9E3779B97F4A7C15)
-_C2 = np.uint64(0xBF58476D1CE4E5B9)
-_C3 = np.uint64(0x94D049BB133111EB)
+POS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("npos", pa.int64()),
+        ("docs", pa.binary()),
+        ("counts", pa.binary()),
+        ("positions", pa.binary()),
+    ]
+)
+
+_HI32 = np.uint64(32)
+_I64_MAX = np.iinfo(np.int64).max
 
 
-def _doc_shard(docids: np.ndarray, num_shards: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        z = docids.astype(np.uint64) + _C1
-        z = (z ^ (z >> np.uint64(30))) * _C2
-        z = (z ^ (z >> np.uint64(27))) * _C3
-        z = z ^ (z >> np.uint64(31))
-    return (z % np.uint64(num_shards)).astype(np.int32)
+# ---------------------------------------------------------------------------
+# build: explode -> ONE term-keyed shuffle -> vectorized multi-term encode
+# ---------------------------------------------------------------------------
 
 
-def _positions_partial(batch: pa.Table, id_col: str, text_col: str,
+def _explode_positions(batch: pa.Table, id_col: str, text_col: str,
                        num_shards: int) -> pa.Table:
-    """Explode one batch to (shard, term, docid, positions) rows — one row
+    """Explode one batch to (skey, term, docid, positions) rows — one row
     per distinct (doc, term), positions the full sorted occurrence list."""
+    from tangent_ray.index.build import term_shards
+
     parents, tokens, pos = split_tokens(batch[text_col])
     empty = pa.table(
         {
-            "shard": pa.array([], pa.int32()),
+            "skey": pa.array([], pa.int32()),
             "term": pa.array([], pa.string()),
             "docid": pa.array([], pa.int64()),
             "positions": pa.array([], pa.list_(pa.int32())),
@@ -89,43 +112,350 @@ def _positions_partial(batch: pa.Table, id_col: str, text_col: str,
         pa.array(offsets, pa.int32()), pa.array(spos.astype(np.int32), pa.int32())
     )
     group_rows = sp[starts]
-    group_docids = docids_all[group_rows]
     terms = dict_arr.dictionary.take(pa.array(sc[starts], pa.int64()))
     return pa.table(
         {
-            "shard": pa.array(_doc_shard(group_docids, num_shards), pa.int32()),
+            "skey": pa.array(term_shards(terms, num_shards), pa.int32()),
             "term": terms,
-            "docid": pa.array(group_docids, pa.int64()),
+            "docid": pa.array(docids_all[group_rows], pa.int64()),
             "positions": lists,
         }
     )
 
 
+def encode_positions_group(group: pa.Table) -> pa.Table:
+    """Encode every term of one shard group into positional posting runs.
+
+    One shared numpy pass over all the group's terms (the same
+    keep-reduce-off-the-Python-floor rule as ``encode_postings_multi``):
+    lexsort (term code, docid-as-uint64), delta-encode the three value
+    streams once each, then slice per-term byte runs out of the shared
+    encoded buffers. Duplicate (term, docid) rows raise — a repeated
+    document is input corruption (reference warns on repeated docIDs,
+    ``mathindex.cpp:335``)."""
+    n = group.num_rows
+    if n == 0:
+        return POS_SCHEMA.empty_table()
+    term_col = group["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    dict_arr = term_col.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dict_arr.dictionary
+    docids = group["docid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    lists = group["positions"]
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    order = np.lexsort((docids, codes))
+    codes_s = codes[order]
+    docids_s = docids[order]
+    lists_s = lists.take(pa.array(order, pa.int64()))
+    sizes = lists_s.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists_s.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    starts = np.flatnonzero(np.diff(codes_s, prepend=codes_s[0] - 1))
+    ends = np.append(starts[1:], n)
+    if n > 1:
+        dup = (docids_s[1:] == docids_s[:-1]) & (codes_s[1:] == codes_s[:-1])
+        if dup.any():
+            bad = int(codes_s[int(np.flatnonzero(dup)[0])])
+            raise ValueError(
+                f"duplicate docid for term {vocab[bad].as_py()!r} "
+                "(repeated document in input?)"
+            )
+
+    # docid deltas, reset at each term's first posting
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids_s[0]
+    np.subtract(docids_s[1:], docids_s[:-1], out=deltas[1:])
+    deltas[starts] = docids_s[starts]
+    # position deltas, reset at each (doc, term) row's first position
+    off = np.cumsum(sizes) - sizes  # flat start per row
+    pdel = np.empty(len(flat), dtype=np.uint64)
+    if len(flat):
+        pdel[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=pdel[1:])
+        pdel[off] = flat[off]
+
+    def slices(arr: np.ndarray, vstarts: np.ndarray, vends: np.ndarray):
+        """Per-term byte slices of one encoded stream (every term has >= 1
+        doc and >= 1 position, so vstarts[t] < vends[t] always)."""
+        enc, nb = _varint_encode_with_lengths(arr, allow_fast=True)
+        if nb is None:  # fast path: every value is 1 byte
+            bs, be = vstarts, vends
+        else:
+            bends = np.cumsum(nb, dtype=np.int64)
+            bs = bends[vstarts] - nb[vstarts]
+            be = bends[vends - 1]
+        buf = enc.tobytes()
+        return [buf[int(bs[t]) : int(be[t])] for t in range(len(vstarts))]
+
+    # per-term value ranges in each stream's value space
+    pstarts = off[starts]
+    last_row = ends - 1
+    pends = off[last_row] + sizes[last_row]
+    doc_blobs = slices(deltas, starts, ends)
+    cnt_blobs = slices(sizes.astype(np.uint64), starts, ends)
+    pos_blobs = slices(pdel, pstarts, pends)
+    return pa.Table.from_arrays(
+        [
+            pc.take(vocab, pa.array(codes_s[starts], pa.int64())).cast(pa.string()),
+            pa.array((ends - starts).astype(np.int64), pa.int64()),
+            pa.array((pends - pstarts).astype(np.int64), pa.int64()),
+            pa.array(doc_blobs, pa.binary()),
+            pa.array(cnt_blobs, pa.binary()),
+            pa.array(pos_blobs, pa.binary()),
+        ],
+        schema=POS_SCHEMA,
+    )
+
+
 def build_position_index(ds, out_dir: str, num_shards: int = 64,
                          id_col: str = "doc_id", text_col: str = "text"):
-    """Corpus -> positional sidecar at ``out_dir`` (partitioned Parquet).
+    """Corpus -> term-sharded positional postings at ``out_dir`` (Parquet).
 
-    One streaming map, no shuffle; Parquet's dictionary+RLE handles the
-    repeated term strings. ``num_shards`` bounds the query-time group size
-    (size it so one shard's phrase-term postings fit a worker)."""
+    One tokenize map + ONE ``groupby(skey)`` shuffle (`skey = crc32(term)
+    % num_shards`), then a vectorized multi-term encode per reduce group.
+    ``num_shards`` bounds the reduce-group size (positions-rate rows /
+    num_shards per group); Parquet dictionary+RLE handles the term
+    strings. Query-side access is O(df) via :class:`PositionsReader`."""
     (
         ds.map_batches(
-            lambda b: _positions_partial(b, id_col, text_col, num_shards),
+            lambda b: _explode_positions(b, id_col, text_col, num_shards),
             batch_format="pyarrow",
-        ).write_parquet(out_dir)
+        )
+        .groupby("skey")
+        .map_groups(
+            lambda g: encode_positions_group(g.drop_columns(["skey"])),
+            batch_format="pyarrow",
+        )
+        .write_parquet(out_dir)
     )
 
 
-def positions_dataset(index_dir: str, terms: list[str]):
-    """Pruned sidecar read: only the phrase terms' postings leave storage."""
-    import pyarrow.dataset as pads
-    import ray.data
+# ---------------------------------------------------------------------------
+# read: resident reader, O(df) per-term decode
+# ---------------------------------------------------------------------------
 
-    return ray.data.read_parquet(
-        index_dir,
-        columns=["shard", "term", "docid", "positions"],
-        filter=pads.field("term").isin(terms),
+
+def decode_position_run(
+    doc_blob: bytes, cnt_blob: bytes, pos_blob: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One term's run -> (docids:uint64 asc, counts:int64, flat positions).
+
+    ``flat`` concatenates each doc's ascending position list in docid
+    order (lengths given by ``counts``)."""
+    deltas = varint_decode(np.frombuffer(doc_blob, dtype=np.uint8))
+    docids = np.cumsum(deltas, dtype=np.uint64)
+    counts = varint_decode(np.frombuffer(cnt_blob, dtype=np.uint8)).astype(np.int64)
+    pdel = varint_decode(np.frombuffer(pos_blob, dtype=np.uint8))
+    if len(pdel) == 0:
+        return docids, counts, np.empty(0, dtype=np.uint64)
+    g = np.cumsum(pdel, dtype=np.uint64)
+    off = np.cumsum(counts) - counts
+    base = g[off] - pdel[off]
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return docids, counts, g - base[doc_of]
+
+
+class PositionsReader:
+    """Positional postings of an index (all shard files, or a subset for
+    sharded serving), loaded once — term lookup + per-term O(df) decode,
+    the positional twin of the BM25 ``Segment``."""
+
+    MAX_CACHE = 512  # decoded term runs kept hot
+
+    def __init__(self, pos_dir: str, files: list[str] | None = None):
+        if files is None:
+            files = [
+                os.path.join(pos_dir, f)
+                for f in sorted(os.listdir(pos_dir))
+                if f.endswith(".parquet")
+            ]
+        if not files:
+            raise FileNotFoundError(
+                f"no positional postings under {pos_dir!r} — run "
+                "build_position_index"
+            )
+        first = pq.read_schema(files[0])
+        if "docs" not in first.names:
+            raise ValueError(
+                f"{pos_dir!r} holds a legacy doc-sharded positional sidecar "
+                "(schema lacks the encoded 'docs' column) — rebuild it with "
+                "build_position_index"
+            )
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        self.table = t.combine_chunks()
+        self.lookup: dict[str, list[int]] = {}
+        for i, s in enumerate(self.table["term"].to_pylist()):
+            self.lookup.setdefault(s, []).append(i)
+        self._docs = self.table["docs"]
+        self._cnts = self.table["counts"]
+        self._poss = self.table["positions"]
+        self._cache: dict[str, tuple] = {}
+
+    def term_postings(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids:uint64 asc, counts, flat positions) for one term —
+        empty arrays when absent. Multiple rows (increments / salted
+        builds) merge by docid; a duplicate docid across rows raises."""
+        got = self._cache.get(term)
+        if got is not None:
+            return got
+        rows = self.lookup.get(term)
+        if not rows:
+            return (
+                np.empty(0, np.uint64),
+                np.empty(0, np.int64),
+                np.empty(0, np.uint64),
+            )
+        runs = [
+            decode_position_run(
+                self._docs[r].as_py(), self._cnts[r].as_py(), self._poss[r].as_py()
+            )
+            for r in rows
+        ]
+        if len(runs) == 1:
+            out = runs[0]
+        else:
+            docids = np.concatenate([r[0] for r in runs])
+            counts = np.concatenate([r[1] for r in runs])
+            flat = np.concatenate([r[2] for r in runs])
+            order = np.argsort(docids, kind="stable")
+            if (docids[order][1:] == docids[order][:-1]).any():
+                raise ValueError(
+                    f"duplicate docid across positional runs for {term!r}"
+                )
+            seg_starts = np.cumsum(counts) - counts
+            cnts_o = counts[order]
+            tot = int(cnts_o.sum())
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnts_o) - cnts_o, cnts_o
+            )
+            out = (
+                docids[order],
+                cnts_o,
+                flat[np.repeat(seg_starts[order], cnts_o) + within],
+            )
+        if len(self._cache) < self.MAX_CACHE:
+            self._cache[term] = out
+        return out
+
+
+#: resident readers per sidecar dir, invalidated when the file set changes
+_READERS: dict[str, tuple[tuple, PositionsReader]] = {}
+
+
+def positions_reader(pos_dir: str) -> PositionsReader:
+    """Cached resident reader for a positional index dir (rebuilds detected
+    via the parquet file set's (name, size, mtime) signature)."""
+    key = os.path.realpath(pos_dir)
+    sig = tuple(
+        sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in os.scandir(pos_dir)
+            if e.name.endswith(".parquet")
+        )
     )
+    got = _READERS.get(key)
+    if got is not None and got[0] == sig:
+        return got[1]
+    if len(_READERS) >= 8:  # bound resident memory across many test dirs
+        _READERS.pop(next(iter(_READERS)))
+    r = PositionsReader(pos_dir)
+    _READERS[key] = (sig, r)
+    return r
+
+
+def _term_keys(
+    reader: PositionsReader, terms: list[str]
+) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """(all candidate docids asc-uint64, per-term sorted (code<<32|pos)
+    keys) — the shared O(df) prologue of the three positional queries.
+    Codes index into the returned docid union, so keys from different
+    terms compare in one shared space."""
+    per = {t: reader.term_postings(t) for t in set(terms)}
+    nonempty = [p[0] for p in per.values() if p[0].size]
+    if not nonempty:
+        return np.empty(0, np.uint64), {t: np.empty(0, np.uint64) for t in per}
+    all_docs = np.unique(np.concatenate(nonempty))
+    keys: dict[str, np.ndarray] = {}
+    for t, (d, c, f) in per.items():
+        codes = np.searchsorted(all_docs, d).astype(np.uint64)
+        # docids ascending + per-doc positions ascending => keys ascending
+        keys[t] = (np.repeat(codes, c) << _HI32) | f
+    return all_docs, keys
+
+
+def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
+    """Exact phrase top-k from the positional postings — O(sum df) decode,
+    no Dataset job.
+
+    Returns (docid, n_occurrences) sorted by (count desc, docid asc),
+    limit ``k``. Duplicate phrase terms are handled (each occurrence slot
+    checks the right offset even when terms repeat, e.g. "the the")."""
+    terms = _phrase_terms(phrase)
+    all_docs, keys = _term_keys(positions_reader(index_dir), terms)
+    survivors: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        ki = keys[t] if i == 0 else keys[t] - np.uint64(i)
+        survivors = (
+            ki
+            if survivors is None
+            else survivors[np.isin(survivors, ki, assume_unique=True)]
+        )
+        if survivors.size == 0:
+            break
+    if survivors is None or survivors.size == 0:
+        return _result_table(np.empty(0, np.int64), np.empty(0, np.int64))
+    codes, counts = np.unique(
+        (survivors >> _HI32).astype(np.int64), return_counts=True
+    )
+    docs = all_docs[codes].astype(np.int64)
+    order = np.lexsort((docs, -counts))[:k]
+    return _result_table(docs[order], counts[order].astype(np.int64))
+
+
+def proximity_search(
+    index_dir: str, query: str, window: int, k: int = 10
+) -> pa.Table:
+    """Docs whose distinct query terms all occur within ``window`` positions
+    of each other, from the positional postings (O(sum df) decode).
+
+    Returns (docid, min_span) with ``min_span <= window``, sorted by
+    (min_span asc, docid asc), limit ``k``."""
+    terms = sorted(set(_phrase_terms(query)))
+    all_docs, keys = _term_keys(positions_reader(index_dir), terms)
+    codes, spans = _spans_from_sorted_keys([keys[t] for t in terms])
+    keep = spans <= window
+    docs = all_docs[codes[keep]].astype(np.int64)
+    spans = spans[keep]
+    order = np.lexsort((docs, spans))[:k]
+    return _span_table(docs[order], spans[order])
+
+
+def span_near_search(
+    index_dir: str, phrase: str, slop: int, k: int = 10
+) -> pa.Table:
+    """Ordered phrase-with-slop over the positional postings (Lucene
+    ``"a b"~slop`` SpanNear with ``inOrder=true``): docs where the phrase
+    terms occur IN ORDER with at most ``slop`` extra positions between the
+    first and last (slop 0 = exact phrase). Returns (docid, min_slop)
+    sorted (min_slop asc, docid asc), limit ``k``; O(sum df) decode."""
+    terms = _phrase_terms(phrase)  # phrase ORDER, repeats kept
+    all_docs, keys = _term_keys(positions_reader(index_dir), terms)
+    codes, slops = _ordered_spans([keys[t] for t in terms])
+    keep = slops <= slop
+    docs = all_docs[codes[keep]].astype(np.int64)
+    slops = slops[keep]
+    order = np.lexsort((docs, slops))[:k]
+    return _span_table(docs[order], slops[order])
+
+
+# ---------------------------------------------------------------------------
+# shared vectorized kernels (index path and scan twins)
+# ---------------------------------------------------------------------------
 
 
 def _chain_survivors(key_all: np.ndarray, masks) -> np.ndarray:
@@ -168,8 +498,8 @@ def _result_table(docs: np.ndarray, counts: np.ndarray) -> pa.Table:
 
 
 def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
-    """Driver epilogue shared by both phrase paths: concat the per-part
-    partial top-k tables, final (count desc, docid asc) sort, slice k."""
+    """Driver epilogue of the scan twins: concat the per-part partial
+    top-k tables, final (count desc, docid asc) sort, slice k."""
     if not parts:
         return _result_table(np.empty(0, np.int64), np.empty(0, np.int64))
     merged = pa.concat_tables(parts).combine_chunks()
@@ -180,68 +510,12 @@ def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
     return merged.take(idx.slice(0, k))
 
 
-def _phrase_counts_group(
-    group: pa.Table, terms: list[str]
-) -> tuple[np.ndarray, np.ndarray]:
-    """(docids, counts) of exact phrase occurrences within one doc-complete
-    group of (term, docid, positions) rows."""
-    term_col = group["term"].combine_chunks()
-    docid_np = group["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq_docs, doc_codes = np.unique(docid_np, return_inverse=True)
-
-    lists = group["positions"].combine_chunks()
-    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    sizes = lists.value_lengths().to_numpy(zero_copy_only=False)
-    row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
-    key_all = (doc_codes[row_of_pos].astype(np.uint64) << np.uint64(32)) | flat
-
-    survivors = _chain_survivors(
-        key_all,
-        (
-            pc.equal(term_col, t).to_numpy(zero_copy_only=False)[row_of_pos]
-            for t in terms
-        ),
-    )
-    if survivors.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    doc_code = (survivors >> np.uint64(32)).astype(np.int64)
-    codes, counts = np.unique(doc_code, return_counts=True)
-    return uniq_docs[codes], counts.astype(np.int64)
-
-
-def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
-    """Exact phrase top-k from the positional sidecar.
-
-    Returns (docid, n_occurrences) sorted by (count desc, docid asc),
-    limit ``k``. Duplicate phrase terms are handled (each occurrence slot
-    checks the right offset even when terms repeat, e.g. "the the")."""
-    terms = _phrase_terms(phrase)
-    ds = positions_dataset(index_dir, sorted(set(terms)))
-
-    def per_shard(group: pa.Table) -> pa.Table:
-        docs, counts = _phrase_counts_group(group, terms)
-        return _result_table(*_partial_topk(docs, counts, k))
-
-    import ray
-
-    parts = [
-        t
-        for t in ray.get(
-            ds.groupby("shard")
-            .map_groups(per_shard, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    return _merge_topk(parts, k)
-
-
 def phrase_count_scan(ds, phrase: str, k: int = 10, id_col: str = "doc_id",
                       text_col: str = "text") -> pa.Table:
     """Index-free differential twin: the same phrase top-k by direct corpus
     scan (stateless map, per-block partial top-k, bounded driver merge).
-    Use when the phrase is one-off; build the sidecar for repeated
-    queries."""
+    Use when the phrase is one-off; build the positional index for
+    repeated queries."""
     terms = _phrase_terms(phrase)
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -283,7 +557,7 @@ def _phrase_terms(phrase: str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
-# proximity search: all query terms within a position window
+# proximity: all query terms within a position window
 # ---------------------------------------------------------------------------
 #
 # ``min_span(doc)`` = the smallest (max_pos - min_pos) over any tuple of
@@ -291,9 +565,6 @@ def _phrase_terms(phrase: str) -> list[str]:
 # index proximity operator (Lucene SpanNearQuery / "terms within N words").
 # For two terms this is min |p_a - p_b|; integer end-to-end, so the DuckDB
 # positions-join twin matches bit-for-bit.
-
-_I64_MAX = np.iinfo(np.int64).max
-_HI32 = np.uint64(32)
 
 
 def _min_gap_pairs(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -326,8 +597,15 @@ def _min_gap_pairs(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.ndarr
 def _spans_from_keys(
     key_all: np.ndarray, masks: list[np.ndarray]
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_codes, min_span) for docs containing every term. ``masks`` is
-    one occurrence mask over ``key_all`` per DISTINCT term.
+    """Mask-form wrapper of :func:`_spans_from_sorted_keys` (scan twins)."""
+    return _spans_from_sorted_keys([np.sort(key_all[m]) for m in masks])
+
+
+def _spans_from_sorted_keys(
+    keys: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_codes, min_span) for docs containing every term. ``keys[i]``
+    is the i-th DISTINCT term's sorted (doc<<32|pos) occurrence array.
 
     k >= 3 is fully vectorized (no per-doc Python): restrict to docs
     containing all terms, merge the occurrences in (doc, pos) order, and
@@ -336,7 +614,6 @@ def _spans_from_keys(
     labels of the label's next same-doc occurrence at-or-after i``; the
     per-label next arrays come from ONE segmented suffix-min each (doc
     boundaries encoded into the value so runs never leak across docs)."""
-    keys = [np.sort(key_all[m]) for m in masks]
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     if any(len(ks) == 0 for ks in keys):
         return empty
@@ -420,51 +697,6 @@ def _merge_span_topk(parts: list[pa.Table], k: int) -> pa.Table:
     return merged.take(idx.slice(0, k))
 
 
-def proximity_search(
-    index_dir: str, query: str, window: int, k: int = 10
-) -> pa.Table:
-    """Docs whose distinct query terms all occur within ``window`` positions
-    of each other, from the positional sidecar.
-
-    Returns (docid, min_span) with ``min_span <= window``, sorted by
-    (min_span asc, docid asc), limit ``k``. Same scale shape as
-    ``phrase_search``: pruned read of the query terms' postings only, one
-    doc-sharded groupby, shard-local top-k cut, bounded driver merge."""
-    terms = sorted(set(_phrase_terms(query)))
-    ds = positions_dataset(index_dir, terms)
-
-    def per_shard(group: pa.Table) -> pa.Table:
-        term_col = group["term"].combine_chunks()
-        docid_np = group["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq_docs, doc_codes = np.unique(docid_np, return_inverse=True)
-        lists = group["positions"].combine_chunks()
-        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        sizes = lists.value_lengths().to_numpy(zero_copy_only=False)
-        row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
-        key_all = (doc_codes[row_of_pos].astype(np.uint64) << _HI32) | flat
-        masks = [
-            pc.equal(term_col, t).to_numpy(zero_copy_only=False)[row_of_pos]
-            for t in terms
-        ]
-        codes, spans = _spans_from_keys(key_all, masks)
-        keep = spans <= window
-        docs, spans = uniq_docs[codes[keep]], spans[keep]
-        return _span_table(*_partial_span_topk(docs, spans, k))
-
-    import ray
-
-    parts = [
-        t
-        for t in ray.get(
-            ds.groupby("shard")
-            .map_groups(per_shard, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    return _merge_span_topk(parts, k)
-
-
 def proximity_scan(ds, query: str, window: int, k: int = 10,
                    id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Index-free differential twin of ``proximity_search`` (direct corpus
@@ -539,57 +771,6 @@ def _ordered_spans(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
         np.concatenate([[True], docs[1:] != docs[:-1]])
     )
     return docs[starts_i], np.minimum.reduceat(slops, starts_i)
-
-
-def span_near_search(
-    index_dir: str, phrase: str, slop: int, k: int = 10
-) -> pa.Table:
-    """Ordered phrase-with-slop over the positional sidecar (Lucene
-    ``"a b"~slop`` SpanNear with ``inOrder=true``): docs where the phrase
-    terms occur IN ORDER with at most ``slop`` extra positions between the
-    first and last (slop 0 = exact phrase). Returns (docid, min_slop)
-    sorted (min_slop asc, docid asc), limit ``k``; same scale shape as
-    ``phrase_search`` — pruned read, one doc-sharded groupby, shard-local
-    top-k, bounded driver merge."""
-    terms = _phrase_terms(phrase)  # phrase ORDER, repeats kept
-    ds = positions_dataset(index_dir, sorted(set(terms)))
-
-    def per_shard(group: pa.Table) -> pa.Table:
-        term_col = group["term"].combine_chunks()
-        docid_np = group["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq_docs, doc_codes = np.unique(docid_np, return_inverse=True)
-        lists = group["positions"].combine_chunks()
-        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        sizes = lists.value_lengths().to_numpy(zero_copy_only=False)
-        row_of_pos = np.repeat(np.arange(len(group), dtype=np.int64), sizes)
-        key_all = (doc_codes[row_of_pos].astype(np.uint64) << _HI32) | flat
-        by_term = {
-            t: np.sort(
-                key_all[
-                    pc.equal(term_col, t).to_numpy(zero_copy_only=False)[
-                        row_of_pos
-                    ]
-                ]
-            )
-            for t in set(terms)
-        }
-        codes, slops = _ordered_spans([by_term[t] for t in terms])
-        keep = slops <= slop
-        docs, slops = uniq_docs[codes[keep]], slops[keep]
-        return _span_table(*_partial_span_topk(docs, slops, k))
-
-    import ray
-
-    parts = [
-        t
-        for t in ray.get(
-            ds.groupby("shard")
-            .map_groups(per_shard, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    return _merge_span_topk(parts, k)
 
 
 def span_near_scan(ds, phrase: str, slop: int, k: int = 10,

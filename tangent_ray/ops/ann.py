@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -346,7 +348,8 @@ def ivf_centroids(ds, nlist: int, id_col: str = "vec_id",
 
 
 def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding"):
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            centroids: np.ndarray | None = None):
     """IVF-style ANN: coarse-quantize into ``nlist`` clusters, probe the
     ``nprobe`` clusters nearest to each query, exact cosine rescoring only
     inside the probed clusters. The scale path for ``knn_cosine``: work
@@ -354,13 +357,19 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     — the cluster groupby scores each cluster against only the queries
     that probe it (a shared filter-then-score-everything plan would decay
     to O(N) per query as soon as many queries' probe sets cover all
-    clusters).
+    clusters). Pass prebuilt ``centroids`` (from :func:`ivf_centroids`,
+    built ONCE per corpus) for serving — training them per call costs
+    extra dataset passes that a resident path must not pay.
     """
     import ray
 
     import pyarrow.compute as pc
 
-    cents = _normalize(ivf_centroids(ds, nlist, id_col, vec_col))
+    cents = _normalize(
+        centroids
+        if centroids is not None
+        else ivf_centroids(ds, nlist, id_col, vec_col)
+    )
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     wanted = pa.array(np.unique(probes).astype(np.int32), type=pa.int32())
@@ -423,6 +432,141 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
         per_cluster, batch_format="pyarrow"
     )
     return _final_topk(partial, k, id_col)
+
+
+def build_ivf_index(ds, out_dir: str, nlist: int = 64, iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> dict:
+    """Persist a cluster-partitioned IVF index: ONE assignment pass writes
+    the corpus as Parquet partitioned by ``cluster=K/`` dirs, plus the
+    centroid matrix and a manifest.
+
+    This is the resident-serving counterpart of :func:`ivf_knn` (which
+    re-shuffles the corpus by cluster on EVERY call — right for one-off
+    batch jobs, wrong at query rates): the cluster partitioning is paid
+    once at build, and :class:`IVFReader` then touches only the probed
+    clusters' files per query — O(N·nprobe/nlist) bytes, no job, no
+    shuffle. The same build-once/serve-many split as the BM25 index and
+    the positional postings."""
+    import json
+
+    import ray
+
+    cents = _normalize(
+        centroids
+        if centroids is not None
+        else ivf_centroids(ds, nlist, id_col, vec_col, iters=iters)
+    )
+    cref = ray.put(cents)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(
+        IVFAssign, fn_constructor_args=(cref, id_col, vec_col),
+        batch_format="pyarrow", concurrency=actor_pool(),
+    ).write_parquet(os.path.join(out_dir, "clusters"),
+                    partition_cols=["cluster"])
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    manifest = {
+        "nlist": int(cents.shape[0]), "dim": int(cents.shape[1]),
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+class IVFReader:
+    """Resident IVF serving: centroids in memory, per-cluster (ids, unit
+    matrix) loaded lazily from the partitioned files and cached. A query
+    batch probes ``nprobe`` clusters per query and runs one matmul per
+    probed cluster over the UNION of the queries probing it — N queries
+    share the cluster loads and the matmuls (the batching lever)."""
+
+    MAX_RESIDENT = 64  # cluster matrices kept hot
+
+    def __init__(self, index_dir: str):
+        import json
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        self._root = os.path.join(index_dir, "clusters")
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _cluster(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(c)
+        if got is not None:
+            return got
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._root, f"cluster={c}")
+        if not os.path.isdir(d):
+            out = (np.empty(0, np.int64), np.empty((0, 0)))
+        else:
+            id_col = self.manifest["id_col"]
+            t = pq.read_table(d, columns=[id_col, self.manifest["vec_col"]])
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_to_matrix(t[self.manifest["vec_col"]]))
+            order = np.argsort(ids, kind="stable")  # the tie rule's order
+            out = (ids[order], m[order])
+        if len(self._cache) < self.MAX_RESIDENT:
+            self._cache[c] = out
+        return out
+
+    def search(self, query_vecs: np.ndarray, k: int = 10,
+               nprobe: int = 8) -> pa.Table:
+        """(qid, id, score, rank) — per-query exact cosine over the probed
+        clusters, (score desc, id asc) ties, dense ranks."""
+        q = _normalize(np.atleast_2d(np.asarray(query_vecs, np.float64)))
+        nprobe = min(nprobe, self.centroids.shape[0])
+        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        id_col = self.manifest["id_col"]
+        # cluster -> probing queries, so each loaded cluster is scored once
+        by_cluster: dict[int, list[int]] = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                by_cluster.setdefault(int(c), []).append(qi)
+        parts_ids: list[list[np.ndarray]] = [[] for _ in range(len(q))]
+        parts_scores: list[list[np.ndarray]] = [[] for _ in range(len(q))]
+        for c, qis in by_cluster.items():
+            ids, m = self._cluster(c)
+            if not len(ids):
+                continue
+            sims = q[qis] @ m.T
+            part = _topk_ids(sims, k)
+            for r, qi in enumerate(qis):
+                parts_ids[qi].append(ids[part[r]])
+                parts_scores[qi].append(sims[r][part[r]])
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        for qi in range(len(q)):
+            if not parts_ids[qi]:
+                continue
+            ids = np.concatenate(parts_ids[qi])
+            scores = np.concatenate(parts_scores[qi])
+            order = np.lexsort((ids, -scores))[:k]
+            out_q.append(np.full(len(order), qi, np.int32))
+            out_i.append(ids[order])
+            out_s.append(scores[order])
+            out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int32()),
+                id_col: pa.array(np.concatenate(out_i), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "rank": pa.array(np.concatenate(out_r), pa.int32()),
+            }
+        )
 
 
 def lsh_knn(ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,

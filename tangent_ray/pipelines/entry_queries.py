@@ -528,7 +528,10 @@ def _positions_sidecar(sf_dir: str) -> str:
     from tangent_ray.index.positions import build_position_index
 
     src = _doc_path(sf_dir)
-    out = os.path.join(_TMP_ROOT, f"pos-{_lineage_token(src)}")
+    # "pos2": layout version in the cache name — v2 is the term-sharded
+    # positional-postings layout; a stale v1 (doc-sharded) cache dir must
+    # not be reused
+    out = os.path.join(_TMP_ROOT, f"pos2-{_lineage_token(src)}")
 
     def build():
         import shutil
@@ -3099,10 +3102,12 @@ def q_search_features(sf_dir: str):
         .as_py(),
         dtype=np.float64,
     )
+    # ann="brute": the DuckDB twin ranks the ANN leg by exact cosine, so
+    # the gate entry opts into the exact leg; serving defaults to IVF
     hy = hybrid_search(
         scorer, " ".join(BM25_QUERY_TERMS),
         ray.data.read_parquet(epath, columns=["vec_id", "embedding"]),
-        qvec, k=RRF_K, depth=RRF_DEPTH, c=RRF_C,
+        qvec, k=RRF_K, depth=RRF_DEPTH, c=RRF_C, ann="brute",
     )
     for rk, dd, ss in zip(
         hy["rank"].to_pylist(), hy["docid"].to_pylist(),

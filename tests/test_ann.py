@@ -127,3 +127,67 @@ def test_lsh_probe_radius_three_expands(ray_session):
                 probes.add(b ^ (1 << i))
     # radius-3 ball around 0 in 6-bit space: sum C(6,0..3) = 42
     assert len(probes) == 1 + 6 + 15 + 20
+
+
+def test_ivf_index_full_probe_matches_brute(ray_session, tmp_path):
+    """IVFReader with nprobe = nlist scores every vector — results must be
+    identical (ids, scores, ranks) to the exact knn_cosine job."""
+    import ray
+    import ray.data
+
+    from tangent_ray.ops.ann import IVFReader, build_ivf_index, knn_cosine
+
+    t = _clustered(n=150)
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(ds, out, nlist=5, iters=1)
+    reader = IVFReader(out)
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((4, 16))
+    got = reader.search(q, k=7, nprobe=5)
+    want = pa.concat_tables(
+        [x for x in ray.get(
+            knn_cosine(ds, q, k=7).to_arrow_refs()
+        ) if x.num_rows]
+    )
+    gs = got.sort_by([("qid", "ascending"), ("rank", "ascending")])
+    ws = want.select(["qid", "vec_id", "score", "rank"]).sort_by(
+        [("qid", "ascending"), ("rank", "ascending")]
+    )
+    assert gs["qid"].to_pylist() == ws["qid"].to_pylist()
+    assert gs["vec_id"].to_pylist() == ws["vec_id"].to_pylist()
+    assert np.allclose(gs["score"].to_numpy(), ws["score"].to_numpy(),
+                       atol=1e-12)
+    assert gs["rank"].to_pylist() == ws["rank"].to_pylist()
+
+
+def test_ivf_index_recall(ray_session, tmp_path):
+    """nprobe < nlist keeps recall high on clustered data."""
+    import ray
+    import ray.data
+
+    from tangent_ray.ops.ann import IVFReader, build_ivf_index, knn_cosine
+
+    t = _clustered(n=200)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(ds, out, nlist=4, iters=2)
+    reader = IVFReader(out)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = m[[0, 1, 2, 3]] + 0.05  # near-cluster queries
+    approx = reader.search(q, k=10, nprobe=2)
+    exact = pa.concat_tables(
+        [x for x in ray.get(
+            knn_cosine(ds, q, k=10).to_arrow_refs()
+        ) if x.num_rows]
+    )
+
+    def sets(tab):
+        got = {}
+        for qi, vi in zip(tab["qid"].to_pylist(), tab["vec_id"].to_pylist()):
+            got.setdefault(qi, set()).add(vi)
+        return got
+
+    a, e = sets(approx), sets(exact)
+    recall = np.mean([len(a.get(qi, set()) & e[qi]) / len(e[qi]) for qi in e])
+    assert recall >= 0.9, recall

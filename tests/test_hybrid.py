@@ -110,7 +110,8 @@ def test_hybrid_vs_duckdb(setup, ray_session):
     qvec = _vecs()[5]
     sc = QueryScorer(idx)
     got = hybrid_search(
-        sc, "alpha beta", ray.data.read_parquet(emb), qvec, k=4, depth=3
+        sc, "alpha beta", ray.data.read_parquet(emb), qvec, k=4, depth=3,
+        ann="brute",  # the DuckDB twin ranks the ANN leg by exact cosine
     )
     con = duckdb.connect()
     con.register(
@@ -181,9 +182,130 @@ def test_hybrid_empty_text_leg(setup, ray_session):
     idx, emb = setup
     sc = QueryScorer(idx)
     got = hybrid_search(
-        sc, "nosuchword", ray.data.read_parquet(emb), _vecs()[5], k=3, depth=3
+        sc, "nosuchword", ray.data.read_parquet(emb), _vecs()[5], k=3,
+        depth=3, ann="brute",
     )
     # pure-ANN fallback: ids are the ANN top-3 in order
     assert got.num_rows == 3
     assert all(r == 0 for r in got["bm25_rank"].to_pylist())
     assert got["ann_rank"].to_pylist() == [1, 2, 3]
+
+
+def test_ivf_leg_full_probe_matches_brute(setup, ray_session):
+    """With nprobe >= nlist every cluster is probed, so the IVF leg scores
+    every vector — the default leg must then fuse identically to brute."""
+    import ray.data
+
+    idx, emb = setup
+    sc = QueryScorer(idx)
+    kw = dict(k=4, depth=3)
+    want = hybrid_search(
+        sc, "alpha beta", ray.data.read_parquet(emb), _vecs()[5],
+        ann="brute", **kw,
+    )
+    got = hybrid_search(
+        sc, "alpha beta", ray.data.read_parquet(emb), _vecs()[5],
+        ann="ivf", nlist=4, nprobe=4, **kw,
+    )
+    assert got.equals(want)
+
+
+def test_hybrid_batch_matches_per_query(setup, ray_session):
+    """hybrid_search_batch (one shared ANN job) returns per-query tables
+    identical to N separate hybrid_search calls with the same legs."""
+    import ray.data
+
+    from tangent_ray.query.hybrid import hybrid_search_batch
+
+    idx, emb = setup
+    sc = QueryScorer(idx)
+    texts = ["alpha beta", "gamma", "alpha"]
+    vecs = np.stack([_vecs()[1], _vecs()[5], _vecs()[3]])
+    from tangent_ray.ops.ann import ivf_centroids
+
+    cents = ivf_centroids(ray.data.read_parquet(emb), nlist=4)
+    batched = hybrid_search_batch(
+        sc, texts, vecs, ray.data.read_parquet(emb), k=4, depth=3,
+        ann="ivf", centroids=cents, nprobe=2,
+    )
+    for qi, (t, v) in enumerate(zip(texts, vecs)):
+        one = hybrid_search(
+            sc, t, ray.data.read_parquet(emb), v, k=4, depth=3,
+            ann="ivf", centroids=cents, nprobe=2,
+        )
+        import pyarrow.compute as pc
+
+        part = batched.filter(pc.equal(batched["qid"], qi)).drop_columns(
+            ["qid"]
+        )
+        assert part.equals(one), (qi, t)
+
+
+def test_ivf_recall_on_clustered_corpus(ray_session, tmp_path):
+    """IVF leg recall@k >= 0.9 vs brute force on a corpus with real cluster
+    structure (queries drawn near cluster centers — the regime IVF is
+    designed for)."""
+    import ray.data
+
+    from tangent_ray.ops.ann import ivf_centroids, ivf_knn, knn_cosine
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((60, 16)) for c in centers]
+    )
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [r for r in vecs.astype(np.float64)],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tab).repartition(4)
+    queries = centers + rng.standard_normal(centers.shape) * 0.3
+    cents = ivf_centroids(ds, nlist=8, iters=2)
+    import ray as _r
+
+    def ranked(out):
+        t = pa.concat_tables(
+            [x for x in _r.get(out.to_arrow_refs()) if x.num_rows]
+        )
+        got = {}
+        qs = t["qid"].to_pylist()
+        ids = t["vec_id"].to_pylist()
+        for q, i in zip(qs, ids):
+            got.setdefault(q, set()).add(i)
+        return got
+
+    exact = ranked(knn_cosine(ds, queries, k=10))
+    approx = ranked(ivf_knn(ds, queries, k=10, nlist=8, nprobe=3,
+                            centroids=cents))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert float(np.mean(recalls)) >= 0.9, recalls
+
+
+def test_hybrid_with_resident_ivf_reader(setup, ray_session, tmp_path):
+    """ann=IVFReader (the resident serving leg, no Dataset job) fuses
+    identically to the brute leg when every cluster is probed."""
+    import ray.data
+
+    from tangent_ray.ops.ann import IVFReader, build_ivf_index
+
+    idx, emb = setup
+    sc = QueryScorer(idx)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.read_parquet(emb), out, nlist=3, iters=1)
+    reader = IVFReader(out)
+    want = hybrid_search(
+        sc, "alpha beta", ray.data.read_parquet(emb), _vecs()[5],
+        ann="brute", k=4, depth=3,
+    )
+    got = hybrid_search(
+        sc, "alpha beta", ray.data.read_parquet(emb), _vecs()[5],
+        ann=reader, nprobe=3, k=4, depth=3,
+    )
+    assert got.equals(want)

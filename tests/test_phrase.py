@@ -155,22 +155,33 @@ def test_fuzz_random_corpora(ray_session, tmp_path):
                 case, phrase)
 
 
-def test_sidecar_lists_are_sorted_and_complete(ray_session, tmp_path):
+def test_postings_decode_sorted_and_complete(ray_session, tmp_path):
+    """Decoded positional postings reconstruct the corpus exactly: every
+    (term, doc) once, docids ascending per term, positions ascending per
+    doc, and per-doc position totals equal the doc's token count."""
     import ray.data
+
+    from tangent_ray.index.positions import PositionsReader
 
     ds = ray.data.from_arrow(_table(DOCS)).repartition(2)
     out = str(tmp_path / "px_chk")
     build_position_index(ds, out, num_shards=4)
-    side = ray.data.read_parquet(out).to_pandas()
-    # every (doc, term) exactly once; positions ascending; union of list
-    # lengths per doc == doc token count
-    assert not side.duplicated(["docid", "term"]).any()
-    for plist in side["positions"]:
-        assert list(plist) == sorted(plist)
-    got_dl = side.groupby("docid")["positions"].apply(
-        lambda ls: sum(len(p) for p in ls)
-    )
+    reader = PositionsReader(out)
+    per_doc_total: dict[int, int] = {}
+    seen_pairs = set()
+    for term in reader.lookup:
+        docids, counts, flat = reader.term_postings(term)
+        d64 = docids.astype("int64")
+        assert (d64[1:] > d64[:-1]).all(), term  # ascending, unique
+        off = 0
+        for d, c in zip(d64.tolist(), counts.tolist()):
+            assert (term, d) not in seen_pairs
+            seen_pairs.add((term, d))
+            plist = flat[off : off + c].tolist()
+            assert plist == sorted(set(plist)), (term, d)
+            per_doc_total[d] = per_doc_total.get(d, 0) + c
+            off += c
     for doc_id, text in enumerate(DOCS):
         toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
         if toks:
-            assert got_dl[doc_id] == len(toks)
+            assert per_doc_total[doc_id] == len(toks)

@@ -68,7 +68,21 @@ def main() -> None:
         t0 = time.perf_counter()
         build_index(corpus, idx, cfg, DocumentsCorpus())
         out["index_build_sec"] = round(time.perf_counter() - t0, 2)
-    if not os.path.isdir(pos_dir):
+    def _pos_is_current(d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        import pyarrow.parquet as pq_
+
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        # a legacy doc-sharded sidecar lacks the encoded 'docs' column
+        return bool(parts) and "docs" in pq_.read_schema(
+            os.path.join(d, parts[0])
+        ).names
+
+    if not _pos_is_current(pos_dir):
+        import shutil
+
+        shutil.rmtree(pos_dir, ignore_errors=True)
         t0 = time.perf_counter()
         build_position_index(
             ray.data.read_parquet(corpus, columns=["doc_id", "text"]),
@@ -162,10 +176,77 @@ def main() -> None:
         )["embedding"][0].as_py(),
         dtype=np.float64,
     )
+    # brute leg (explicit opt-in — the exact baseline, O(N) matmul/query)
     t0 = time.perf_counter()
-    hy = hybrid_search(s, "stream index join", emb, qvec, k=10, depth=50)
-    out["hybrid_rrf"] = {"sec": round(time.perf_counter() - t0, 2),
-                         "rows": hy.num_rows}
+    hy = hybrid_search(s, "stream index join", emb, qvec, k=10, depth=50,
+                       ann="brute")
+    out["hybrid_rrf_brute"] = {"sec": round(time.perf_counter() - t0, 2),
+                               "rows": hy.num_rows}
+    # serving IVF leg: cluster-partitioned IVF index built ONCE, resident
+    # IVFReader per query batch; recall@depth vs the brute leg
+    import pyarrow as pa
+
+    from tangent_ray.ops.ann import IVFReader, build_ivf_index, knn_cosine
+    from tangent_ray.query.hybrid import hybrid_search_batch
+
+    nlist, nprobe, depth = 64, 8, 50
+    ivf_dir = os.path.join(root, "ivf")
+    if not os.path.exists(os.path.join(ivf_dir, "manifest.json")):
+        t0 = time.perf_counter()
+        build_ivf_index(emb, ivf_dir, nlist=nlist, iters=1)
+        out["ivf_index_build_sec"] = round(time.perf_counter() - t0, 2)
+    reader = IVFReader(ivf_dir)
+    nq = 16
+    rng3 = np.random.default_rng(3)
+    qmat = np.tile(qvec, (nq, 1)) + rng3.standard_normal(
+        (nq, len(qvec))
+    ) * 0.5
+    texts = ["stream index join"] * nq
+    t0 = time.perf_counter()
+    hyb = hybrid_search_batch(
+        s, texts, qmat, emb, k=10, depth=depth, ann=reader, nprobe=nprobe,
+    )
+    cold = time.perf_counter() - t0  # includes lazy cluster loads
+    t0 = time.perf_counter()
+    hybrid_search_batch(
+        s, texts, qmat, emb, k=10, depth=depth, ann=reader, nprobe=nprobe,
+    )
+    warm = time.perf_counter() - t0
+    out["hybrid_rrf_ivf_batch"] = {
+        "cold_sec": round(cold, 2), "warm_sec": round(warm, 2),
+        "n_queries": nq,
+        "warm_per_query_ms": round(warm / nq * 1000, 1),
+        "rows": hyb.num_rows,
+    }
+
+    def topset(t):
+        got: dict[int, set] = {}
+        for q, i in zip(t["qid"].to_pylist(), t["vec_id"].to_pylist()):
+            got.setdefault(q, set()).add(i)
+        return got
+
+    exact = topset(pa.concat_tables(
+        [x for x in ray.get(
+            knn_cosine(emb, qmat, k=depth).to_arrow_refs()
+        ) if x.num_rows]
+    ))
+    # recall/nprobe curve: this corpus is UNIFORM random vectors (the
+    # worst case for any clustering ANN — neighbors scatter across
+    # clusters), so probing half the lists is needed for >= 0.9; on
+    # clustered data (tests/test_ann.py) nprobe=2/4 already clears 0.9
+    for np_ in (nprobe, nlist // 2):
+        t0 = time.perf_counter()
+        approx = topset(reader.search(qmat, k=depth, nprobe=np_))
+        dt = time.perf_counter() - t0
+        out[f"ivf_recall_at_depth_nprobe{np_}"] = {
+            "recall": round(
+                float(np.mean([
+                    len(exact[q] & approx.get(q, set())) / len(exact[q])
+                    for q in exact
+                ])), 4,
+            ),
+            "warm_per_query_ms": round(dt / nq * 1000, 1),
+        }
 
     out["n_docs"] = n_docs
     out["num_cpus"] = num_cpus

@@ -85,15 +85,42 @@ def main() -> None:
     dt = time.perf_counter() - t0
     out["positions_build"] = {"sec": round(dt, 2),
                               "docs_per_sec": round(n_docs / dt)}
+    from tangent_ray.index.positions import span_near_search
+
     for name, fn in (
         ("phrase_search", lambda: phrase_search(pos_dir, phrase, k=20)),
         ("proximity_search",
          lambda: proximity_search(pos_dir, phrase, window=8, k=20)),
+        ("span_near_search",
+         lambda: span_near_search(pos_dir, phrase, slop=8, k=20)),
     ):
         t0 = time.perf_counter()
         t = fn()
-        out[name] = {"sec": round(time.perf_counter() - t0, 2),
+        cold = time.perf_counter() - t0  # includes any reader load
+        ts = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        out[name] = {"cold_sec": round(cold, 3),
+                     "warm_p50_ms": round(float(np.median(ts) * 1000), 2),
                      "rows": t.num_rows}
+
+    # warm reader, cold terms: 20 distinct bigrams, each queried once
+    # (pays the per-term O(df) decode, not just the cached intersection)
+    bigrams = []
+    for row in ds().take(40):
+        toks = row["text"].split()
+        if len(toks) >= 4:
+            bigrams.append(f"{toks[2]} {toks[3]}")
+        if len(bigrams) >= 20:
+            break
+    ts = []
+    for bg in bigrams:
+        t0 = time.perf_counter()
+        phrase_search(pos_dir, bg, k=20)
+        ts.append(time.perf_counter() - t0)
+    out["phrase_distinct_terms_p50_ms"] = round(float(np.median(ts) * 1000), 2)
 
     # --- BM25 index + deletes + NOT -----------------------------------
     idx = os.path.join(root, "idx")
