@@ -30,6 +30,14 @@ import statistics
 import sys
 import time
 
+#: process-start stamp for the cold headline (see run_bench return): the
+#: warm `value` measures steady-state phases (untimed warm-up + best-of-N),
+#: `cold_sec` is the whole single-shot run, interpreter start to JSON —
+#: corpus generation, session spin-up, warm-ups, every rep. The driver's
+#: gate stays the warm number; cold keeps round-over-round comparisons
+#: honest about what a one-shot user pays.
+_T_PROCESS_START = time.time()
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -299,10 +307,15 @@ def run_bench(num_cpus: int) -> dict:
                for r in range(build_reps)))
 
     headline = build_sec + query_wall + search_sec + docs_sec
+    cold_sec = time.time() - _T_PROCESS_START
+    log(f"[bench] warm headline {headline:.3f}s")
+    log(f"[bench] cold single-shot (process start to JSON, incl. corpus "
+        f"gen + warm-ups + all reps): {cold_sec:.3f}s")
     return {
         "metric": "transcripts_index_build_plus_query_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "cold_sec": round(cold_sec, 3),
         "queries": {
             "build_sec": round(build_sec, 3),
             "build_turns_per_sec": round(n_turns / build_sec, 1),

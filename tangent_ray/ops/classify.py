@@ -11,11 +11,11 @@ aggregable so they carry bit-exact SQL twins:
   the model state is a DENSE int64 array of D entries, independent of
   corpus vocabulary. D defaults to 2^18 = 2 MiB of model — broadcast once
   per actor, never reshipped per batch.
-- **Training** is one pre-aggregated groupby: each batch emits its local
-  (bucket, label) count partial (at most D rows), the global sum is a
-  D-row table, and the driver materializes ONLY that bounded table (the
-  TF-IDF don't-pull-the-vocab lesson: driver input is O(D), not
-  O(vocabulary)).
+- **Training** is pre-aggregated: each block emits its local
+  (bucket, label) count partial (at most D rows), a parallel tree reduce
+  (fan-in 16, dense bincount combines) folds the partials, and the driver
+  materializes ONLY the final ≤ D+1-row table (the TF-IDF
+  don't-pull-the-vocab lesson: driver input is O(D), not O(vocabulary)).
 - **Log-ratios are fixed-point** (``round(ln(p1/p0) * 1e6)`` int64, the
   ops/lm.py convention): per-document scores are integer SUMS, so Ray's
   per-batch accumulation order and DuckDB's aggregate order produce the
@@ -93,18 +93,24 @@ def label_bucket_counts(
     text_col: str = "text",
     d: int = D_BUCKETS,
     ngram: int = 1,
-    count_batch_size: int = 32768,
-):
+    count_batch_size: int = 8192,
+) -> pa.Table:
     """Per-(bucket) positive/negative token counts over a labeled corpus:
-    the sufficient statistics of both models, as a Dataset of at most ``d``
-    rows ``(bucket, c_pos, c_neg)``. One pre-aggregated shuffle.
+    the sufficient statistics of both models, as ONE Arrow table of at
+    most ``d+1`` rows ``(bucket, c_pos, c_neg)``.
 
-    ``count_batch_size`` is the combiner lever: a batch's partial is at
-    most ``d`` rows regardless of batch size, so big batches divide the
-    shuffle volume — at the 1M-doc bigram soak, default 1024-row batches
-    pushed 88 M partial rows through the groupby (309 s); 32768-row
-    batches push ≤ 8 M (the tokenize+bucket work itself is 7.6 s)."""
-    from ray.data.aggregate import Sum
+    Wide step = a parallel TREE REDUCE over the per-block sparse partials
+    (fan-in 16, dense-bincount combine per task), not a sort-based
+    groupby: partials are already ≤ d rows each and keyed by a dense int
+    < d, so folding them is O(rows + d) adds — round 3 measured the
+    groupby-Sum over the raw partials as the DSIR wide-step bottleneck
+    (~60 s of the 142 s at 1M docs); the tree reduce does the same sum in
+    < 1 s and moves the same bytes at most ``log_16(blocks)`` times.
+    ``count_batch_size`` bounds each map task's gram arrays — and with
+    the reduce no longer sort-based, SMALLER batches win (more parallel
+    map tasks; 8192 measured 2.4 s vs 17.4 s at 32768 for the 1M-doc map
+    despite 3x the partial rows, which the bincount folds absorb)."""
+    import ray
 
     def part(batch: pa.Table) -> pa.Table:
         lab = batch[label_col]
@@ -124,14 +130,12 @@ def label_bucket_counts(
             ubkt = np.empty(0, dtype=np.int64)
             c = np.zeros((0, 2), dtype=np.int64)
         else:
+            # dense bincount over the 2d fused (bucket, label) space —
+            # O(grams + d), vs the O(grams log grams) sort of np.unique
             fused = buckets * 2 + labv[parents].astype(np.int64)
-            u, cnt = np.unique(fused, return_counts=True)
-            ub = u >> 1
-            pos = (u & 1).astype(bool)
-            ubkt = np.unique(ub)
-            c = np.zeros((len(ubkt), 2), dtype=np.int64)
-            row = np.searchsorted(ubkt, ub)
-            c[row, pos.astype(np.int64)] = cnt
+            dense = np.bincount(fused, minlength=2 * d)
+            ubkt = np.flatnonzero(dense[0::2] | dense[1::2])
+            c = np.stack([dense[2 * ubkt], dense[2 * ubkt + 1]], axis=1)
         # sentinel row: per-batch DOCUMENT counts per label (bucket -1),
         # so the class prior needs no second pass over the corpus
         n_pos = int(labv.sum())
@@ -143,12 +147,50 @@ def label_bucket_counts(
             }
         )
 
-    agg = ds.map_batches(
-        part, batch_format="pyarrow", batch_size=count_batch_size
-    ).groupby("bucket").aggregate(
-        Sum("c_pos", alias_name="c_pos"), Sum("c_neg", alias_name="c_neg")
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        """Fold sparse partial tables into one (≤ d+1 rows) — dense
+        bincount adds, O(rows + d)."""
+        t = pa.concat_tables(tables)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        cp = t["c_pos"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cn = t["c_neg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sen = b == -1
+        dp = np.bincount(b[~sen], weights=cp[~sen], minlength=d).astype(
+            np.int64
+        )
+        dn = np.bincount(b[~sen], weights=cn[~sen], minlength=d).astype(
+            np.int64
+        )
+        nz = np.flatnonzero(dp | dn)
+        return pa.table(
+            {
+                "bucket": pa.array(np.append(nz, -1)),
+                "c_pos": pa.array(np.append(dp[nz], int(cp[sen].sum()))),
+                "c_neg": pa.array(np.append(dn[nz], int(cn[sen].sum()))),
+            }
+        )
+
+    refs = (
+        ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=count_batch_size)
+        .to_arrow_refs()
     )
-    return agg
+    if not refs:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "c_pos": pa.array([], pa.int64()),
+                "c_neg": pa.array([], pa.int64()),
+            }
+        )
+    fan = 16
+    while len(refs) > 1:
+        refs = [
+            combine.remote(*refs[i : i + fan])
+            for i in range(0, len(refs), fan)
+        ]
+    return ray.get(refs[0])
 
 
 class NBModel:
@@ -191,15 +233,12 @@ def nb_train(
     return NBModel(lr, prior, d, ngram)
 
 
-def _collect_counts(counts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    tabs = counts.take_all()
-    bucket = np.fromiter((r["bucket"] for r in tabs), dtype=np.int64,
-                         count=len(tabs))
-    c_pos = np.fromiter((r["c_pos"] for r in tabs), dtype=np.int64,
-                        count=len(tabs))
-    c_neg = np.fromiter((r["c_neg"] for r in tabs), dtype=np.int64,
-                        count=len(tabs))
-    return bucket, c_pos, c_neg
+def _collect_counts(counts: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        counts["bucket"].to_numpy(zero_copy_only=False).astype(np.int64),
+        counts["c_pos"].to_numpy(zero_copy_only=False).astype(np.int64),
+        counts["c_neg"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
 
 
 def nb_score(ds, model: NBModel, id_col: str = "doc_id",

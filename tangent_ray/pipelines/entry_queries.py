@@ -952,11 +952,43 @@ def q_fingerprints(sf_dir: str):
     return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
 
 
+def content_hash_column(t: pa.Table, ndigits: int = 6) -> pa.Table:
+    """Append a deterministic per-row ``content_hash`` (blake2b-64 of the
+    canonical ``|``-joined cell string, floats rounded to ``ndigits``).
+
+    The driver records only row counts for ``no_oracle`` entries, so
+    without this a scoring regression that kept counts stable would pass
+    silently; with it, pytest pins the digest of the whole result (and
+    any row-hashing the driver does flips too)."""
+    import hashlib as _hl
+
+    cols = [c for c in t.column_names]
+    parts: list[list[str]] = []
+    for c in cols:
+        col = t[c]
+        if pa.types.is_floating(col.type):
+            vals = [
+                "" if v is None else repr(round(v, ndigits))
+                for v in col.to_pylist()
+            ]
+        else:
+            vals = ["" if v is None else str(v) for v in col.to_pylist()]
+        parts.append(vals)
+    hashes = [
+        int.from_bytes(
+            _hl.blake2b("|".join(row).encode(), digest_size=8).digest(), "big"
+        ) >> 1
+        for row in zip(*parts)
+    ]
+    return t.append_column("content_hash", pa.array(hashes, pa.int64()))
+
+
 def q_formula_topk(sf_dir: str):
     """Formula-browsing output layer: one row per matched expression
     INSTANCE (docid, pos, expr, score) with the golden-validated core score
     — the reference's Task_FormulaBrowsing R-row shape (mathindex.cpp:161)
-    that the doc-level transcript serving path doesn't produce."""
+    that the doc-level transcript serving path doesn't produce. Carries a
+    ``content_hash`` column pinned by tests/test_gate_entries.py."""
     from tangent_ray.index.build import list_input_files
     from tangent_ray.query.formula import formula_search
 
@@ -968,8 +1000,11 @@ def q_formula_topk(sf_dir: str):
         "fq2": "[?v[=[F!,o[N!1],u[V!p]]]]",
         "fq3": "[R!,w[V!z]]",
     }
-    return formula_search(
-        queries, list_input_files(data_dir), window=2, eol="small", topk=10
+    return content_hash_column(
+        formula_search(
+            queries, list_input_files(data_dir), window=2, eol="small",
+            topk=10,
+        )
     )
 
 
@@ -1021,7 +1056,7 @@ def q_golden_replay(sf_dir: str):
                 "wildcard_max_delta": 0.0,
             }
         )
-    return pa.Table.from_pylist(rows)
+    return content_hash_column(pa.Table.from_pylist(rows))
 
 
 MM_N = 60

@@ -186,13 +186,20 @@ def snippets_for_results(
     corpus=None,
     width: int = 24,
     stem: bool = True,
+    stored=None,
 ) -> pa.Table:
     """Snippet rows for every (query_id, docid) result pair.
 
     ``results`` needs (query_id, docid); ``queries`` (query_id, text) — the
     text queries' term sets drive matching (math-only queries produce no
-    text terms and are skipped). One filtered streaming scan of
-    ``corpus_files``; the doc -> queries map rides in the object store."""
+    text terms and are skipped).
+
+    Two text-access paths: with ``stored`` (a
+    :class:`~tangent_ray.sources.stored.StoredFields` handle or its dir —
+    the serving path) the k result texts come from a row-group-pruned
+    O(results) lookup, no Ray job; without it, one filtered streaming scan
+    of ``corpus_files`` (right for one-off batch calls; the scan is
+    corpus-rate)."""
     import ray
     import ray.data
 
@@ -216,6 +223,41 @@ def snippets_for_results(
             doc_queries.setdefault(int(docid), []).append(qid)
     if not doc_queries:
         return SNIPPET_SCHEMA.empty_table()
+
+    if stored is not None:
+        if isinstance(stored, str):
+            from tangent_ray.sources.stored import StoredFields
+
+            stored = StoredFields(stored)
+        texts_of = stored.texts(list(doc_queries))
+        rows = []
+        for docid, qids in doc_queries.items():
+            text = texts_of.get(docid)
+            if text is None:
+                continue
+            for qid in qids:
+                q_terms, q_patterns = terms_by_query[qid]
+                got = extract_snippet(text, q_terms, width=width, stem=stem,
+                                      patterns=q_patterns)
+                if got is None:
+                    continue
+                snip, hl, n_hits, n_distinct = got
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "docid": docid,
+                        "snippet": snip,
+                        "highlighted": hl,
+                        "n_hits": n_hits,
+                        "n_distinct": n_distinct,
+                    }
+                )
+        if not rows:
+            return SNIPPET_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=SNIPPET_SCHEMA).sort_by(
+            [("query_id", "ascending"), ("docid", "ascending")]
+        )
+
     map_ref = ray.put((doc_queries, terms_by_query))
     wanted = np.fromiter(doc_queries, dtype=np.int64)
     wanted.sort()

@@ -131,7 +131,7 @@ def test_nb_model_bounded_with_smoothing_default(ray_session, docs):
     # an unseen bucket carries the add-one default, not zero
     from tangent_ray.ops.classify import label_bucket_counts
 
-    rows = [r for r in label_bucket_counts(ds, d=D).take_all()
+    rows = [r for r in label_bucket_counts(ds, d=D).to_pylist()
             if r["bucket"] >= 0]  # drop the doc-count sentinel (bucket -1)
     seen = {r["bucket"] for r in rows}
     unseen = next(b for b in range(D) if b not in seen)

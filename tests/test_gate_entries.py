@@ -121,3 +121,34 @@ def test_paragraph_cuts_twin_edge_cases(ray_session):
         exp = want[r["doc_id"]]
         assert int(r["n_cut_paras"]) == exp["n_cut_paras"], (r, exp)
         assert r["text"] == exp["text"], (r, exp)
+
+
+def test_rows_only_entries_content_hash_pins(ray_session):
+    """The two no_oracle gate entries carry a content_hash column whose
+    whole-result digest is pinned here: a scoring perturbation that keeps
+    row counts stable now fails THIS test (and flips any row hashing the
+    driver does) instead of passing silently.
+
+    Repinning is legitimate only for a deliberate, explained semantic
+    change — update the constant in the same commit as the change."""
+    import hashlib
+
+    from tangent_ray.pipelines.entry_queries import (
+        q_formula_topk,
+        q_golden_replay,
+    )
+
+    def digest(t):
+        return hashlib.blake2b(
+            "|".join(
+                str(h) for h in sorted(t["content_hash"].to_pylist())
+            ).encode(),
+            digest_size=8,
+        ).hexdigest()
+
+    g = q_golden_replay("/root/testdata/sf0.001")
+    assert g.num_rows == 16
+    assert digest(g) == "ac008101a51f2a9f"
+    f = q_formula_topk("/root/testdata/sf0.001")
+    assert f.num_rows == 16
+    assert digest(f) == "b148fd36d13ca0f2"

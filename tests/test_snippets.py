@@ -175,3 +175,70 @@ def test_extract_snippet_prefix_highlight():
     snip, hl, n_hits, n_distinct = got
     assert "<em>querying</em>" in hl.lower() and "<em>queries</em>" in hl.lower()
     assert n_hits == 2
+
+
+def test_stored_fields_path_matches_scan(ray_session, tmp_path):
+    """The O(results) stored-fields path returns EXACTLY what the
+    streaming-scan path returns, on a corpus big enough for multiple row
+    groups; StoredFields.texts only returns requested ids."""
+    import random
+
+    import ray.data
+
+    from tangent_ray.sources.corpus import DocumentsCorpus
+    from tangent_ray.sources.stored import StoredFields, build_stored_fields
+
+    rng = random.Random(5)
+    vocab = ["merge", "sort", "stream", "run", "pad", "xyz"]
+    n = 900
+    ids = sorted(rng.sample(range(1, 1 << 40), n))  # sparse hash-ish ids
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(n)
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pq.write_table(docs, os.path.join(src, "d.parquet"))
+    stored_dir = str(tmp_path / "stored")
+    build_stored_fields(src, stored_dir, corpus=DocumentsCorpus(),
+                        row_group_docs=64)
+    sf = StoredFields(stored_dir)
+    # direct lookup: exact texts, absent ids omitted
+    some = ids[::97] + [123456789]
+    got = sf.texts(some)
+    assert set(got) == set(ids[::97])
+    for d in ids[::97]:
+        assert got[d] == texts[ids.index(d)]
+
+    picks = rng.sample(ids, 40)
+    results = pa.table(
+        {
+            "query_id": pa.array(["q1"] * 20 + ["q2"] * 20, pa.string()),
+            "docid": pa.array(picks, pa.int64()),
+        }
+    )
+    queries = pa.table(
+        {
+            "query_id": pa.array(["q1", "q2"], pa.string()),
+            "text": pa.array(["merge sort", "stream run"], pa.string()),
+        }
+    )
+    scan = snippets_for_results(
+        results, queries, [os.path.join(src, "d.parquet")],
+        corpus=DocumentsCorpus(), width=8,
+    )
+    fast = snippets_for_results(
+        results, queries, [os.path.join(src, "d.parquet")],
+        corpus=DocumentsCorpus(), width=8, stored=sf,
+    )
+    assert fast.equals(scan)
+    # the dir-path form loads the handle itself
+    fast2 = snippets_for_results(
+        results, queries, [], corpus=DocumentsCorpus(), width=8,
+        stored=stored_dir,
+    )
+    assert fast2.equals(scan)

@@ -183,6 +183,22 @@ def main() -> None:
     out["snippets_200_pairs"] = {"sec": round(time.perf_counter() - t0, 2),
                                  "rows": snips.num_rows}
 
+    # serving path: stored-fields sidecar (built once) -> O(results) lookup
+    from tangent_ray.sources.stored import StoredFields, build_stored_fields
+
+    stored_dir = os.path.join(root, "stored")
+    t0 = time.perf_counter()
+    build_stored_fields(corpus, stored_dir, corpus=DocumentsCorpus())
+    out["stored_fields_build"] = {"sec": round(time.perf_counter() - t0, 2)}
+    sf_handle = StoredFields(stored_dir)
+    t0 = time.perf_counter()
+    snips2 = snippets_for_results(results, queries, files,
+                                  corpus=DocumentsCorpus(), stored=sf_handle)
+    out["snippets_200_pairs_stored"] = {
+        "sec": round(time.perf_counter() - t0, 3), "rows": snips2.num_rows,
+        "matches_scan": bool(snips2.equals(snips)),
+    }
+
     # --- BPE -------------------------------------------------------------
     from tangent_ray.ops.bpe import bpe_encode_stats, train_bpe_pipeline
 
