@@ -163,6 +163,45 @@ class IndexReader:
             self.manifest["partials"]
         )
 
+    def reload(self, partials: list[str] | None = None) -> None:
+        """LSM refresh for a resident reader: re-read the manifest, global
+        stats and tombstones, attach any NEW partials — segments already in
+        memory are reused, so picking up an ``add_increment`` costs one new
+        partial load, not a full reload (the Lucene ``IndexReader.reopen``
+        model). ``partials`` keeps a sharded reader's subset assignment;
+        ``None`` follows the manifest (full reader). Raises if the index
+        was rebuilt under a different config — a resident engine must not
+        silently switch tokenization parameters mid-flight."""
+        with open(os.path.join(self._index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        if EngineConfig.from_json(self.manifest["config"]) != self.cfg:
+            raise ValueError(
+                "index config changed under a resident reader; build a new "
+                "reader instead of reload()"
+            )
+        have = dict(zip(self.partials, self.segments))
+        pdir = os.path.join(self._index_dir, "partials")
+        new_parts = list(partials) if partials is not None else list(
+            self.manifest["partials"]
+        )
+        self.segments = [
+            have.get(p) or Segment(os.path.join(pdir, p, "terms"))
+            for p in new_parts
+        ]
+        self.partials = new_parts
+        self.N = self.manifest["n_docs"]
+        self.avgdl = max(self.manifest["avgdl_text"], 1e-9)
+        from tangent_ray.index.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(self._index_dir)
+        # finalize_index rewrites the sidecars; drop every derived cache
+        self._stats = None
+        self._vocab = None
+        self._docmap = None
+        self._is_subset = partials is not None and set(self.partials) != set(
+            self.manifest["partials"]
+        )
+
     def global_df(self, term: str) -> int:
         # a full reader computes exact global df from its own segments; the
         # sidecar is needed ONLY for sharded serving (subset readers), and
@@ -489,6 +528,14 @@ class QueryScorer:
         #: per-query instrumentation (reference `I` rows): qt_ms, postings
         #: touched, query terms with matches, candidate docs, returned rows
         self.last_stats: dict = {}
+
+    def refresh(self, partials: list[str] | None = None) -> None:
+        """Pick up index changes (``add_increment`` / ``delete_docs``)
+        without a restart: reload the reader (reusing loaded segments) and
+        drop every scorer-side cache derived from it."""
+        self.reader.reload(partials)
+        self._dead = self.reader.tombstones
+        self._facets = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids: list[str] = []
@@ -1460,6 +1507,20 @@ def search_sharded(
     import ray as _ray
 
     tabs = [t for t in _ray.get(whole.to_arrow_refs()) if t.num_rows]
+    return merge_shard_results(tabs, topk_of, default_k)
+
+
+def merge_shard_results(
+    tabs: list[pa.Table], topk_of: dict[str, int], default_k: int
+) -> pa.Table:
+    """Merge disjoint per-shard result tables into global per-query top-k.
+
+    Bounded input (shards x queries x topk rows). Docs live in exactly one
+    shard, so (score desc, docid asc) is a total order per query and one
+    concat + sort + vectorized rank/cut reproduces unsharded ``search``.
+    Shared by ``search_sharded`` (per-call pools) and the resident
+    ``ShardedEngine`` so both merges are the same code path."""
+    tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return RESULT_SCHEMA.empty_table()
     merged = pa.concat_tables(
