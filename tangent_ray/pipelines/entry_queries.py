@@ -196,6 +196,11 @@ def q_first_positions(sf_dir: str):
 
 
 def q_bm25_topk(sf_dir: str):
+    """BM25 through BOTH engine paths — the per-call actor pool AND the
+    resident 2-shard ``ShardedEngine`` (query/engine.py) — raising if they
+    ever diverge, so the one driver slot oracle-checks the pool's values
+    and the resident engine's identity with it in the same breath."""
+    from tangent_ray.query.engine import ShardedEngine
     from tangent_ray.query.scorer import search
 
     idx = _docs_index(sf_dir)
@@ -204,6 +209,19 @@ def q_bm25_topk(sf_dir: str):
         idx,
         topk=BM25_K,
     ))
+    eng = ShardedEngine(idx, n_shards=2)
+    try:
+        res2 = eng.search(
+            [{"query_id": "q", "kind": "text",
+              "text": " ".join(BM25_QUERY_TERMS), "topk": BM25_K}]
+        )
+    finally:
+        eng.shutdown()
+    cols = ["docid", "score"]
+    if not res.select(cols).cast(res2.select(cols).schema).equals(
+        res2.select(cols)
+    ):
+        raise AssertionError("ShardedEngine diverged from actor-pool search")
     return pa.table(
         {
             "doc_id": res["docid"],
