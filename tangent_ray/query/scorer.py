@@ -1035,11 +1035,15 @@ class QueryScorer:
             if not docs_l:
                 continue
             docs = np.concatenate(docs_l)
-            uniq, inv = np.unique(docs, return_inverse=True)
-            utf = np.zeros(len(uniq), dtype=np.float64)
-            np.add.at(utf, inv, np.concatenate(tfs_l))
-            udl = np.zeros(len(uniq), dtype=np.float64)
-            udl[inv] = np.concatenate(dls_l)  # dl is per-doc constant
+            order = np.argsort(docs, kind="stable")
+            d = docs[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(d[1:] != d[:-1]) + 1]
+            )
+            uniq = d[starts]
+            # tf sums are integer-valued floats -> order-exact regardless
+            utf = np.add.reduceat(np.concatenate(tfs_l)[order], starts)
+            udl = np.concatenate(dls_l)[order][starts]  # per-doc constant
             tfn = self._bm25_tfn(utf, udl)
             cand.append(uniq)
             contrib.append(idf * tfn)
@@ -1330,13 +1334,22 @@ class QueryScorer:
         # drives both the cc sum and the dtc max (dtc = the doc's tuple
         # count, equal on every matched posting of a doc)
         dcat = np.concatenate(cand)
-        uniq, inv = np.unique(dcat, return_inverse=True)
-        if len(uniq) == 0:
-            return uniq, np.empty(0, dtype=np.float64)
-        ccs = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(ccs, inv, np.concatenate(cc))
-        dtc_of = np.zeros(len(uniq), dtype=np.float64)
-        np.maximum.at(dtc_of, inv, np.concatenate(dtc_v))
+        if len(dcat) == 0:
+            return dcat.astype(np.int64), np.empty(0, dtype=np.float64)
+        order = np.argsort(dcat, kind="stable")
+        d = dcat[order]
+        bounds = np.flatnonzero(d[1:] != d[:-1])
+        starts = np.concatenate([[0], bounds + 1])
+        uniq = d[starts]
+        # cc sums in input order (bincount — see _group_sum); max is
+        # order-free so reduceat over the sorted gather is fine
+        gid = np.empty(len(d), dtype=np.int64)
+        gid_sorted = np.zeros(len(d), dtype=np.int64)
+        gid_sorted[bounds + 1] = 1
+        np.cumsum(gid_sorted, out=gid_sorted)
+        gid[order] = gid_sorted
+        ccs = np.bincount(gid, weights=np.concatenate(cc), minlength=len(uniq))
+        dtc_of = np.maximum.reduceat(np.concatenate(dtc_v)[order], starts)
         scores = 2.0 * ccs / (dtc_of + qtc)
         return uniq, scores
 
@@ -1366,16 +1379,41 @@ class QueryScorer:
         return alld, s
 
 
+def _group_sum(docs: np.ndarray, vals: np.ndarray):
+    """Sum ``vals`` per docid; returns (sorted unique docids, sums).
+
+    Stable radix argsort to find the groups, then ``np.bincount`` over the
+    derived inverse to sum them — for hot-term queries (millions of
+    candidate postings) this measures 1.2-1.7x over
+    ``np.unique(return_inverse)`` + ``np.add.at`` on this host.
+    Bit-exact with ``add.at``: bincount walks the input left-to-right adding
+    each value to its bin, the same fp op order ``add.at`` applies over the
+    concatenated arrays (``add.reduceat`` would NOT be — it associates
+    3-element groups right-to-left, a 1-ulp drift the WAND-identity and
+    golden-replay pins reject).
+    """
+    if len(docs) == 0:
+        return docs.astype(np.int64), vals.astype(np.float64)
+    order = np.argsort(docs, kind="stable")
+    d = docs[order]
+    bounds = np.flatnonzero(d[1:] != d[:-1])
+    uniq = d[np.concatenate([[0], bounds + 1])]
+    gid = np.empty(len(d), dtype=np.int64)
+    gid_sorted = np.zeros(len(d), dtype=np.int64)
+    gid_sorted[bounds + 1] = 1
+    np.cumsum(gid_sorted, out=gid_sorted)
+    gid[order] = gid_sorted
+    out = np.bincount(gid, weights=vals, minlength=len(uniq))
+    return uniq, out
+
+
 def _accumulate(cand: list[np.ndarray], contrib: list[np.ndarray]):
     """Sum contributions per docid; returns (sorted unique docids, scores)."""
     if not cand:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     docs = np.concatenate(cand)
     vals = np.concatenate(contrib)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    out = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(out, inv, vals)
-    return uniq, out
+    return _group_sum(docs, vals)
 
 
 def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
