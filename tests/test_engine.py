@@ -123,3 +123,30 @@ def test_engine_refresh_tombstones_increment_compaction(built):
         assert not set(after_purge.to_pandas()["docid"]) & set(victims)
     finally:
         eng.shutdown()
+
+
+def test_engine_mixed_bounds_edges(built):
+    """The two-phase sharded fusion protocol's edge paths, each pinned
+    against unsharded search: an empty text leg (every shard reports
+    n==0, normalization skipped), an empty math leg (bounds still drive
+    a real min-max normalize), and both fallback kinds (n==-1: a
+    formula-only and a text-only query sent with kind="mixed")."""
+    import pyarrow as pa
+
+    _, out_dir = built
+    qs = pa.Table.from_pylist([
+        {"query_id": "e1", "kind": "mixed",
+         "text": "zzznotaword $[V!x[+[V!p,a[N!2]]]]$", "topk": 10},
+        {"query_id": "e2", "kind": "mixed",
+         "text": "merge query $[V!zzznotavar]$", "topk": 10},
+        {"query_id": "e3", "kind": "mixed", "text": "$[V!x,b[N!3]]$",
+         "topk": 10},
+        {"query_id": "e4", "kind": "mixed", "text": "merge query",
+         "topk": 10},
+    ])
+    eng = ShardedEngine(out_dir, n_shards=3)
+    try:
+        full = search(qs, out_dir, concurrency=1).to_pandas()
+        assert_same(eng.search(qs), full)
+    finally:
+        eng.shutdown()
