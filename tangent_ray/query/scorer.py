@@ -525,6 +525,11 @@ class QueryScorer:
         self.topk = topk or self.cfg.topk
         self._dead = self.reader.tombstones  # per-query: tombstones + NOTs
         self._facets = None  # lazy FacetCounter, built on first #col:value
+        # text legs computed by mixed_text_bounds (phase 1 of sharded
+        # fusion), keyed by raw query text; popped by the phase-2
+        # score_query so the leg is never computed twice. Replaced
+        # wholesale per phase-1 batch, cleared on refresh().
+        self._mixed_leg_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         #: per-query instrumentation (reference `I` rows): qt_ms, postings
         #: touched, query terms with matches, candidate docs, returned rows
         self.last_stats: dict = {}
@@ -536,6 +541,7 @@ class QueryScorer:
         self.reader.reload(partials)
         self._dead = self.reader.tombstones
         self._facets = None
+        self._mixed_leg_cache = {}
 
     def __call__(
         self, batch: pa.Table,
@@ -865,6 +871,11 @@ class QueryScorer:
         # instrumentation counters — the reference's per-query `I` rows
         # (qt/post/expr/doc, mathindex.cpp:161-168,295-317)
         self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
+        # phase-1 text leg (keyed by the RAW query text, before the
+        # negation/extension splits below rewrite ``text``)
+        text_leg = (
+            self._mixed_leg_cache.pop(text, None) if kind == "mixed" else None
+        )
         # dead docs for THIS query: index tombstones plus the docs matching
         # any -term exclusion. Both classes share one mechanism: the TAAT /
         # fmeasure candidate sets are post-filtered below (exact — they are
@@ -892,7 +903,8 @@ class QueryScorer:
             d, s = self._score_fmeasure(bag, qtc)
         else:
             d, s = self._score_mixed(terms, bag, qtc, n_formulae,
-                                     groups=groups, bounds=mixed_bounds)
+                                     groups=groups, bounds=mixed_bounds,
+                                     text_leg=text_leg)
         dead = self._dead
         if dead.size and len(d):
             from tangent_ray.util import sorted_lookup
@@ -1364,6 +1376,7 @@ class QueryScorer:
         self, terms: list[str], bag: Counter, qtc: int, n_formulae: int,
         groups: list[tuple[tuple[str, ...], float]] = (),
         bounds: tuple[float, float] | None = None,
+        text_leg: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         if qtc == 0 or n_formulae == 0:
             return self._score_bm25(terms, groups=groups)
@@ -1373,7 +1386,12 @@ class QueryScorer:
         # (utility/comp_query.py:255-291 with mDynamicWeight; an expansion
         # group counts as one keyword)
         mweight = n_formulae / (n_formulae + len(terms) + len(groups))
-        dt, st = self._score_bm25(terms, groups=groups)
+        # ``text_leg`` is the phase-1 result handed back by score_query so
+        # the sharded two-phase protocol computes each text leg once
+        dt, st = (
+            text_leg if text_leg is not None
+            else self._score_bm25(terms, groups=groups)
+        )
         dm, sm = self._score_fmeasure(bag, qtc)
         # min-max normalize text scores into [0,1] (reference normalizes the
         # Solr scores before fusion — utility/comp_query.py:255-291).
@@ -1410,6 +1428,8 @@ class QueryScorer:
         rows: list[dict] = []
         # _score_bm25 updates the per-query instrumentation counters
         self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._mixed_leg_cache = cache  # wholesale replace: one batch live
         for qid, text in zip(
             batch["query_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -1419,7 +1439,8 @@ class QueryScorer:
             if qtc == 0 or n_formulae == 0 or (not terms and not groups):
                 rows.append({"query_id": qid, "lo": 0.0, "hi": 0.0, "n": -1})
                 continue
-            _, st = self._score_bm25(terms, groups=groups)
+            dt, st = self._score_bm25(terms, groups=groups)
+            cache[text] = (dt, st)
             if len(st):
                 rows.append({
                     "query_id": qid, "lo": float(st.min()),
