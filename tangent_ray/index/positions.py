@@ -35,6 +35,15 @@ Layout (TERM-sharded postings — the serving-grade design):
   actor (``PositionsReader(dir, files=...)``) and a phrase query fans out
   one term-fetch per shard before the (tiny) key-intersection step.
 
+- Streaming parity with the main index's D/E/T semantics (§2.9):
+  :func:`add_position_increment` stages new docs' rows and flips them live
+  with one atomic manifest replace; :func:`delete_position_docs` appends
+  tombstones (deleted docs stop matching immediately — the Lucene
+  live-docs rule the main index uses, ``deletes.py``);
+  :func:`compact_positions` rewrites to one row per term, purging
+  tombstones and folding increments (its re-encode doubles as the
+  cross-increment docid-uniqueness verifier).
+
 Adjacency / span checks are fully vectorized: encode (doc, pos) as one
 uint64 key (doc code << 32 | pos); a phrase position ``p`` survives iff
 term_i appears at ``p+i`` for every i (``np.isin`` chain over per-term
@@ -45,7 +54,11 @@ driver-gated surface.
 
 from __future__ import annotations
 
+import fcntl
+import glob
+import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -65,6 +78,38 @@ POS_SCHEMA = pa.schema(
         ("positions", pa.binary()),
     ]
 )
+
+POS_MANIFEST = "positions_manifest.json"
+POS_DELETES_DIR = "deletes"
+
+
+def _active_files(pos_dir: str) -> list[str]:
+    """The positional dir's live segment files, absolute, sorted.
+
+    A manifest-bearing dir (anything built/incremented/compacted by this
+    module since the streaming surface landed) lists its files explicitly,
+    so writers can stage new files on disk and flip them live with ONE
+    atomic ``os.replace`` of the manifest — readers never observe a
+    half-landed increment or a compaction's old+new double-count. Legacy
+    dirs (no manifest: hand-assembled test dirs, pre-manifest builds) fall
+    back to the top-level ``*.parquet`` scan."""
+    mpath = os.path.join(pos_dir, POS_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            rel = json.load(f)["files"]
+        return [os.path.join(pos_dir, r) for r in rel]
+    return [
+        os.path.join(pos_dir, f)
+        for f in sorted(os.listdir(pos_dir))
+        if f.endswith(".parquet")
+    ]
+
+
+def _write_manifest(pos_dir: str, rel_files: list[str]) -> None:
+    mpath = os.path.join(pos_dir, POS_MANIFEST)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump({"files": sorted(rel_files)}, f, indent=1)
+    os.replace(mpath + ".tmp", mpath)
 
 _HI32 = np.uint64(32)
 _I64_MAX = np.iinfo(np.int64).max
@@ -231,6 +276,229 @@ def build_position_index(ds, out_dir: str, num_shards: int = 64,
         )
         .write_parquet(out_dir)
     )
+    _write_manifest(
+        out_dir,
+        [f for f in os.listdir(out_dir) if f.endswith(".parquet")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming: increments, tombstone deletes, compaction (LSM parity with the
+# main index's D/E/T semantics — build.py add_increment / deletes.py /
+# merge.py compact_index)
+# ---------------------------------------------------------------------------
+
+
+def add_position_increment(ds, pos_dir: str, num_shards: int = 64,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> dict:
+    """Index NEW docs into an existing positional dir without a rebuild.
+
+    The increment's term-sharded rows build into ``inc{i:05d}__tmp`` (the
+    same encode pipeline as :func:`build_position_index`), the dir renames
+    atomically, and ONE manifest replace flips the new files live — a crash
+    at any point leaves either the old view or the new view, never a
+    partial one. A term present in both base and increment then owns one
+    row per run; :meth:`PositionsReader.term_postings` merges runs by docid
+    and raises on a duplicate docid (re-ingesting an already-indexed doc is
+    input corruption — the main index's cross-increment uniqueness rule).
+    Returns ``{"name", "n_files", "n_terms"}``."""
+    os.makedirs(pos_dir, exist_ok=True)
+    with open(os.path.join(pos_dir, ".lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        i = 0
+        while glob.glob(os.path.join(pos_dir, f"inc{i:05d}*")):
+            i += 1
+        name = f"inc{i:05d}"
+        tmp = os.path.join(pos_dir, name + "__tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_position_index(ds, tmp, num_shards=num_shards,
+                             id_col=id_col, text_col=text_col)
+        # one manifest per positional dir: the parent's governs, drop the
+        # sub-build's
+        os.remove(os.path.join(tmp, POS_MANIFEST))
+        new_rel = [
+            os.path.join(name, f)
+            for f in sorted(os.listdir(tmp))
+            if f.endswith(".parquet")
+        ]
+        n_terms = sum(pq.read_metadata(os.path.join(tmp, os.path.basename(r))).num_rows
+                      for r in new_rel)
+        os.rename(tmp, os.path.join(pos_dir, name))
+        base = [os.path.relpath(p, pos_dir) for p in _active_files(pos_dir)]
+        _write_manifest(pos_dir, base + new_rel)
+    return {"name": name, "n_files": len(new_rel), "n_terms": int(n_terms)}
+
+
+def load_position_tombstones(pos_dir: str) -> np.ndarray:
+    """Sorted unique int64 tombstoned docids of a positional dir (possibly
+    empty). Same layout as the main index (`deletes.py`)."""
+    files = sorted(
+        glob.glob(os.path.join(pos_dir, POS_DELETES_DIR, "*.parquet"))
+    )
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    parts = [
+        pq.read_table(f, columns=["docid"])["docid"].to_numpy(
+            zero_copy_only=False
+        )
+        for f in files
+    ]
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
+def delete_position_docs(pos_dir: str, docids) -> dict:
+    """Tombstone docs in a positional dir — O(tombstones), no rewrite.
+
+    Deleted docs stop matching phrase/proximity/span-near immediately (the
+    resident reader's file-set signature includes the tombstone files, so
+    :func:`positions_reader` reloads); the postings bytes keep them until
+    :func:`compact_positions`. Idempotent like the main index's
+    ``delete_docs``."""
+    new = np.unique(np.asarray([int(d) for d in docids], dtype=np.int64))
+    if new.size == 0:
+        raise ValueError("delete_position_docs: nothing to delete")
+    ddir = os.path.join(pos_dir, POS_DELETES_DIR)
+    os.makedirs(ddir, exist_ok=True)
+    with open(os.path.join(ddir, ".lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        i = 0
+        while os.path.exists(os.path.join(ddir, f"t{i:05d}.parquet")):
+            i += 1
+        dst = os.path.join(ddir, f"t{i:05d}.parquet")
+        pq.write_table(
+            pa.table({"docid": pa.array(new, type=pa.int64())}), dst + ".tmp"
+        )
+        os.replace(dst + ".tmp", dst)
+    total = load_position_tombstones(pos_dir)
+    return {"added": int(new.size), "n_tombstones": int(total.size)}
+
+
+def _decode_rows_to_lists(batch: pa.Table, num_shards: int,
+                          tomb: np.ndarray) -> pa.Table:
+    """Segment rows -> exploded (skey, term, docid, positions:list<int32>)
+    rows, dropping tombstoned docs — the decode inverse of
+    :func:`encode_positions_group`, used by compaction. The Python loop is
+    over TERM rows (vocab-rate, a few thousand per batch); per-row decode
+    is the vectorized varint kernel."""
+    from tangent_ray.index.build import term_shards
+
+    terms_out: list[str] = []
+    docs_out: list[np.ndarray] = []
+    lists_val: list[np.ndarray] = []
+    lists_len: list[np.ndarray] = []
+    for row in range(batch.num_rows):
+        docids, counts, flat = decode_position_run(
+            batch["docs"][row].as_py(),
+            batch["counts"][row].as_py(),
+            batch["positions"][row].as_py(),
+        )
+        if tomb.size:
+            dead = np.isin(docids.astype(np.int64), tomb)
+            if dead.any():
+                keep = ~dead
+                flat = flat[np.repeat(keep, counts)]
+                docids, counts = docids[keep], counts[keep]
+        if not docids.size:
+            continue
+        terms_out.append(batch["term"][row].as_py())
+        docs_out.append(docids.astype(np.int64))
+        lists_val.append(flat.astype(np.int32))
+        lists_len.append(counts)
+    if not terms_out:
+        return pa.table(
+            {
+                "skey": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "docid": pa.array([], pa.int64()),
+                "positions": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+    term_arr = pa.array(
+        np.repeat(
+            np.arange(len(terms_out)), [len(d) for d in docs_out]
+        ).astype(np.int64)
+    )
+    vocab = pa.array(terms_out, pa.string())
+    terms = pc.take(vocab, term_arr)
+    all_len = np.concatenate(lists_len).astype(np.int64)
+    offsets = np.zeros(len(all_len) + 1, dtype=np.int32)
+    np.cumsum(all_len, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(np.concatenate(lists_val), pa.int32()),
+    )
+    return pa.table(
+        {
+            "skey": pa.array(term_shards(terms, num_shards), pa.int32()),
+            "term": terms,
+            "docid": pa.array(np.concatenate(docs_out), pa.int64()),
+            "positions": lists,
+        }
+    )
+
+
+def compact_positions(pos_dir: str, num_shards: int = 64) -> dict:
+    """Rewrite a positional dir to one row per term, physically dropping
+    tombstoned docs and folding every increment — the positional
+    ``purge_deletes`` + ``compact_index``. One Ray job: decode-explode the
+    live rows (vocab-rate Python, positions-rate numpy), re-shard with the
+    build's ``groupby(crc32(term) % num_shards)``, re-encode. The
+    re-encode's duplicate-docid check makes compaction double as the
+    cross-increment uniqueness verifier. New files stage under
+    ``cmp{i:05d}__tmp``; ONE manifest replace flips them live, then old
+    files and tombstones are removed (a crash after the flip leaves
+    ignorable orphans, never a bad view)."""
+    import ray.data
+
+    old_files = _active_files(pos_dir)
+    tomb = load_position_tombstones(pos_dir)
+    with open(os.path.join(pos_dir, ".lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        i = 0
+        while glob.glob(os.path.join(pos_dir, f"cmp{i:05d}*")):
+            i += 1
+        name = f"cmp{i:05d}"
+        tmp = os.path.join(pos_dir, name + "__tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            ray.data.read_parquet(old_files)
+            .map_batches(
+                lambda b: _decode_rows_to_lists(b, num_shards, tomb),
+                batch_format="pyarrow",
+            )
+            .groupby("skey")
+            .map_groups(
+                lambda g: encode_positions_group(g.drop_columns(["skey"])),
+                batch_format="pyarrow",
+            )
+            .write_parquet(tmp)
+        )
+        new_rel = [
+            os.path.join(name, f)
+            for f in sorted(os.listdir(tmp))
+            if f.endswith(".parquet")
+        ]
+        os.rename(tmp, os.path.join(pos_dir, name))
+        _write_manifest(pos_dir, new_rel)
+        # old view is unreachable now — physical cleanup
+        shutil.rmtree(os.path.join(pos_dir, POS_DELETES_DIR),
+                      ignore_errors=True)
+        keep = {os.path.join(pos_dir, r) for r in new_rel}
+        for p in old_files:
+            if p not in keep and os.path.exists(p):
+                os.remove(p)
+        for d in os.listdir(pos_dir):
+            full = os.path.join(pos_dir, d)
+            if (d.startswith(("inc", "cmp")) and d != name
+                    and os.path.isdir(full)):
+                shutil.rmtree(full, ignore_errors=True)
+    return {
+        "name": name,
+        "n_files": len(new_rel),
+        "n_tombstones_purged": int(tomb.size),
+        "n_source_files": len(old_files),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -267,11 +535,7 @@ class PositionsReader:
 
     def __init__(self, pos_dir: str, files: list[str] | None = None):
         if files is None:
-            files = [
-                os.path.join(pos_dir, f)
-                for f in sorted(os.listdir(pos_dir))
-                if f.endswith(".parquet")
-            ]
+            files = _active_files(pos_dir)
         if not files:
             raise FileNotFoundError(
                 f"no positional postings under {pos_dir!r} — run "
@@ -286,6 +550,7 @@ class PositionsReader:
             )
         t = pa.concat_tables([pq.read_table(f) for f in files])
         self.table = t.combine_chunks()
+        self.tombstones = load_position_tombstones(pos_dir)
         self.lookup: dict[str, list[int]] = {}
         for i, s in enumerate(self.table["term"].to_pylist()):
             self.lookup.setdefault(s, []).append(i)
@@ -338,6 +603,17 @@ class PositionsReader:
                 cnts_o,
                 flat[np.repeat(seg_starts[order], cnts_o) + within],
             )
+        if self.tombstones.size:
+            # live-docs filter (deletes.py visibility rule: deleted docs
+            # stop matching immediately, bytes go at compaction)
+            dead = np.isin(out[0].astype(np.int64), self.tombstones)
+            if dead.any():
+                keep = ~dead
+                out = (
+                    out[0][keep],
+                    out[1][keep],
+                    out[2][np.repeat(keep, out[1])],
+                )
         if len(self._cache) < self.MAX_CACHE:
             self._cache[term] = out
         return out
@@ -348,14 +624,17 @@ _READERS: dict[str, tuple[tuple, PositionsReader]] = {}
 
 
 def positions_reader(pos_dir: str) -> PositionsReader:
-    """Cached resident reader for a positional index dir (rebuilds detected
-    via the parquet file set's (name, size, mtime) signature)."""
+    """Cached resident reader for a positional index dir (rebuilds,
+    increments, deletes and compactions all detected via the active-file +
+    tombstone set's (name, size, mtime) signature)."""
     key = os.path.realpath(pos_dir)
+    watched = _active_files(pos_dir) + sorted(
+        glob.glob(os.path.join(pos_dir, POS_DELETES_DIR, "*.parquet"))
+    )
     sig = tuple(
         sorted(
-            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-            for e in os.scandir(pos_dir)
-            if e.name.endswith(".parquet")
+            (os.path.relpath(p, pos_dir), st.st_size, st.st_mtime_ns)
+            for p, st in ((p, os.stat(p)) for p in watched if os.path.exists(p))
         )
     )
     got = _READERS.get(key)
