@@ -1105,6 +1105,22 @@ class QueryScorer:
                 out = self._score_bm25_taat_dense(term_plan, gplan, k, dd)
                 if out is not None:
                     return out
+        if k is None and total_postings >= self.dense_min_postings:
+            # full-candidate callers (facets / cursors / the mixed-fusion
+            # text leg) still win the no-sort accumulation; dead docs are
+            # NOT filtered here — the classic k=None contract leaves that
+            # to score_query, and mixed-fusion bounds must see the raw
+            # candidate set
+            dd = r.dense_docids()
+            if (dd is not None and len(dd)
+                    and total_postings * self.dense_ratio >= len(dd)):
+                scores = self._dense_scores(term_plan, gplan, dd)
+                if scores is not None:
+                    self.last_stats["dense_taat"] = (
+                        self.last_stats.get("dense_taat", 0) + 1
+                    )
+                    cand = np.flatnonzero(scores > 0.0)
+                    return dd[cand], scores[cand]
         return self._score_bm25_taat(plan, gplan)
 
     def _plan_bm25(
@@ -1231,22 +1247,13 @@ class QueryScorer:
                 self._term_vecs[term] = got
         return got
 
-    def _score_bm25_taat_dense(
-        self, term_plan: list, gplan: list, k: int, all_docids: np.ndarray,
-    ) -> tuple[np.ndarray, np.ndarray] | None:
-        """Hot-term top-k TAAT in dense rank space: one ``np.bincount``
-        per term over cached dense-rank vectors replaces the 62-bit-key
-        sort of ``_accumulate`` (O(postings + N·terms) vs O(postings log
-        postings) with cache-hostile gathers). Bit-identical to the
-        classic path: bincount starts each bin at +0.0 (``0.0 + x == x``
-        for the positive contributions here) and per-term vectors sum in
-        plan order, so every doc's fp summation order matches the
-        concatenated-bincount classic path exactly; per-group tf sums are
-        integer-exact; rank order == docid order so ``_topk`` tie-breaks
-        agree; dead docs are zeroed before the cut exactly like the
-        classic post-filter (the WAND branch's contract). Returns None
-        when a row's docids are missing from the dense space (docmap
-        mismatch) — caller falls back."""
+    def _dense_scores(
+        self, term_plan: list, gplan: list, all_docids: np.ndarray,
+    ) -> np.ndarray | None:
+        """The shared dense accumulation: full score vector over the dense
+        rank space (one bincount per term over cached vectors, in-place
+        sums in plan order — the classic concat fp order). None on docmap
+        mismatch or an empty plan (caller falls back to classic)."""
         n_dense = len(all_docids)
         scores: np.ndarray | None = None
         for term, df, idf, rows in term_plan:
@@ -1285,8 +1292,28 @@ class QueryScorer:
             # nz is unique, so fancy += adds exactly once per doc, in
             # (terms-then-groups) order — the classic concat order
             scores[nz] += idf * self._bm25_tfn(utf[nz], dl_arr[nz])
+        return scores
+
+    def _score_bm25_taat_dense(
+        self, term_plan: list, gplan: list, k: int, all_docids: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Hot-term top-k TAAT in dense rank space: one ``np.bincount``
+        per term over cached dense-rank vectors replaces the 62-bit-key
+        sort of ``_accumulate`` (O(postings + N·terms) vs O(postings log
+        postings) with cache-hostile gathers). Bit-identical to the
+        classic path: bincount starts each bin at +0.0 (``0.0 + x == x``
+        for the positive contributions here) and per-term vectors sum in
+        plan order, so every doc's fp summation order matches the
+        concatenated-bincount classic path exactly; per-group tf sums are
+        integer-exact; rank order == docid order so ``_topk`` tie-breaks
+        agree; dead docs are zeroed before the cut exactly like the
+        classic post-filter (the WAND branch's contract). Returns None
+        when a row's docids are missing from the dense space (docmap
+        mismatch) — caller falls back."""
+        n_dense = len(all_docids)
+        scores = self._dense_scores(term_plan, gplan, all_docids)
         if scores is None:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+            return None
         dead = self._dead
         if dead.size:
             pos = np.minimum(
@@ -1645,11 +1672,7 @@ class QueryScorer:
         if len(st):
             lo, hi = (st.min(), st.max()) if bounds is None else bounds
             st = (st - lo) / (hi - lo) if hi > lo else np.ones_like(st)
-        alld = np.union1d(dt, dm)
-        s = np.zeros(len(alld))
-        s[np.searchsorted(alld, dm)] += mweight * sm
-        s[np.searchsorted(alld, dt)] += (1 - mweight) * st
-        return alld, s
+        return _fuse_legs(dt, (1 - mweight) * st, dm, mweight * sm)
 
     def mixed_text_bounds(self, batch: pa.Table) -> list[dict]:
         """Phase 1 of exact sharded mixed-query fusion: per query, the
@@ -1691,6 +1714,42 @@ class QueryScorer:
             else:
                 rows.append({"query_id": qid, "lo": 0.0, "hi": 0.0, "n": 0})
         return rows
+
+
+def _fuse_legs(
+    dt: np.ndarray, wt: np.ndarray, dm: np.ndarray, wm: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union-fuse two (sorted unique docids, weighted scores) legs.
+
+    Bit-identical to ``union1d + scatter-add math then text`` (each doc
+    sums ``0 (+ math) (+ text)`` in that order) but without sorting the
+    union: both legs arrive sorted, so every union position is an
+    ``arange`` plus a searchsorted against the other leg's (small)
+    complement — the union1d sort was the mixed-query fusion's cost at
+    candidate scale."""
+    if not len(dm):
+        return dt, wt
+    if not len(dt):
+        return dm, wm
+    pos = np.searchsorted(dt, dm)
+    clam = np.minimum(pos, len(dt) - 1)
+    shared = dt[clam] == dm
+    extra = dm[~shared]  # sorted: dm is
+    pos_dt = np.arange(len(dt), dtype=np.int64) + np.searchsorted(extra, dt)
+    pos_ex = (
+        np.arange(len(extra), dtype=np.int64) + np.searchsorted(dt, extra)
+    )
+    n_all = len(dt) + len(extra)
+    alld = np.empty(n_all, dtype=np.int64)
+    alld[pos_dt] = dt
+    alld[pos_ex] = extra
+    s = np.zeros(n_all)
+    pos_dm = np.empty(len(dm), dtype=np.int64)
+    pos_dm[shared] = pos_dt[clam[shared]]
+    pos_dm[~shared] = pos_ex
+    s[pos_dm] += wm  # positions unique per leg -> fancy += is exact
+    s[pos_dt] += wt
+    return alld, s
 
 
 def _group_sum(docs: np.ndarray, vals: np.ndarray):

@@ -51,11 +51,13 @@ def _text_queries():
     return qs.filter(pc.equal(qs["kind"], "text"))
 
 
-def _run(out_dir: str, on: bool, queries):
+def _run(out_dir: str, on: bool, queries, check_marker: bool = True):
     sc = QueryScorer(out_dir)
     _force(sc, on)
     t = sc(queries)
-    if on:
+    if on and check_marker:
+        # last_stats is per query, so only check when the batch's final
+        # query exercises the BM25 path
         assert sc.last_stats.get("dense_taat"), "dense path did not engage"
     return t
 
@@ -71,6 +73,19 @@ def test_dense_vs_classic_identity(built):
     _, _, out_dir = built
     qs = _text_queries()
     assert_bit_identical(_run(out_dir, True, qs), _run(out_dir, False, qs))
+
+
+def test_mixed_and_full_candidate_identity(built):
+    """Mixed-fusion queries (text leg is a k=None full-candidate call, now
+    dense + merge-fused) and math/mixed kinds end-to-end: forced-dense ==
+    forced-classic, floats included."""
+    _, _, out_dir = built
+    qs = query_set()  # all kinds, incl. q014/q015/q023/q024 mixed
+    a = _run(out_dir, True, qs, check_marker=False)
+    sc = QueryScorer(out_dir)
+    _force(sc, False)
+    b = sc(qs)
+    assert_bit_identical(a, b)
 
 
 def test_dense_with_negation_and_groups(built):
