@@ -41,20 +41,29 @@ def pct(xs: list[float], p: float) -> float:
 
 def lat_ms(eng, queries, reps: int) -> dict:
     """One query per call (serving latency): warm-up round, then
-    reps x len(queries) timed calls."""
+    reps x len(queries) timed calls. Reports the three slowest queries'
+    per-query MEDIAN (steady-state cost of the heavy queries, robust to
+    one-off scheduling hiccups) so a p99 cliff is attributable."""
     one = [queries.slice(i, 1) for i in range(queries.num_rows)]
+    qids = [q["query_id"][0].as_py() for q in one]
     for q in one:  # warm every query's terms once
         eng.search(q)
     xs = []
+    per: dict[str, list[float]] = {qid: [] for qid in qids}
     for _ in range(reps):
-        for q in one:
+        for qid, q in zip(qids, one):
             t0 = time.perf_counter()
             eng.search(q)
-            xs.append((time.perf_counter() - t0) * 1e3)
+            ms = (time.perf_counter() - t0) * 1e3
+            xs.append(ms)
+            per[qid].append(ms)
+    med = {qid: pct(v, 50) for qid, v in per.items()}
+    worst = sorted(med, key=med.get, reverse=True)[:3]
     return {
         "p50_ms": round(pct(xs, 50), 2),
         "p99_ms": round(pct(xs, 99), 2),
         "n_calls": len(xs),
+        "slowest_median_ms": {q: round(med[q], 1) for q in worst},
     }
 
 
