@@ -526,6 +526,43 @@ def decode_position_run(
     return docids, counts, g - base[doc_of]
 
 
+def merge_position_runs(
+    runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]], term: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge one term's (docids, counts, flat positions) runs by docid —
+    runs come from increments / salted builds / shard actors. A duplicate
+    docid across runs raises (re-ingested document). Empty runs are
+    dropped; zero live runs merge to empty arrays."""
+    runs = [r for r in runs if r[0].size]
+    if not runs:
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+        )
+    if len(runs) == 1:
+        return runs[0]
+    docids = np.concatenate([r[0] for r in runs])
+    counts = np.concatenate([r[1] for r in runs])
+    flat = np.concatenate([r[2] for r in runs])
+    order = np.argsort(docids, kind="stable")
+    if (docids[order][1:] == docids[order][:-1]).any():
+        raise ValueError(
+            f"duplicate docid across positional runs for {term!r}"
+        )
+    seg_starts = np.cumsum(counts) - counts
+    cnts_o = counts[order]
+    tot = int(cnts_o.sum())
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnts_o) - cnts_o, cnts_o
+    )
+    return (
+        docids[order],
+        cnts_o,
+        flat[np.repeat(seg_starts[order], cnts_o) + within],
+    )
+
+
 class PositionsReader:
     """Positional postings of an index (all shard files, or a subset for
     sharded serving), loaded once — term lookup + per-term O(df) decode,
@@ -581,28 +618,7 @@ class PositionsReader:
             )
             for r in rows
         ]
-        if len(runs) == 1:
-            out = runs[0]
-        else:
-            docids = np.concatenate([r[0] for r in runs])
-            counts = np.concatenate([r[1] for r in runs])
-            flat = np.concatenate([r[2] for r in runs])
-            order = np.argsort(docids, kind="stable")
-            if (docids[order][1:] == docids[order][:-1]).any():
-                raise ValueError(
-                    f"duplicate docid across positional runs for {term!r}"
-                )
-            seg_starts = np.cumsum(counts) - counts
-            cnts_o = counts[order]
-            tot = int(cnts_o.sum())
-            within = np.arange(tot, dtype=np.int64) - np.repeat(
-                np.cumsum(cnts_o) - cnts_o, cnts_o
-            )
-            out = (
-                docids[order],
-                cnts_o,
-                flat[np.repeat(seg_starts[order], cnts_o) + within],
-            )
+        out = merge_position_runs(runs, term)
         if self.tombstones.size:
             # live-docs filter (deletes.py visibility rule: deleted docs
             # stop matching immediately, bytes go at compaction)
@@ -647,14 +663,27 @@ def positions_reader(pos_dir: str) -> PositionsReader:
     return r
 
 
+def _provider(src):
+    """Resolve a positional-postings provider: a dir path (resident
+    cached reader) or any object with ``fetch_terms(terms) -> {term:
+    (docids, counts, flat)}`` — e.g. :class:`PositionalEngine`."""
+    if isinstance(src, str):
+        return positions_reader(src)
+    return src
+
+
 def _term_keys(
-    reader: PositionsReader, terms: list[str]
+    reader, terms: list[str]
 ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
     """(all candidate docids asc-uint64, per-term sorted (code<<32|pos)
     keys) — the shared O(df) prologue of the three positional queries.
     Codes index into the returned docid union, so keys from different
     terms compare in one shared space."""
-    per = {t: reader.term_postings(t) for t in set(terms)}
+    uniq = sorted(set(terms))
+    if hasattr(reader, "fetch_terms"):
+        per = reader.fetch_terms(uniq)  # one batched round to shard actors
+    else:
+        per = {t: reader.term_postings(t) for t in uniq}
     nonempty = [p[0] for p in per.values() if p[0].size]
     if not nonempty:
         return np.empty(0, np.uint64), {t: np.empty(0, np.uint64) for t in per}
@@ -675,7 +704,7 @@ def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
     limit ``k``. Duplicate phrase terms are handled (each occurrence slot
     checks the right offset even when terms repeat, e.g. "the the")."""
     terms = _phrase_terms(phrase)
-    all_docs, keys = _term_keys(positions_reader(index_dir), terms)
+    all_docs, keys = _term_keys(_provider(index_dir), terms)
     survivors: np.ndarray | None = None
     for i, t in enumerate(terms):
         ki = keys[t] if i == 0 else keys[t] - np.uint64(i)
@@ -705,7 +734,7 @@ def proximity_search(
     Returns (docid, min_span) with ``min_span <= window``, sorted by
     (min_span asc, docid asc), limit ``k``."""
     terms = sorted(set(_phrase_terms(query)))
-    all_docs, keys = _term_keys(positions_reader(index_dir), terms)
+    all_docs, keys = _term_keys(_provider(index_dir), terms)
     codes, spans = _spans_from_sorted_keys([keys[t] for t in terms])
     keep = spans <= window
     docs = all_docs[codes[keep]].astype(np.int64)
@@ -723,7 +752,7 @@ def span_near_search(
     first and last (slop 0 = exact phrase). Returns (docid, min_slop)
     sorted (min_slop asc, docid asc), limit ``k``; O(sum df) decode."""
     terms = _phrase_terms(phrase)  # phrase ORDER, repeats kept
-    all_docs, keys = _term_keys(positions_reader(index_dir), terms)
+    all_docs, keys = _term_keys(_provider(index_dir), terms)
     codes, slops = _ordered_spans([keys[t] for t in terms])
     keep = slops <= slop
     docs = all_docs[codes[keep]].astype(np.int64)
@@ -1085,3 +1114,138 @@ def span_near_scan(ds, phrase: str, slop: int, k: int = 10,
         if t.num_rows
     ]
     return _merge_span_topk(parts, k)
+
+
+# ---------------------------------------------------------------------------
+# resident sharded positional serving
+# ---------------------------------------------------------------------------
+
+
+class _PosShardWorker:
+    """Ray actor body: a resident :class:`PositionsReader` over a disjoint
+    subset of the positional dir's files."""
+
+    def __init__(self, pos_dir: str, files: list[str]):
+        self.pos_dir = pos_dir
+        self.reader = PositionsReader(pos_dir, files=files)
+
+    def fetch(self, terms: list[str]) -> dict:
+        """Per-term (docids, counts, flat positions) runs from THIS
+        shard's files — already run-merged and tombstone-filtered."""
+        return {t: self.reader.term_postings(t) for t in terms}
+
+    def reload(self, files: list[str]) -> int:
+        self.reader = PositionsReader(self.pos_dir, files=files)
+        return len(files)
+
+
+class PositionalEngine:
+    """Resident sharded phrase/proximity/span-near serving.
+
+    The single-process serving path (:func:`positions_reader`) holds the
+    whole positional index (~1-2 B/token) in one heap — the right shape up
+    to one node's memory, the wrong one past it. This engine is the
+    cluster shape sketched in the module docstring: actors each hold a
+    disjoint subset of the active files, a query fans ONE batched
+    term-fetch to every shard (payload O(sum df)), and the (tiny)
+    key-intersection kernels run on the driver via the exact same
+    functions the local path uses (``phrase_search(self, ...)`` — the
+    engine is a postings *provider*), so results are identical by
+    construction (plus the cross-shard duplicate-docid check in
+    :func:`merge_position_runs`).
+
+    ``refresh()`` follows the manifest like ``ShardedEngine.refresh``:
+    new files (an increment) go to the smallest group; a dropped file
+    (compaction) triggers full reassignment; a tombstone change reloads
+    in place. Workers reload only when their view actually changed.
+    """
+
+    def __init__(self, pos_dir: str, n_shards: int = 4,
+                 num_cpus_per_shard: float = 1):
+        import ray
+
+        self.pos_dir = pos_dir
+        files = _active_files(pos_dir)
+        if not files:
+            raise FileNotFoundError(f"no positional postings under {pos_dir!r}")
+        n = max(1, min(n_shards, len(files)))
+        self._groups: list[list[str]] = [files[i::n] for i in range(n)]
+        self._tomb_sig = self._tombstone_sig()
+        self._actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(
+            _PosShardWorker
+        )
+        self._actors = [
+            self._actor_cls.remote(pos_dir, g) for g in self._groups
+        ]
+        ray.get([a.fetch.remote([]) for a in self._actors])  # load errors now
+
+    def _tombstone_sig(self) -> tuple:
+        return tuple(
+            sorted(
+                (os.path.basename(f), os.path.getsize(f))
+                for f in glob.glob(
+                    os.path.join(self.pos_dir, POS_DELETES_DIR, "*.parquet")
+                )
+            )
+        )
+
+    # -- provider protocol (phrase_search & co. accept the engine) -------
+    def fetch_terms(self, terms: list[str]) -> dict:
+        import ray
+
+        parts = ray.get([a.fetch.remote(terms) for a in self._actors])
+        return {
+            t: merge_position_runs([p[t] for p in parts], t) for t in terms
+        }
+
+    # -- queries ----------------------------------------------------------
+    def phrase(self, phrase: str, k: int = 10) -> pa.Table:
+        return phrase_search(self, phrase, k=k)
+
+    def proximity(self, query: str, window: int, k: int = 10) -> pa.Table:
+        return proximity_search(self, query, window=window, k=k)
+
+    def span_near(self, phrase: str, slop: int, k: int = 10) -> pa.Table:
+        return span_near_search(self, phrase, slop=slop, k=k)
+
+    def refresh(self) -> dict:
+        """Pick up add_position_increment / delete_position_docs /
+        compact_positions in place. Returns ``{"new_files": n,
+        "reassigned": bool, "reloaded": [shard indices]}``."""
+        import ray
+
+        current = _active_files(self.pos_dir)
+        assigned = {f for g in self._groups for f in g}
+        dropped = assigned - set(current)
+        new = [f for f in current if f not in assigned]
+        changed: set[int] = set()
+        if dropped:
+            n = len(self._actors)
+            self._groups = [current[i::n] for i in range(n)]
+            changed = set(range(n))
+        else:
+            for f in new:
+                g = min(self._groups, key=len)
+                g.append(f)
+                changed.add(self._groups.index(g))
+        tsig = self._tombstone_sig()
+        if tsig != self._tomb_sig:
+            self._tomb_sig = tsig
+            changed = set(range(len(self._actors)))
+        jobs = [
+            self._actors[i].reload.remote(self._groups[i])
+            for i in sorted(changed)
+        ]
+        ray.get(jobs)
+        return {
+            "new_files": len(new),
+            "reassigned": bool(dropped),
+            "reloaded": sorted(changed),
+        }
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

@@ -1,0 +1,115 @@
+"""Resident sharded positional serving: PositionalEngine answers
+identically to the single-process reader path across all three query
+families, follows increments/deletes/compactions via refresh(), and
+catches cross-shard duplicate docids."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from tangent_ray.index.positions import (
+    PositionalEngine,
+    add_position_increment,
+    build_position_index,
+    compact_positions,
+    delete_position_docs,
+    phrase_search,
+    proximity_search,
+    span_near_search,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+def _corpus(rng, n_docs, id_base=0):
+    ids = [id_base + i * 3 + 1 for i in range(n_docs)]
+    docs = [
+        " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 30)))
+        for _ in range(n_docs)
+    ]
+    return ids, docs
+
+
+def _table(ids, docs):
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+
+
+def _assert_engine_matches_local(eng, pos_dir, rng, n=8):
+    for _ in range(n):
+        q = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 3)))
+        k = rng.choice([5, 1000])
+        assert eng.phrase(q, k=k).equals(phrase_search(pos_dir, q, k=k)), q
+        w = rng.randint(0, 10)
+        assert eng.proximity(q, window=w, k=k).equals(
+            proximity_search(pos_dir, q, window=w, k=k)
+        ), (q, w)
+        s = rng.randint(0, 10)
+        assert eng.span_near(q, slop=s, k=k).equals(
+            span_near_search(pos_dir, q, slop=s, k=k)
+        ), (q, s)
+
+
+def test_engine_identity_and_lifecycle(ray_session, tmp_path):
+    import ray.data
+
+    rng = random.Random(5)
+    ids, docs = _corpus(rng, 50)
+    live = str(tmp_path / "pos")
+    build_position_index(
+        ray.data.from_arrow(_table(ids, docs)).repartition(3), live,
+        num_shards=6,
+    )
+    eng = PositionalEngine(live, n_shards=3)
+    try:
+        _assert_engine_matches_local(eng, live, rng)
+
+        # increment -> new files to the smallest group only
+        ids_b, docs_b = _corpus(rng, 15, id_base=7000)
+        add_position_increment(
+            ray.data.from_arrow(_table(ids_b, docs_b)), live, num_shards=6
+        )
+        r = eng.refresh()
+        assert r["new_files"] > 0 and not r["reassigned"]
+        _assert_engine_matches_local(eng, live, rng)
+
+        # delete -> every shard reloads (tombstone change), docs vanish
+        victims = ids[::6]
+        delete_position_docs(live, victims)
+        r = eng.refresh()
+        assert r["reloaded"] == list(range(len(eng._actors)))
+        hits = eng.phrase("alpha", k=10_000)["docid"].to_pylist()
+        assert not set(hits) & set(victims)
+        _assert_engine_matches_local(eng, live, rng)
+
+        # compaction rewrites the file set -> full reassignment
+        compact_positions(live, num_shards=6)
+        r = eng.refresh()
+        assert r["reassigned"]
+        _assert_engine_matches_local(eng, live, rng)
+    finally:
+        eng.shutdown()
+
+
+def test_engine_duplicate_across_shards_raises(ray_session, tmp_path):
+    """The same doc indexed in base AND increment lands on different
+    shard actors; the driver-side run merge must still catch it."""
+    import ray.data
+
+    live = str(tmp_path / "dup")
+    t = _table([3, 9], ["alpha beta", "beta gamma"])
+    build_position_index(ray.data.from_arrow(t), live, num_shards=2)
+    add_position_increment(ray.data.from_arrow(t), live, num_shards=2)
+    eng = PositionalEngine(live, n_shards=2)
+    try:
+        with pytest.raises(Exception, match="duplicate docid"):
+            eng.phrase("beta", k=5)
+    finally:
+        eng.shutdown()
