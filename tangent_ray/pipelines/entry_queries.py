@@ -571,9 +571,10 @@ def _positions_sidecar(sf_dir: str) -> str:
 
 
 def q_phrase_topk(sf_dir: str):
-    """Exact phrase top-k from the positional sidecar (doc-sharded, term
-    pushdown at the read; see index/positions.py). Integer occurrence
-    counts, so the DuckDB positions-self-join twin matches bit-for-bit."""
+    """Exact phrase top-k from the positional postings (term-sharded,
+    O(df) resident-reader decode; see index/positions.py). Integer
+    occurrence counts, so the DuckDB positions-self-join twin matches
+    bit-for-bit."""
     from tangent_ray.index.positions import phrase_search
 
     t = phrase_search(_positions_sidecar(sf_dir), PHRASE_QUERY, k=PHRASE_K)
