@@ -3014,10 +3014,13 @@ def q_search_features(sf_dir: str):
     reciprocal-rank fusion (``rrf``), search_after page-2 cursor
     paging (``page2``), df-ranked autocomplete (``complete``), glob
     wildcard terms (``wild``), field collapsing (``collapse``), numeric
-    range filters (``rangef``), and explain() breakdowns (``explain``). Each constituent keeps its own
+    range filters (``rangef``), explain() breakdowns (``explain``), and
+    Lucene-style fuzzy query terms ``word~d`` scored as the blended
+    synonym group of the edit-distance expansion (``fuzzyq``). Each
+    constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    eighteen from the raw corpus + embeddings tables."""
+    nineteen from the raw corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3079,6 +3082,7 @@ def q_search_features(sf_dir: str):
         ("boost", BOOST_QUERY),
         ("wild", WILD_PAT),
         ("rangef", " ".join(BM25_QUERY_TERMS) + f" #{RANGE_COL}>{RANGE_CUT}"),
+        ("fuzzyq", f"{FUZZY_WORD}~2 join"),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -3788,6 +3792,31 @@ def _search_features_sql() -> str:
              coalesce(a.score, 0) + coalesce(b.score, 0) AS score
       FROM sspart a FULL JOIN sjpart b USING (doc_id)
     ),
+    fzsel AS (
+      -- expand_fuzzy's rank rule: distance asc, global df desc, term asc,
+      -- capped like prefix expansion; the word itself (dist 0) included
+      SELECT term FROM (
+        SELECT term, levenshtein('{FUZZY_WORD}', term) AS dist, df
+        FROM dfx WHERE levenshtein('{FUZZY_WORD}', term) <= 2
+      ) ORDER BY dist, df DESC, term LIMIT {PREFIX_CAP}
+    ),
+    fzpart AS (
+      SELECT g.doc_id,
+             ln(1 + (stats.n - fdf.df + 0.5) / (fdf.df + 0.5))
+               * g.tf * 2.2
+               / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM (SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf JOIN fzsel USING (term)
+            GROUP BY 1) g
+      JOIN dl USING (doc_id),
+           (SELECT max(df) AS df FROM dfx JOIN fzsel USING (term)) fdf,
+           stats
+    ),
+    fzscores AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+      FROM fzpart a FULL JOIN sjpart b USING (doc_id)
+    ),
     mltsel AS (
       SELECT tf.term FROM tf JOIN dfx USING (term), stats
       WHERE tf.doc_id = {MLT_DOC}
@@ -3920,6 +3949,10 @@ def _search_features_sql() -> str:
     UNION ALL
     SELECT 'wild', '{WILD_PAT}', doc_id, 0::BIGINT, round(score, 6), ''
     FROM (SELECT * FROM wscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'fuzzyq', '{FUZZY_WORD}~2 join', doc_id, 0::BIGINT,
+           round(score, 6), ''
+    FROM (SELECT * FROM fzscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
     UNION ALL
     SELECT 'rangef', '{" ".join(BM25_QUERY_TERMS)} #{RANGE_COL}>{RANGE_CUT}',
            doc_id, 0::BIGINT, round(score, 6), ''

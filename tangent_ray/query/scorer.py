@@ -407,6 +407,111 @@ class IndexReader:
         t, _ = self._rank_cut(cand_t[keep], cand_df[keep], max_expansions)
         return [str(x) for x in t]
 
+    _fuzzy_lens: np.ndarray | None = None
+    _fuzzy_suggester = None
+    _fuzzy_suggester_tried: bool = False
+
+    @staticmethod
+    def _lev_banded(
+        word: str, cand: np.ndarray, cand_len: np.ndarray, d: int
+    ) -> np.ndarray:
+        """Levenshtein distances ``lev(word, cand[i])`` saturated at
+        ``d + 1`` (the Ukkonen band cutoff: cells more than ``d`` off the
+        diagonal can never feed a ``<= d`` result, so only the band is
+        computed) — one vectorized DP over ALL candidates at once, no
+        Python loop over the lexicon. Distances ``<= d`` are exact."""
+        m_max = int(cand_len.max())
+        chars = cand.astype(f"<U{m_max}").view(np.uint32).reshape(
+            len(cand), m_max
+        )
+        w = np.frombuffer(word.encode("utf-32-le"), dtype=np.uint32)
+        big = np.int32(d + 1)
+        prev = np.broadcast_to(
+            np.minimum(np.arange(m_max + 1, dtype=np.int32), big),
+            (len(cand), m_max + 1),
+        ).copy()
+        cur = np.empty_like(prev)
+        for i, ch in enumerate(w, 1):
+            cur.fill(big)
+            if i <= d:
+                cur[:, 0] = i
+            lo, hi = max(1, i - d), min(m_max, i + d)
+            neq = chars != ch
+            for j in range(lo, hi + 1):
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+                np.minimum(cur[:, j], prev[:, j - 1] + neq[:, j - 1],
+                           out=cur[:, j])
+                np.minimum(cur[:, j], big, out=cur[:, j])
+            prev, cur = cur, prev
+        return prev[np.arange(len(cand)), cand_len]
+
+    def expand_fuzzy(
+        self, word: str, max_edits: int, max_expansions: int
+    ) -> list[str]:
+        """Concrete index terms within Levenshtein distance ``max_edits``
+        of ``word`` (Lucene FuzzyQuery, edits clamped to 2 like Lucene's
+        ``LevenshteinAutomata`` limit), ranked (distance asc, global df
+        desc, term asc) and capped at ``max_expansions``. ``word`` itself
+        is included when indexed (distance 0 ranks first). Matches the
+        INDEXED vocabulary as-is (post-stem terms), shard-consistent via
+        ``text_vocab``. Serving path: when the SymSpell deletes sidecar
+        (``build_suggest_index``) is present and fresh, expansion is
+        O(variants(word) log V) hash probes; otherwise one vectorized
+        banded-DP scan of the length-windowed lexicon slice — the same
+        documented full-vocabulary cost a leading-wildcard query pays."""
+        from tangent_ray.query.fuzzy import MAX_TERM_LEN
+
+        d = max(0, min(int(max_edits), 2))
+        terms, dfs = self.text_vocab()
+        i = int(np.searchsorted(terms, word))
+        indexed = i < len(terms) and terms[i] == word
+        if d == 0 or max_expansions <= 0:
+            return [word] if indexed and max_expansions > 0 else []
+        via = self._suggester()
+        if via is not None:
+            ranked = via.suggest(word, max_edit=d, topn=max_expansions)
+            members = ([word] if indexed else []) + [t for t, _, _ in ranked]
+            return members[:max_expansions]
+        if self._fuzzy_lens is None:
+            self._fuzzy_lens = np.fromiter(
+                (len(t) for t in terms), np.int32, count=len(terms)
+            )
+        lens = self._fuzzy_lens
+        keep = (np.abs(lens - len(word)) <= d) & (lens > 0) & (
+            lens <= MAX_TERM_LEN  # parity with the sidecar's junk guard
+        )
+        cand, cdf, clen = terms[keep], dfs[keep], lens[keep]
+        if not len(cand):
+            return []
+        dist = self._lev_banded(word, cand, clen, d)
+        ok = dist <= d
+        cand, cdf, dist = cand[ok], cdf[ok], dist[ok]
+        order = np.lexsort((cand, -cdf.astype(np.int64), dist))
+        return [str(x) for x in cand[order][:max_expansions]]
+
+    def _suggester(self):
+        """The SymSpell deletes sidecar as a fuzzy-expansion accelerator —
+        used only when present, FRESH (partials fingerprint matches), and
+        built lossless (min_df=1, max_edit=2); anything else falls back to
+        the exact lexicon scan rather than serving a stale or pruned
+        vocabulary."""
+        if not self._fuzzy_suggester_tried:
+            self._fuzzy_suggester_tried = True
+            from tangent_ray.query.fuzzy import SUGGEST_NAME, Suggester
+
+            path = os.path.join(self._index_dir, SUGGEST_NAME)
+            if os.path.exists(path):
+                try:
+                    meta = pq.read_schema(path).metadata or {}
+                    if (
+                        meta.get(b"min_df", b"1") == b"1"
+                        and int(meta.get(b"max_edit", b"2").decode()) >= 2
+                    ):
+                        self._fuzzy_suggester = Suggester(self._index_dir)
+                except (ValueError, OSError, KeyError):
+                    self._fuzzy_suggester = None
+        return self._fuzzy_suggester
+
     def complete(self, prefix: str, n: int = 10) -> pa.Table:
         """Autocomplete: the top-``n`` vocabulary completions of ``prefix``
         by (global df desc, term asc) — the suggest-as-you-type surface,
@@ -740,9 +845,12 @@ class QueryScorer:
         return sorted(set(terms.to_pylist())), bag, qtc, n_formulae
 
     # -- boolean NOT -----------------------------------------------------
-    #: ``-term``, ``-term*`` (negated prefix), ``-{a,b}`` (negated group)
+    #: ``-term``, ``-term*`` (negated prefix), ``-term~1`` (negated
+    #: fuzzy), ``-{a,b}`` (negated group); the fuzzy alternative is first
+    #: so ``-roam~1`` never half-parses as ``-roam`` + stray ``~1``
     _NEG_RE = re.compile(
-        r"(?<![\w*?])-([a-z0-9*?]*[a-z0-9][a-z0-9*?]*"
+        r"(?<![\w*?])-([a-z0-9]+~\d?"
+        r"|[a-z0-9*?]*[a-z0-9][a-z0-9*?]*"
         r"|\{[a-z0-9]+(?:[,|][a-z0-9]+)*\})",
         re.IGNORECASE,
     )
@@ -754,7 +862,8 @@ class QueryScorer:
         A negated wildcard ``-spar*`` / ``-t?st`` excludes docs containing
         ANY indexed term matching the glob (full expansion, no Lucene
         cap — exclusion must be complete or docs the user asked to drop
-        still rank); a negated group ``-{a,b}`` excludes all members. A
+        still rank); ``-term~1`` likewise excludes every term within the
+        edit distance; a negated group ``-{a,b}`` excludes all members. A
         lone trailing ``?`` is punctuation (``-beta?`` == ``-beta``),
         mirroring the positive-query rule."""
         # MathML-format topics (the reference query format) carry hyphens
@@ -778,6 +887,13 @@ class QueryScorer:
         for g in raw:
             if g.startswith("{"):
                 literals.extend(t for t in re.split(r"[,|]", g[1:-1]) if t)
+            elif "~" in g:
+                # negated fuzzy: exclude the FULL expansion (no cap), the
+                # same completeness rule as negated wildcards
+                base, _, dd = g.partition("~")
+                negs.extend(self.reader.expand_fuzzy(
+                    base, 2 if dd == "" else min(int(dd), 2), 1 << 30
+                ))
             elif g.endswith("?") and "*" not in g and "?" not in g[:-1]:
                 literals.append(g[:-1])  # trailing ? = punctuation
             elif re.fullmatch(r"[a-z0-9]+\*", g):
@@ -823,6 +939,14 @@ class QueryScorer:
     #: ``term^2`` — a boosted plain term (scored as a singleton group)
     _BOOST_RE = re.compile(r"(?<![\w^])([a-z0-9]+)\^(\d+(?:\.\d+)?)",
                            re.IGNORECASE)
+    #: ``term~`` / ``term~1`` / ``term~2`` — Lucene FuzzyQuery (bare ``~``
+    #: = 2, the Lucene default; larger digits clamp to 2); optional
+    #: ``^boost``. Never fires inside ``"a b"~slop`` span-near syntax —
+    #: the ``~`` there follows a quote, not a word character.
+    _FUZZY_RE = re.compile(
+        r"(?<![\w*?~])([a-z0-9]+)~(\d)?(?:\^(\d+(?:\.\d+)?))?(?![\w~])",
+        re.IGNORECASE,
+    )
     #: ``#col:value`` — a metadata equality filter over the facet sidecar
     #: ``#col:value`` equality; ``#col>n`` / ``#col>=n`` / ``#col<n`` /
     #: ``#col<=n`` numeric range filters
@@ -839,7 +963,9 @@ class QueryScorer:
         spans) and return ``(cleaned text, groups, filters)``.
 
         ``groups``: one ``(member terms, boost)`` per ``prefix*``,
-        ``{a,b,c}`` synonym group, or boosted plain ``term^2``, scored
+        ``{a,b,c}`` synonym group, fuzzy ``term~1`` (members =
+        ``expand_fuzzy``: indexed terms within the edit distance, ranked
+        distance asc then df desc), or boosted plain ``term^2``, scored
         with Lucene SynonymQuery semantics in ``_score_bm25`` (per-doc tf
         = sum of member tfs, df = max member df — union df is not
         derivable from per-term stats, and max keeps idf identical under
@@ -853,7 +979,7 @@ class QueryScorer:
         # mirror _split_negations' guard: namespaced MathML (<m:math ...>)
         # must not have its markup rewritten as extension syntax either
         if (
-            not any(c in text for c in "*{#^?")
+            not any(c in text for c in "*{#^?~")
             or "<math" in text
             or ":math" in text
         ):
@@ -872,6 +998,17 @@ class QueryScorer:
             for col, op, val in self._FILTER_RE.findall(seg):
                 filters.append((col, op, val))
             seg = self._FILTER_RE.sub(" ", seg)
+
+            def fuzzy(m: re.Match) -> str:
+                word = m.group(1).lower()
+                d = 2 if m.group(2) is None else min(int(m.group(2)), 2)
+                members = self.reader.expand_fuzzy(
+                    word, d, self.prefix_max_expansions
+                )
+                groups.append((tuple(members), float(m.group(3) or 1.0)))
+                return " "
+
+            seg = self._FUZZY_RE.sub(fuzzy, seg)
             for body, boost in self._SYN_RE.findall(seg):
                 members = [t.lower() for t in re.split(r"[,|]", body) if t]
                 groups.append((stemmed(members), float(boost or 1.0)))

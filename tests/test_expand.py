@@ -378,6 +378,7 @@ def test_actor_pool_batch_all_syntaxes(idx, ray_session):
         "alp*", "{beta,gamma}", "beta^2.5 gamma", "al*a", "b?ta soup",
         "beta #lang:de", "beta #nval>35", "alpha -delta", "beta -alp*",
         "soup {beta|gamma}^2 alp* #lang:en",
+        "alpa~1 soup", "beta -alpa~1", "gama~^2 beta",
     ]
     qt = pa.table(
         {

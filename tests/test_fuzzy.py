@@ -203,3 +203,122 @@ def test_suggest_stale_after_increment(ray_session, tmp_path):
     assert not stale.suggest("omeg")  # old vocab: increment word missing
     build_suggest_index(out)
     assert Suggester(out).suggest("omeg")  # rebuilt: increment word found
+
+
+# ---------------------------------------------------------------------------
+# fuzzy QUERY terms (`term~d` Lucene syntax) — expansion + scoring
+
+
+def _brute_expand(idx, word, d, cap):
+    """Full-scan oracle for expand_fuzzy's (dist asc, df desc, term asc)
+    rank-and-cap rule, word itself included when indexed."""
+    from tangent_ray.query.scorer import IndexReader
+
+    terms, dfs = IndexReader(idx).text_vocab()
+    ranked = sorted(
+        (levenshtein(word, t), -int(df), t)
+        for t, df in zip(terms, dfs)
+        if levenshtein(word, t) <= d
+    )
+    return [t for _, _, t in ranked[:cap]]
+
+
+def test_expand_fuzzy_matches_brute_force(idx):
+    from tangent_ray.query.scorer import IndexReader
+
+    r = IndexReader(idx)
+    for word in ("quary", "plann", "qery", "zzz", "the"):
+        for d in (1, 2):
+            assert r.expand_fuzzy(word, d, 128) == _brute_expand(
+                idx, word, d, 128
+            ), (word, d)
+
+
+def test_expand_fuzzy_sidecar_and_scan_paths_identical(idx, tmp_path):
+    """The SymSpell-probe fast path and the banded-DP lexicon scan must
+    return the same members in the same order."""
+    import shutil
+
+    from tangent_ray.query.fuzzy import SUGGEST_NAME
+    from tangent_ray.query.scorer import IndexReader
+
+    bare = str(tmp_path / "bare")
+    shutil.copytree(idx, bare)
+    os.remove(os.path.join(bare, SUGGEST_NAME))
+    with_sidecar, without = IndexReader(idx), IndexReader(bare)
+    for word in ("quary", "qery", "scann", "reltion"):
+        for d in (1, 2):
+            a = with_sidecar.expand_fuzzy(word, d, 128)
+            b = without.expand_fuzzy(word, d, 128)
+            assert a == b, (word, d, a, b)
+    assert with_sidecar._fuzzy_suggester is not None
+    assert without._fuzzy_suggester is None
+
+
+def test_expand_fuzzy_cap_and_d0(idx):
+    from tangent_ray.query.scorer import IndexReader
+
+    r = IndexReader(idx)
+    full = r.expand_fuzzy("quary", 2, 128)
+    assert r.expand_fuzzy("quary", 2, 1) == full[:1]
+    assert r.expand_fuzzy("query", 0, 128) == ["query"]  # indexed
+    assert r.expand_fuzzy("nosuchterm", 0, 128) == []
+
+
+def test_fuzzy_query_scores_like_synonym_group(idx):
+    """`word~d` must score exactly like the `{members}` synonym group of
+    its expansion (same SynonymQuery blend), boost included, digits > 2
+    clamped to the Lucene limit."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    sc = QueryScorer(idx)
+    members = sc.reader.expand_fuzzy("quary", 2, sc.prefix_max_expansions)
+    assert members  # the fixture corpus has query/quarry near 'quary'
+    syn = "{" + ",".join(members) + "}"
+    for fq, sq in (
+        ("quary~2 planner", syn + " planner"),
+        ("quary~ planner", syn + " planner"),  # bare ~ = 2 (Lucene)
+        ("quary~9", syn),                       # clamped to 2
+        ("quary~2^3", syn + "^3"),              # boost carries
+    ):
+        d1, s1 = sc.score_query(fq, "text", 10)
+        d2, s2 = sc.score_query(sq, "text", 10)
+        assert (d1 == d2).all() and (s1 == s2).all(), fq
+
+
+def test_fuzzy_query_d1_tighter_than_d2(idx):
+    from tangent_ray.query.scorer import QueryScorer
+
+    sc = QueryScorer(idx)
+    m1 = sc.reader.expand_fuzzy("quarys", 1, 128)
+    m2 = sc.reader.expand_fuzzy("quarys", 2, 128)
+    assert set(m1) <= set(m2) and len(m2) > len(m1)
+
+
+def test_negated_fuzzy_excludes_expansion(idx):
+    """-word~d drops every doc containing ANY term within the distance
+    (the full-expansion rule negated wildcards follow)."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    sc = QueryScorer(idx)
+    d_all, _ = sc.score_query("planner", "text", 10)
+    d_neg, _ = sc.score_query("planner -quary~2", "text", 10)
+    dropped = set(d_all.tolist()) - set(d_neg.tolist())
+    assert dropped  # docs with query/quarry are gone
+    # survivors keep their original scores (NOT filters, not re-scoring)
+    import numpy as np
+
+    keep = np.isin(d_all, d_neg)
+    s_all = sc.score_query("planner", "text", 10)[1][keep]
+    s_neg = sc.score_query("planner -quary~2", "text", 10)[1]
+    assert (s_all == s_neg).all()
+
+
+def test_span_near_syntax_untouched_by_fuzzy(idx):
+    """`"a b"~8` span-near strings must not parse as fuzzy terms — the ~
+    follows a quote there."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    sc = QueryScorer(idx)
+    _, groups, _ = sc._split_extensions('"planner scans"~8')
+    assert groups == []
