@@ -1037,26 +1037,28 @@ def proximity_scan(ds, query: str, window: int, k: int = 10,
     return _merge_span_topk(parts, k)
 
 
-def _ordered_spans(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_codes, min_slop) for ORDERED matches of the phrase terms.
+def _start_slops(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-START ordered-match slops: (doc_codes, slop) with one entry per
+    first-term occurrence that begins an in-order match of all phrase
+    terms in its doc.
 
     ``keys[i]`` is the sorted (doc<<32|pos) occurrence array of the i-th
     phrase term (repeated terms share an array). A match is positions
     ``p_0 < p_1 < ... < p_{k-1}`` in phrase order; its slop is
     ``p_{k-1} - p_0 - (k-1)`` (0 = exact phrase). Greedy next-occurrence
     chaining from every start is optimal for minimizing the end given the
-    start, so the per-doc min over starts is the true minimum; each chain
-    step is one vectorized ``searchsorted`` (keys sort by (doc, pos), so
-    "next same-doc occurrence strictly after cur" is the insertion point
-    of cur+1, doc-checked via the high bits)."""
+    start, so the reported slop is the true minimum for that start; each
+    chain step is one vectorized ``searchsorted`` (keys sort by
+    (doc, pos), so "next same-doc occurrence strictly after cur" is the
+    insertion point of cur+1, doc-checked via the high bits). Doc codes
+    come out nondecreasing (starts are key-sorted)."""
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
-    if any(len(ks) == 0 for ks in keys):
+    if not keys or any(len(ks) == 0 for ks in keys):
         return empty
     start = keys[0]
     doc0 = (start >> _HI32).astype(np.int64)
     if len(keys) == 1:
-        docs = np.unique(doc0)
-        return docs, np.zeros(len(docs), dtype=np.int64)
+        return doc0, np.zeros(len(doc0), dtype=np.int64)
     cur = start.copy()
     valid = np.ones(len(start), dtype=bool)
     for ks in keys[1:]:
@@ -1074,11 +1076,47 @@ def _ordered_spans(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
         - (start[valid] & mask).astype(np.int64)
         - (len(keys) - 1)
     )
-    docs = doc0[valid]  # nondecreasing: start is key-sorted
+    return doc0[valid], slops
+
+
+def _ordered_spans(keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_codes, min_slop) for ORDERED matches of the phrase terms — the
+    per-doc min over :func:`_start_slops` starts (see there for the match
+    and slop definitions)."""
+    docs, slops = _start_slops(keys)
+    if not len(docs):
+        return docs, slops
+    if len(keys) == 1:
+        uniq = np.unique(docs)
+        return uniq, np.zeros(len(uniq), dtype=np.int64)
     starts_i = np.flatnonzero(
         np.concatenate([[True], docs[1:] != docs[:-1]])
     )
     return docs[starts_i], np.minimum.reduceat(slops, starts_i)
+
+
+def phrase_doc_tfs(
+    src, terms: list[str], slop: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sloppy-phrase frequency over the positional postings:
+    ``tf(doc)`` = number of first-term occurrences that begin an IN-ORDER
+    match of ``terms`` with at most ``slop`` extra positions between first
+    and last (slop 0 = exact phrase occurrences, identical counts to
+    ``phrase_search``; greedy chaining minimizes the slop for each start,
+    so a start matches within ``slop`` iff its greedy chain does — see
+    ``_start_slops``). The integer-count analogue of Lucene PhraseQuery's
+    phraseFreq, chosen over the 1/(1+dist) sloppyFreq weighting so the
+    DuckDB positions-join twin matches bit-for-bit. Returns (docids int64
+    asc, tf int64) over matching docs; O(sum df) decode via the resident
+    reader (``src``: a positional index dir or any ``fetch_terms``
+    provider, e.g. :class:`PositionalEngine`)."""
+    all_docs, keys = _term_keys(_provider(src), terms)
+    doc_codes, slops = _start_slops([keys[t] for t in terms])
+    m = slops <= slop
+    if not m.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    codes, tfs = np.unique(doc_codes[m], return_counts=True)
+    return all_docs[codes].astype(np.int64), tfs.astype(np.int64)
 
 
 def span_near_scan(ds, phrase: str, slop: int, k: int = 10,

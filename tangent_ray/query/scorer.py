@@ -696,6 +696,17 @@ class QueryScorer:
     are formula fragments; a ``-term`` token excludes every doc containing
     that term — boolean NOT, applied exactly on all scoring paths), optional
     ``topk`` (int).
+
+    Text-query clause syntax beyond plain terms: ``prefix*`` / glob
+    ``t?st`` wildcards, ``{a,b}`` synonym groups, ``term~d`` fuzzy,
+    ``term^2`` boosts, ``#col:value`` / ``#col>n`` metadata filters,
+    ``-clause`` negation of any of these — and quoted phrases:
+    ``"a b"`` (exact), ``"a b"~2`` (ordered slop), ``"a b"^2`` (boost),
+    ``-"a b"`` (prohibited). Phrase clauses score as BM25 pseudo-terms
+    (tf = sloppy-phrase frequency via the positional postings, df = the
+    phrase's global matching-doc count) and need a positional source:
+    the ``<index_dir>/positions`` sidecar auto-attaches, or call
+    ``attach_positions``.
     """
 
     def __init__(self, index_dir: str, topk: int | None = None,
@@ -705,6 +716,15 @@ class QueryScorer:
         self.topk = topk or self.cfg.topk
         self._dead = self.reader.tombstones  # per-query: tombstones + NOTs
         self._facets = None  # lazy FacetCounter, built on first #col:value
+        # positional-postings source for quoted-phrase clauses ("a b"~s):
+        # the conventional <index_dir>/positions sidecar auto-attaches when
+        # present; otherwise attach_positions(). None = phrase syntax raises
+        self.positions: str | None = None
+        _pos = os.path.join(index_dir, "positions")
+        if os.path.isdir(_pos):
+            self.positions = _pos
+        #: per-(terms, slop) global phrase postings (docids, tfs) — bounded
+        self._phrase_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         # text legs computed by mixed_text_bounds (phase 1 of sharded
         # fusion), keyed by raw query text; popped by the phase-2
         # score_query so the leg is never computed twice. Replaced
@@ -725,6 +745,15 @@ class QueryScorer:
         self._facets = None
         self._mixed_leg_cache = {}
         self._term_vecs = {}
+        self._phrase_cache = {}
+
+    def attach_positions(self, src) -> None:
+        """Attach a positional-postings source for quoted-phrase clauses:
+        a positional index dir (``build_position_index`` output; resident
+        cached reader, increments/deletes auto-detected) or any object
+        with ``fetch_terms(terms)`` (e.g. a ``PositionalEngine``)."""
+        self.positions = src
+        self._phrase_cache = {}
 
     def __call__(
         self, batch: pa.Table,
@@ -954,6 +983,145 @@ class QueryScorer:
     #: Lucene-style cap on prefix expansion (kept by global-df desc)
     prefix_max_expansions = 128
 
+    # -- quoted phrases ---------------------------------------------------
+    #: ``"a b"`` exact phrase, ``"a b"~2`` ordered slop (Lucene sloppy
+    #: PhraseQuery, inOrder), ``"a b"^2`` boost, ``-"a b"`` prohibited
+    #: phrase; an optional leading ``-`` binds to the quote
+    _PHRASE_RE = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?')
+
+    def _split_phrases(
+        self, text: str
+    ) -> tuple[
+        str,
+        list[tuple[tuple[str, ...], int, float]],
+        list[tuple[tuple[str, ...], int]],
+    ]:
+        """Strip quoted-phrase clauses from the query text (outside $math$
+        spans) and return ``(cleaned text, phrases, negated phrases)``.
+
+        ``phrases``: one ``(terms, slop, boost)`` per ``"a b"`` /
+        ``"a b"~slop`` / ``"a b"^boost`` clause — scored in
+        ``score_query`` as a BM25 pseudo-term whose per-doc tf is the
+        sloppy-phrase frequency (``phrase_doc_tfs``) and whose df is the
+        phrase's global matching-doc count. ``negated``: ``(terms, slop)``
+        per ``-"a b"`` — docs with an in-order match within slop are
+        excluded (Lucene prohibited-phrase clause). Phrase terms are the
+        SURFACE tokens (the positional sidecar is unstemmed), so a quoted
+        word also serves as Lucene's "exact form" escape in stemmed
+        indexes. Runs before the negation/extension splits, so quoted
+        bodies are never rewritten by ``-term`` / wildcard / fuzzy syntax.
+        """
+        if '"' not in text or "<math" in text or ":math" in text:
+            return text, [], []
+        from tangent_ray.tokenize.text import split_tokens
+
+        phrases: list[tuple[tuple[str, ...], int, float]] = []
+        negs: list[tuple[tuple[str, ...], int]] = []
+
+        def repl(m: re.Match) -> str:
+            toks = tuple(
+                split_tokens(pa.array([m.group(2)], pa.string()))[1]
+                .to_pylist()
+            )
+            if not toks:  # empty quotes / pure punctuation: no-op clause
+                return " "
+            slop = int(m.group(3) or 0)
+            if m.group(1):
+                negs.append((toks, slop))
+            else:
+                phrases.append((toks, slop, float(m.group(4) or 1.0)))
+            return " "
+
+        pieces: list[str] = []
+        pos = 0
+        for m in _MATH_RE.finditer(text):  # never rewrite inside a formula
+            pieces.append(self._PHRASE_RE.sub(repl, text[pos : m.start()]))
+            pieces.append(m.group(0))
+            pos = m.end()
+        pieces.append(self._PHRASE_RE.sub(repl, text[pos:]))
+        return "".join(pieces), phrases, negs
+
+    #: phrase postings cache entries kept hot per scorer
+    PHRASE_CACHE = 256
+
+    def _phrase_tfs(
+        self, terms: tuple[str, ...], slop: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Global (docids, sloppy tf) of one phrase clause, cached per
+        (terms, slop) until ``refresh``/``attach_positions``."""
+        got = self._phrase_cache.get((terms, slop))
+        if got is None:
+            if self.positions is None:
+                raise ValueError(
+                    f'phrase clause "{" ".join(terms)}" needs positional '
+                    "postings: build_position_index into "
+                    "<index_dir>/positions or attach_positions()"
+                )
+            from tangent_ray.index.positions import phrase_doc_tfs
+
+            got = phrase_doc_tfs(self.positions, list(terms), slop)
+            if len(self._phrase_cache) < self.PHRASE_CACHE:
+                self._phrase_cache[(terms, slop)] = got
+        return got
+
+    def _doclen_of(
+        self, docids: np.ndarray, phrase_terms: tuple[str, ...]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(mask, dl) — BM25 doc lengths for the subset of ``docids``
+        present in THIS reader's partials, gathered from the main-index
+        postings of the rarest phrase term: a phrase-matched doc contains
+        every phrase term (the positional tokenizer is ``split_tokens``,
+        the index's is ``split_tokens`` + optional stem — same token set),
+        and dl is a doc property, so any one posting yields it. Docs
+        outside the held partials drop out of the mask — exactly the
+        sharded-serving contract (each shard scores its own docs; the
+        union over disjoint shards covers every doc once)."""
+        terms = list(phrase_terms)
+        if self.cfg.stem:
+            from tangent_ray.tokenize.porter import porter_stem
+
+            terms = [porter_stem(t) for t in terms]
+        best = min(
+            set(terms), key=lambda t: (self.reader.global_df(t), t)
+        )
+        ids_l: list[np.ndarray] = []
+        dl_l: list[np.ndarray] = []
+        for seg in self.reader.segments:
+            for row in seg.lookup.get(best, ()):
+                d, _tf, dls, _p = seg.postings(row)
+                ids_l.append(d.astype(np.int64))
+                dl_l.append(dls)
+        if not ids_l:
+            return np.zeros(len(docids), dtype=bool), np.empty(0)
+        ids = np.concatenate(ids_l)
+        dls = np.concatenate(dl_l).astype(np.float64)
+        order = np.argsort(ids)
+        ids, dls = ids[order], dls[order]
+        pos = np.minimum(np.searchsorted(ids, docids), len(ids) - 1)
+        mask = ids[pos] == docids
+        return mask, dls[pos[mask]]
+
+    def _phrase_leg(
+        self, terms: tuple[str, ...], slop: int, boost: float
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """One phrase clause as a BM25 pseudo-term: (docids, contribution)
+        over this reader's matching docs, or None when nothing matches.
+        ``idf`` uses the phrase's GLOBAL df (the positional source is
+        global), so sharded and unsharded scoring agree; tf saturates
+        through the same ``_bm25_tfn`` kernel as ordinary terms."""
+        pd, ptf = self._phrase_tfs(terms, slop)
+        if not len(pd):
+            return None
+        df = len(pd)  # global phrase df, before the partial-subset mask
+        mask, dls = self._doclen_of(pd, terms)
+        pd, ptf = pd[mask], ptf[mask]
+        if not len(pd):
+            return None
+        self.last_stats["postings"] += int(len(pd))
+        self.last_stats["terms"] += 1
+        idf = _bm25_idf(self.reader.N, df)
+        return pd, boost * idf * self._bm25_tfn(ptf.astype(np.float64), dls)
+
     def _split_extensions(
         self, text: str
     ) -> tuple[
@@ -1096,6 +1264,13 @@ class QueryScorer:
         # fmeasure candidate sets are post-filtered below (exact — they are
         # complete), while the WAND loop checks self._dead at the pivot so
         # a dead doc can never inflate the pruning threshold.
+        text, phrases, neg_phrases = self._split_phrases(text)
+        if (phrases or neg_phrases) and kind != "text":
+            raise ValueError(
+                "quoted-phrase clauses are text-query syntax (kind="
+                f"{kind!r}); quote handling inside $math$ spans is the "
+                "SLT parser's"
+            )
         text, neg_terms = self._split_negations(text)
         text, groups, filters = self._split_extensions(text)
         self._dead = self.reader.tombstones
@@ -1106,11 +1281,24 @@ class QueryScorer:
                 self._dead = (
                     np.union1d(self._dead, excl) if self._dead.size else excl
                 )
+        for nterms, nslop in neg_phrases:
+            # prohibited phrase: exclusion must be complete, so the FULL
+            # global match set joins the dead list (like negated wildcards)
+            pd = self._phrase_tfs(nterms, nslop)[0]
+            if pd.size:
+                self._dead = (
+                    np.union1d(self._dead, pd)
+                    if self._dead.size
+                    else np.sort(pd)
+                )
         terms, bag, qtc, n_formulae = self.parse_query(text)
-        # a cursor, a metadata filter, or k=None (a full-candidate
-        # caller) cuts AFTER scoring, so WAND's top-k truncation would
-        # under-fill the page — force the full TAAT candidate set
-        full_cand = after is not None or bool(filters) or k is None
+        # a cursor, a metadata filter, a phrase clause (merged after the
+        # term pass), or k=None (a full-candidate caller) cuts/joins AFTER
+        # scoring, so WAND's top-k truncation would under-fill the page —
+        # force the full TAAT candidate set
+        full_cand = (
+            after is not None or bool(filters) or bool(phrases) or k is None
+        )
         if kind == "text":
             d, s = self._score_bm25(terms, None if full_cand else k,
                                     groups=groups)
@@ -1120,6 +1308,18 @@ class QueryScorer:
             d, s = self._score_mixed(terms, bag, qtc, n_formulae,
                                      groups=groups, bounds=mixed_bounds,
                                      text_leg=text_leg)
+        if phrases:
+            # phrase clauses merge as extra SHOULD legs: per-doc score =
+            # term-leg sum + each phrase contribution, left to right (the
+            # SQL twin's coalesce(a,0)+coalesce(b,0) fp order)
+            cand, contrib = [d], [s]
+            for pterms, pslop, pboost in phrases:
+                leg = self._phrase_leg(pterms, pslop, pboost)
+                if leg is not None:
+                    cand.append(leg[0])
+                    contrib.append(leg[1])
+            if len(cand) > 1:
+                d, s = _accumulate(cand, contrib)
         dead = self._dead
         if dead.size and len(d):
             from tangent_ray.util import sorted_lookup
