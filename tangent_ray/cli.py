@@ -174,6 +174,46 @@ def cmd_rerank(args) -> int:
     return 0
 
 
+def cmd_positions(args) -> int:
+    """Build (or rebuild) the positional-postings sidecar into
+    ``<index_dir>/positions`` — the conventional location QueryScorer
+    auto-attaches for quoted-phrase clauses and the source
+    phrase/proximity/span-near serving reads."""
+    cntl = _load_cntl(args.cntl)
+    _ensure_ray(args.num_cpus)
+    import os
+
+    import ray.data
+
+    from tangent_ray.index.positions import build_position_index
+
+    corpus = _corpus_of(cntl)
+    ds = ray.data.read_parquet(cntl["input"], columns=corpus.columns)
+
+    def to_pos_cols(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(corpus.docids(batch), dtype=np.int64)
+                ),
+                "text": corpus.texts(batch),
+            }
+        )
+
+    out = os.path.join(cntl["index_dir"], "positions")
+    build_position_index(
+        ds.map_batches(to_pos_cols, batch_format="pyarrow"), out,
+        num_shards=args.shards,
+    )
+    from tangent_ray.index.positions import _active_files
+
+    print(json.dumps({"out": out, "files": len(_active_files(out))}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     cntl = _load_cntl(args.cntl)
     from tangent_ray.index.deletes import delete_docs
@@ -277,6 +317,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--serp", default=None,
                    help="also write S15 HTML result pages to this directory")
     p.set_defaults(fn=cmd_rerank)
+
+    p = sub.add_parser("positions", parents=[common],
+                       help="build the positional-postings sidecar into "
+                            "<index_dir>/positions (phrase / proximity / "
+                            "span-near serving + quoted-phrase clauses)")
+    p.add_argument("--shards", type=int, default=64,
+                   help="term-hash shard files (bounds reduce-group size)")
+    p.set_defaults(fn=cmd_positions)
 
     p = sub.add_parser("delete", parents=[common],
                        help="tombstone documents (Lucene-style live-docs; "

@@ -2979,6 +2979,9 @@ RRF_DEPTH, RRF_K, RRF_C = 20, 10, 60  # hybrid BM25+ANN fusion
 WILD_PAT, WILD_LIKE = "s*a*", "s%a%"  # glob wildcard query + its LIKE twin
 COLLAPSE_COL, COLLAPSE_K, COLLAPSE_PER = "source", 5, 2  # field collapsing
 RANGE_COL, RANGE_CUT = "n_chars", 300  # numeric range filter #n_chars>300
+REGEX_PAT = "s.a.*"  # /s.a.*/ regexp term query (scan|spark|small)
+PQ_SLOP = 2  # sloppy scored phrase "table hash"~2
+MM_MIN = 2  # minimum_should_match #mm:2
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -3014,13 +3017,18 @@ def q_search_features(sf_dir: str):
     reciprocal-rank fusion (``rrf``), search_after page-2 cursor
     paging (``page2``), df-ranked autocomplete (``complete``), glob
     wildcard terms (``wild``), field collapsing (``collapse``), numeric
-    range filters (``rangef``), explain() breakdowns (``explain``), and
+    range filters (``rangef``), explain() breakdowns (``explain``),
     Lucene-style fuzzy query terms ``word~d`` scored as the blended
-    synonym group of the edit-distance expansion (``fuzzyq``). Each
-    constituent keeps its own
+    synonym group of the edit-distance expansion (``fuzzyq``), regexp
+    term queries ``/pat/`` (``regexq``), minimum_should_match ``#mm:N``
+    (``mm2``), scored exact/sloppy phrase clauses ``"a b"`` /
+    ``"a b"~s`` as BM25 pseudo-terms (``phraseq`` / ``phrasesl``), and
+    the stats aggregation over a numeric metadata column (``fstats``).
+    Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
-    fuzzy|facets|expand|spannear|hybrid.py); the twin re-derives all
-    nineteen from the raw corpus + embeddings tables."""
+    fuzzy|facets|expand|spannear|hybrid|phraseq|regexq|mm|facet_stats
+    .py); the twin re-derives all twenty-four from the raw corpus +
+    embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3063,10 +3071,20 @@ def q_search_features(sf_dir: str):
     for term, dist, df in Suggester(idx).suggest(FUZZY_WORD, topn=FUZZY_TOPN):
         add("fuzzy", FUZZY_WORD, -1, dist, float(df), term)
     scorer, counter = QueryScorer(idx), FacetCounter(idx)
+    scorer.attach_positions(pos)  # quoted-phrase clauses
     for col in FACET_COLS:
         fc = facet_counts(idx, FACET_QUERY, col, counter=counter, scorer=scorer)
         for v, nd in zip(fc["value"].to_pylist(), fc["n_docs"].to_pylist()):
             add("facet", col, -1, nd, 0.0, v)
+    # stats aggregation over the same candidate set (tests/test_facet_stats)
+    from tangent_ray.query.facets import facet_stats
+
+    fs = facet_stats(
+        idx, FACET_QUERY, RANGE_COL, counter=counter, scorer=scorer
+    ).to_pylist()[0]
+    for name in ("min", "max", "sum", "avg"):
+        add("fstats", RANGE_COL, -1, fs["n_docs"],
+            float(round_half_away(np.array([fs[f"v{name}"]]), 6)[0]), name)
     # ordered span-near (round 3: tests/test_spannear.py)
     from tangent_ray.index.positions import span_near_search
 
@@ -3083,6 +3101,10 @@ def q_search_features(sf_dir: str):
         ("wild", WILD_PAT),
         ("rangef", " ".join(BM25_QUERY_TERMS) + f" #{RANGE_COL}>{RANGE_CUT}"),
         ("fuzzyq", f"{FUZZY_WORD}~2 join"),
+        ("regexq", f"/{REGEX_PAT}/ join"),
+        ("mm2", " ".join(BM25_QUERY_TERMS) + f" #mm:{MM_MIN}"),
+        ("phraseq", f'"{PHRASE_QUERY}" join'),
+        ("phrasesl", f'"{PHRASE_QUERY}"~{PQ_SLOP}'),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -3855,6 +3877,96 @@ def _search_features_sql() -> str:
       WHERE tf.term IN ({q_terms})
       GROUP BY 1
     ),
+    rxsel AS (
+      -- expand_regexp's rank rule: full match, global df desc, term asc,
+      -- capped like prefix expansion
+      SELECT term FROM dfx WHERE regexp_full_match(term, '{REGEX_PAT}')
+      ORDER BY df DESC, term LIMIT {PREFIX_CAP}
+    ),
+    rxpart AS (
+      SELECT g.doc_id,
+             ln(1 + (stats.n - rdf.df + 0.5) / (rdf.df + 0.5))
+               * g.tf * 2.2
+               / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM (SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf JOIN rxsel USING (term)
+            GROUP BY 1) g
+      JOIN dl USING (doc_id),
+           (SELECT max(df) AS df FROM dfx JOIN rxsel USING (term)) rdf,
+           stats
+    ),
+    rxscores AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+      FROM rxpart a FULL JOIN sjpart b USING (doc_id)
+    ),
+    mmscores AS (
+      -- minimum_should_match: same BM25 sum, docs matching >= {MM_MIN}
+      -- distinct query terms survive (scores unchanged)
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                ) AS score
+      FROM tf
+      JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term IN ({q_terms})
+      GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) >= {MM_MIN}
+    ),
+    ph_tf AS (
+      -- exact-phrase frequency (the scored-phrase pseudo-term's tf)
+      SELECT t0.doc_id, count(*)::DOUBLE AS tf
+      FROM tokp t0
+      JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      WHERE t0.term = '{PHRASE_QUERY.split()[0]}'
+        AND t1.term = '{PHRASE_QUERY.split()[1]}'
+      GROUP BY 1
+    ),
+    ph_part AS (
+      SELECT ph_tf.doc_id,
+             ln(1 + (stats.n - pdf.df + 0.5) / (pdf.df + 0.5))
+               * ph_tf.tf * 2.2
+               / (ph_tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM ph_tf JOIN dl USING (doc_id),
+           (SELECT count(*)::DOUBLE AS df FROM ph_tf) pdf, stats
+    ),
+    phscores AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+      FROM ph_part a FULL JOIN sjpart b USING (doc_id)
+    ),
+    sl_tf AS (
+      -- sloppy-phrase frequency: a first-term occurrence counts iff its
+      -- GREEDY chain (nearest next occurrence) lands within the slop —
+      -- for two terms, min(next pos) - pos - 1 <= slop
+      SELECT doc_id, count(*)::DOUBLE AS tf FROM (
+        SELECT a.doc_id, a.pos, min(b.pos) AS npos
+        FROM tokp a
+        JOIN tokp b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                   AND b.term = '{PHRASE_QUERY.split()[1]}'
+        WHERE a.term = '{PHRASE_QUERY.split()[0]}'
+        GROUP BY a.doc_id, a.pos
+      ) WHERE npos - pos - 1 <= {PQ_SLOP}
+      GROUP BY 1
+    ),
+    slscores AS (
+      SELECT sl_tf.doc_id,
+             ln(1 + (stats.n - sdf2.df + 0.5) / (sdf2.df + 0.5))
+               * sl_tf.tf * 2.2
+               / (sl_tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM sl_tf JOIN dl USING (doc_id),
+           (SELECT count(*)::DOUBLE AS df FROM sl_tf) sdf2, stats
+    ),
+    fstats AS (
+      SELECT count(d.{RANGE_COL})::BIGINT AS n,
+             min(d.{RANGE_COL})::DOUBLE AS vmin,
+             max(d.{RANGE_COL})::DOUBLE AS vmax,
+             coalesce(sum(d.{RANGE_COL}), 0)::DOUBLE AS vsum,
+             avg(d.{RANGE_COL})::DOUBLE AS vavg
+      FROM documents d JOIN cand USING (doc_id)
+    ),
     rrfa AS (
       SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
       FROM scores QUALIFY r <= {RRF_DEPTH}
@@ -3953,6 +4065,34 @@ def _search_features_sql() -> str:
     SELECT 'fuzzyq', '{FUZZY_WORD}~2 join', doc_id, 0::BIGINT,
            round(score, 6), ''
     FROM (SELECT * FROM fzscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'regexq', '/{REGEX_PAT}/ join', doc_id, 0::BIGINT,
+           round(score, 6), ''
+    FROM (SELECT * FROM rxscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'mm2', '{" ".join(BM25_QUERY_TERMS)} #mm:{MM_MIN}', doc_id,
+           0::BIGINT, round(score, 6), ''
+    FROM (SELECT * FROM mmscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'phraseq', '"{PHRASE_QUERY}" join', doc_id, 0::BIGINT,
+           round(score, 6), ''
+    FROM (SELECT * FROM phscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'phrasesl', '"{PHRASE_QUERY}"~{PQ_SLOP}', doc_id, 0::BIGINT,
+           round(score, 6), ''
+    FROM (SELECT * FROM slscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vmin, 6), 'min'
+    FROM fstats
+    UNION ALL
+    SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vmax, 6), 'max'
+    FROM fstats
+    UNION ALL
+    SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vsum, 6), 'sum'
+    FROM fstats
+    UNION ALL
+    SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vavg, 6), 'avg'
+    FROM fstats
     UNION ALL
     SELECT 'rangef', '{" ".join(BM25_QUERY_TERMS)} #{RANGE_COL}>{RANGE_CUT}',
            doc_id, 0::BIGINT, round(score, 6), ''

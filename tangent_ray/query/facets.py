@@ -259,6 +259,44 @@ class FacetCounter:
         return out
 
 
+    def stats(self, docids: np.ndarray, col: str) -> dict:
+        """Elasticsearch-style stats aggregation over a NUMERIC facet
+        column for the given docids: ``{count, min, max, sum, avg}``.
+        Null values and docids absent from every sidecar are excluded
+        from all five; a text column raises (like range filters). Sums
+        are exact for integer-valued columns (float64 holds ints to
+        2^53); ``count == 0`` reports min/max/avg as None."""
+        q = np.asarray(docids, dtype=np.int64)
+        cnt, sm = 0, 0.0
+        mn, mx = np.inf, -np.inf
+        for ids_sorted, table in self._load():
+            if col not in table.column_names:
+                raise KeyError(
+                    f"facet column {col!r} not in sidecar "
+                    f"(has {[c for c in table.column_names if c != 'docid']})"
+                )
+            if not len(ids_sorted):
+                continue
+            hit, rows = self._probe(ids_sorted, q)
+            if not len(hit):
+                continue
+            vals = pc.cast(table[col].take(pa.array(rows)), pa.float64())
+            arr = vals.to_numpy(zero_copy_only=False)
+            if vals.null_count:
+                arr = arr[~np.isnan(arr)]
+            if not len(arr):
+                continue
+            cnt += int(len(arr))
+            sm += float(arr.sum())
+            mn = min(mn, float(arr.min()))
+            mx = max(mx, float(arr.max()))
+        if cnt == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0.0,
+                    "avg": None}
+        return {"count": cnt, "min": mn, "max": mx, "sum": sm,
+                "avg": sm / cnt}
+
+
 def facet_counts(
     index_dir: str,
     query_text: str,
@@ -372,5 +410,37 @@ def collapsed_search(
             "docid": pa.array([r[2] for r in rows], pa.int64()),
             "score": pa.array([r[3] for r in rows], pa.float64()),
             "group_rank": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )
+
+
+def facet_stats(
+    index_dir: str,
+    query_text: str,
+    col: str,
+    counter: FacetCounter | None = None,
+    scorer=None,
+) -> pa.Table:
+    """Stats aggregation of a NUMERIC metadata column over a text query's
+    FULL candidate set — the Elasticsearch ``stats`` agg next to
+    ``facet_counts``' terms agg. One row: (col, n_docs, vmin, vmax, vsum,
+    vavg); the candidate set goes through the ordinary scoring path, so
+    negations / filters / expansion groups / phrases all apply."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    if scorer is None:
+        scorer = QueryScorer(index_dir)
+    if counter is None:
+        counter = FacetCounter(index_dir)
+    d, _ = scorer.score_query(query_text, "text", None)
+    st = counter.stats(d, col)
+    return pa.table(
+        {
+            "col": pa.array([col], pa.string()),
+            "n_docs": pa.array([st["count"]], pa.int64()),
+            "vmin": pa.array([st["min"]], pa.float64()),
+            "vmax": pa.array([st["max"]], pa.float64()),
+            "vsum": pa.array([st["sum"]], pa.float64()),
+            "vavg": pa.array([st["avg"]], pa.float64()),
         }
     )

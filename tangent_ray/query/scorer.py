@@ -407,6 +407,32 @@ class IndexReader:
         t, _ = self._rank_cut(cand_t[keep], cand_df[keep], max_expansions)
         return [str(x) for x in t]
 
+    def expand_regexp(self, pattern: str, max_expansions: int) -> list[str]:
+        """Concrete index terms FULLY matching a regular expression (Lucene
+        RegexpQuery semantics: the pattern is implicitly anchored), capped
+        at ``max_expansions`` by (global df desc, term asc) like
+        ``expand_prefix``. The scan narrows to the pattern's literal
+        prefix range first (the chars before the first regex
+        metacharacter, minus one when a quantifier binds the last literal),
+        so ``tabl.s`` touches only ``tabl``-terms; a pattern with no
+        literal prefix scans the whole text vocabulary — the same
+        documented cost Lucene regexp queries pay. Deterministic and
+        shard-consistent (see ``text_vocab``)."""
+        m = re.match(r"[a-z0-9]*", pattern)
+        pre = m.group(0) if m else ""
+        if pre and pattern[len(pre) : len(pre) + 1] in ("*", "?", "+", "{"):
+            pre = pre[:-1]  # quantifier binds the last literal char
+        cand_t, cand_df = self._vocab_range(pre)
+        if not len(cand_t):
+            return []
+        rx = re.compile(pattern)
+        keep = np.fromiter(
+            (rx.fullmatch(t) is not None for t in cand_t), dtype=bool,
+            count=len(cand_t),
+        )
+        t, _ = self._rank_cut(cand_t[keep], cand_df[keep], max_expansions)
+        return [str(x) for x in t]
+
     _fuzzy_lens: np.ndarray | None = None
     _fuzzy_suggester = None
     _fuzzy_suggester_tried: bool = False
@@ -878,7 +904,8 @@ class QueryScorer:
     #: fuzzy), ``-{a,b}`` (negated group); the fuzzy alternative is first
     #: so ``-roam~1`` never half-parses as ``-roam`` + stray ``~1``
     _NEG_RE = re.compile(
-        r"(?<![\w*?])-([a-z0-9]+~\d?"
+        r"(?<![\w*?])-(/(?:\\.|[^/\\\s])+/"
+        r"|[a-z0-9]+~\d?"
         r"|[a-z0-9*?]*[a-z0-9][a-z0-9*?]*"
         r"|\{[a-z0-9]+(?:[,|][a-z0-9]+)*\})",
         re.IGNORECASE,
@@ -914,7 +941,10 @@ class QueryScorer:
         negs: list[str] = []
         literals: list[str] = []
         for g in raw:
-            if g.startswith("{"):
+            if g.startswith("/"):
+                # negated regexp: exclude the FULL match set (no cap)
+                negs.extend(self.reader.expand_regexp(g[1:-1], 1 << 30))
+            elif g.startswith("{"):
                 literals.extend(t for t in re.split(r"[,|]", g[1:-1]) if t)
             elif "~" in g:
                 # negated fuzzy: exclude the FULL expansion (no cap), the
@@ -975,6 +1005,12 @@ class QueryScorer:
     _FUZZY_RE = re.compile(
         r"(?<![\w*?~])([a-z0-9]+)~(\d)?(?:\^(\d+(?:\.\d+)?))?(?![\w~])",
         re.IGNORECASE,
+    )
+    #: ``/pat/`` — Lucene RegexpQuery (implicitly anchored full match over
+    #: the indexed vocabulary), optional ``^boost``; the body takes no
+    #: whitespace and escapes ``/`` as ``\/``
+    _REGEX_RE = re.compile(
+        r"(?<![\w])/((?:\\.|[^/\\\s])+)/(?:\^(\d+(?:\.\d+)?))?"
     )
     #: ``#col:value`` — a metadata equality filter over the facet sidecar
     #: ``#col:value`` equality; ``#col>n`` / ``#col>=n`` / ``#col<n`` /
@@ -1122,6 +1158,39 @@ class QueryScorer:
         idf = _bm25_idf(self.reader.N, df)
         return pd, boost * idf * self._bm25_tfn(ptf.astype(np.float64), dls)
 
+    def _clause_match_counts(
+        self,
+        d: np.ndarray,
+        terms: list[str],
+        groups: list[tuple[tuple[str, ...], float]],
+        phrase_docs: list[np.ndarray],
+    ) -> np.ndarray:
+        """Distinct-SHOULD-clause match counts per candidate docid: one
+        count per plain term, per expansion group (any member matching
+        counts the group once), and per matched phrase clause — the
+        Lucene ``minimum_should_match`` clause set. Negations and
+        metadata filters are not SHOULD clauses and never count."""
+        term_plan, group_plan = self._plan_bm25(terms, groups)
+        sets: list[np.ndarray] = list(phrase_docs)
+        for _t, _df, _idf, rows in term_plan:
+            ids = [seg.postings(row)[0].astype(np.int64)
+                   for seg, row in rows]
+            if ids:
+                sets.append(np.unique(np.concatenate(ids)))
+        for *_a, rows in group_plan:
+            ids = [seg.postings(row)[0].astype(np.int64)
+                   for seg, row in rows]
+            if ids:
+                sets.append(np.unique(np.concatenate(ids)))
+        if not sets:
+            return np.zeros(len(d), dtype=np.int64)
+        alld = np.concatenate(sets)
+        uniq, cnt = _group_sum(alld, np.ones(len(alld)))
+        pos = np.minimum(np.searchsorted(uniq, d), len(uniq) - 1)
+        out = cnt[pos].astype(np.int64)
+        out[uniq[pos] != d] = 0
+        return out
+
     def _split_extensions(
         self, text: str
     ) -> tuple[
@@ -1133,7 +1202,9 @@ class QueryScorer:
         ``groups``: one ``(member terms, boost)`` per ``prefix*``,
         ``{a,b,c}`` synonym group, fuzzy ``term~1`` (members =
         ``expand_fuzzy``: indexed terms within the edit distance, ranked
-        distance asc then df desc), or boosted plain ``term^2``, scored
+        distance asc then df desc), regexp ``/pat/`` (members =
+        ``expand_regexp``: indexed terms fully matching the pattern), or
+        boosted plain ``term^2``, scored
         with Lucene SynonymQuery semantics in ``_score_bm25`` (per-doc tf
         = sum of member tfs, df = max member df — union df is not
         derivable from per-term stats, and max keeps idf identical under
@@ -1147,7 +1218,7 @@ class QueryScorer:
         # mirror _split_negations' guard: namespaced MathML (<m:math ...>)
         # must not have its markup rewritten as extension syntax either
         if (
-            not any(c in text for c in "*{#^?~")
+            not any(c in text for c in "*{#^?~/")
             or "<math" in text
             or ":math" in text
         ):
@@ -1163,6 +1234,16 @@ class QueryScorer:
             return tuple(sorted(set(members)))
 
         def rewrite(seg: str) -> str:
+            # regexes strip FIRST: a body like ``tabl.s*`` must never be
+            # half-eaten by the wildcard/boost/fuzzy passes below
+            def regexp(m: re.Match) -> str:
+                members = self.reader.expand_regexp(
+                    m.group(1).lower(), self.prefix_max_expansions
+                )
+                groups.append((tuple(members), float(m.group(2) or 1.0)))
+                return " "
+
+            seg = self._REGEX_RE.sub(regexp, seg)
             for col, op, val in self._FILTER_RE.findall(seg):
                 filters.append((col, op, val))
             seg = self._FILTER_RE.sub(" ", seg)
@@ -1273,6 +1354,21 @@ class QueryScorer:
             )
         text, neg_terms = self._split_negations(text)
         text, groups, filters = self._split_extensions(text)
+        # ``#mm:N`` — minimum_should_match (Lucene/Solr mm): keep only docs
+        # matching at least N distinct SHOULD clauses (terms, groups,
+        # phrases). ``mm`` is a RESERVED filter column name; the cut
+        # happens after scoring (survivor scores unchanged), like filters
+        mm = 1
+        if filters:
+            kept_f = []
+            for col, op, val in filters:
+                if col == "mm" and op == ":":
+                    mm = max(mm, int(val))
+                else:
+                    kept_f.append((col, op, val))
+            filters = kept_f
+        if mm > 1 and kind != "text":
+            raise ValueError("#mm:N applies to text queries only")
         self._dead = self.reader.tombstones
         if neg_terms:
             excl = self._excluded_docs(neg_terms)
@@ -1297,7 +1393,8 @@ class QueryScorer:
         # scoring, so WAND's top-k truncation would under-fill the page —
         # force the full TAAT candidate set
         full_cand = (
-            after is not None or bool(filters) or bool(phrases) or k is None
+            after is not None or bool(filters) or bool(phrases)
+            or mm > 1 or k is None
         )
         if kind == "text":
             d, s = self._score_bm25(terms, None if full_cand else k,
@@ -1308,6 +1405,7 @@ class QueryScorer:
             d, s = self._score_mixed(terms, bag, qtc, n_formulae,
                                      groups=groups, bounds=mixed_bounds,
                                      text_leg=text_leg)
+        phrase_docs: list[np.ndarray] = []
         if phrases:
             # phrase clauses merge as extra SHOULD legs: per-doc score =
             # term-leg sum + each phrase contribution, left to right (the
@@ -1318,8 +1416,16 @@ class QueryScorer:
                 if leg is not None:
                     cand.append(leg[0])
                     contrib.append(leg[1])
+                    phrase_docs.append(leg[0])
             if len(cand) > 1:
                 d, s = _accumulate(cand, contrib)
+        if mm > 1 and len(d):
+            counts = self._clause_match_counts(
+                d, terms, groups, phrase_docs
+            )
+            keep = counts >= mm
+            self.last_stats["mm_cut"] = int(len(d) - keep.sum())
+            d, s = d[keep], s[keep]
         dead = self._dead
         if dead.size and len(d):
             from tangent_ray.util import sorted_lookup

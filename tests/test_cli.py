@@ -132,3 +132,32 @@ def test_cli_explain_complete_suggest(ray_session, tmp_path, capsys):
     assert main(["suggest", cntl, "--word", "alpah"]) == 0
     rows = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
     assert rows and rows[0]["term"] == "alpha"
+
+
+def test_cli_positions_then_phrase_query(cli_env, capsys):
+    """positions subcommand builds <index_dir>/positions; a quoted-phrase
+    query then flows through the ordinary query path (auto-attach)."""
+    import pyarrow as pa
+
+    root, cntl_path, _ = cli_env
+    assert main(["positions", cntl_path, "--shards", "4"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["out"].endswith("positions") and info["files"] >= 1
+    qpath = str(root / "phrase_queries.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": ["p1"],
+                "kind": ["text"],
+                "text": ['"table" join'],
+            }
+        ),
+        qpath,
+    )
+    out = str(root / "phrase_res.parquet")
+    assert main(["query", cntl_path, "--queries", qpath, "--out", out,
+                 "--topk", "5"]) == 0
+    t = pq.read_table(out)
+    assert t.num_rows > 0
+    assert t["score"].to_pylist() == sorted(t["score"].to_pylist(),
+                                            reverse=True)

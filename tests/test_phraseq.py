@@ -329,3 +329,22 @@ def test_actor_pool_batch_path(idx):
         by_q.setdefault(qid, {})[docid] = score
     d, s = sc.score_query('"alpha beta" gamma', "text", 8)
     assert by_q["a"] == dict(zip(d.tolist(), s.tolist()))
+
+
+def test_positional_engine_attach_identity(idx):
+    """attach_positions(PositionalEngine) — the sharded serving provider —
+    yields byte-identical phrase-query scores to the resident dir reader."""
+    from tangent_ray.index.positions import PositionalEngine
+
+    eng = PositionalEngine(os.path.join(idx, "positions"), n_shards=2)
+    try:
+        a = QueryScorer(idx)
+        b = QueryScorer(idx)
+        b.attach_positions(eng)
+        for q in ['"alpha beta" gamma', '"alpha beta"~2', 'gamma -"alpha beta"']:
+            da, sa = a.score_query(q, "text", 1000)
+            db, sb = b.score_query(q, "text", 1000)
+            assert da.tolist() == db.tolist(), q
+            assert sa.tolist() == sb.tolist(), q
+    finally:
+        eng.shutdown()

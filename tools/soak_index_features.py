@@ -143,6 +143,19 @@ def main() -> None:
     out["query_p50_ms"] = p50(s, q=phrase)
     out["not_query_p50_ms"] = p50(s, q=f"{phrase} -mutated")
 
+    # --- query-language wave: scored phrase / regexp / mm --------------
+    s.attach_positions(pos_dir)
+    out["phraseq_warm_p50_ms"] = p50(s, q=f'"{phrase}" {w[4]}')
+    out["phrasesl_warm_p50_ms"] = p50(s, q=f'"{phrase}"~2')
+    ts = []
+    for bg in bigrams:  # cold phrase clauses: each pays the O(df) decode
+        t0 = time.perf_counter()
+        s.score_query(f'"{bg}"', "text", 10)
+        ts.append(time.perf_counter() - t0)
+    out["phraseq_cold_terms_p50_ms"] = round(float(np.median(ts) * 1000), 2)
+    out["regexq_p50_ms"] = p50(s, q=f"/{w[0][:2]}.*/ {w[1]}")
+    out["mm_p50_ms"] = p50(s, q=f"{phrase} {w[4]} #mm:2")
+
     rng = np.random.default_rng(7)
     victims = rng.choice(n_docs, size=1000, replace=False).tolist()
     t0 = time.perf_counter()
