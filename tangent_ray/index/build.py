@@ -258,7 +258,7 @@ def build_partition(
     key_cols = [c for c in corpus.columns if c != corpus.text_column]
     dm_thread = None
     dm_err: list[BaseException] = []
-    if corpus_kind(corpus) == "transcripts" and key_cols:
+    if key_cols:  # every corpus: the sidecar also feeds the dense TAAT path
         import threading
 
         # pre-warm imports that Ray's path resolution performs lazily —
@@ -269,13 +269,14 @@ def build_partition(
         except ImportError:
             pass
 
-        from tangent_ray.docids import dockeys_to_docids
-
         def emit_docmap(batch: pa.Table) -> pa.Table:
             keys = corpus.dockeys(batch)
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
-            ids = dockeys_to_docids(keys.to_pylist())
+            # the corpus's own docid rule (raw int64 for documents,
+            # blake2b(dockey) for transcripts) — docmap ids MUST match
+            # posting ids or the dense rank space silently misranks
+            ids = np.asarray(corpus.docids(batch), dtype=np.int64)
             return pa.table(
                 {
                     "docid": pa.array(ids, type=pa.int64()),

@@ -2982,6 +2982,7 @@ RANGE_COL, RANGE_CUT = "n_chars", 300  # numeric range filter #n_chars>300
 REGEX_PAT = "s.a.*"  # /s.a.*/ regexp term query (scan|spark|small)
 PQ_SLOP = 2  # sloppy scored phrase "table hash"~2
 MM_MIN = 2  # minimum_should_match #mm:2
+MUST_TERM = "spark"  # +spark hash join — Lucene MUST clause
 
 
 def _docs_feature_index(sf_dir: str) -> str:
@@ -3022,13 +3023,14 @@ def q_search_features(sf_dir: str):
     synonym group of the edit-distance expansion (``fuzzyq``), regexp
     term queries ``/pat/`` (``regexq``), minimum_should_match ``#mm:N``
     (``mm2``), scored exact/sloppy phrase clauses ``"a b"`` /
-    ``"a b"~s`` as BM25 pseudo-terms (``phraseq`` / ``phrasesl``), and
-    the stats aggregation over a numeric metadata column (``fstats``).
+    ``"a b"~s`` as BM25 pseudo-terms (``phraseq`` / ``phrasesl``),
+    ``+term`` required MUST clauses (``must``), and the stats
+    aggregation over a numeric metadata column (``fstats``).
     Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
-    fuzzy|facets|expand|spannear|hybrid|phraseq|regexq|mm|facet_stats
-    .py); the twin re-derives all twenty-four from the raw corpus +
-    embeddings tables."""
+    fuzzy|facets|expand|spannear|hybrid|phraseq|regexq|mm|must|
+    facet_stats.py); the twin re-derives all twenty-five from the raw
+    corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
     from tangent_ray.query.fuzzy import Suggester
@@ -3105,6 +3107,7 @@ def q_search_features(sf_dir: str):
         ("mm2", " ".join(BM25_QUERY_TERMS) + f" #mm:{MM_MIN}"),
         ("phraseq", f'"{PHRASE_QUERY}" join'),
         ("phrasesl", f'"{PHRASE_QUERY}"~{PQ_SLOP}'),
+        ("must", f"+{MUST_TERM} hash join"),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -3959,6 +3962,19 @@ def _search_features_sql() -> str:
       FROM sl_tf JOIN dl USING (doc_id),
            (SELECT count(*)::DOUBLE AS df FROM sl_tf) sdf2, stats
     ),
+    mustscores AS (
+      -- +term MUST clause: same BM25 sum, docs containing the required
+      -- term survive (scores unchanged — every clause stays SHOULD)
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                ) AS score
+      FROM tf
+      JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+      WHERE tf.term IN ({q_terms})
+      GROUP BY tf.doc_id HAVING bool_or(tf.term = '{MUST_TERM}')
+    ),
     fstats AS (
       SELECT count(d.{RANGE_COL})::BIGINT AS n,
              min(d.{RANGE_COL})::DOUBLE AS vmin,
@@ -4081,6 +4097,11 @@ def _search_features_sql() -> str:
     SELECT 'phrasesl', '"{PHRASE_QUERY}"~{PQ_SLOP}', doc_id, 0::BIGINT,
            round(score, 6), ''
     FROM (SELECT * FROM slscores ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'must', '+{MUST_TERM} hash join', doc_id, 0::BIGINT,
+           round(score, 6), ''
+    FROM (SELECT * FROM mustscores ORDER BY score DESC, doc_id
+          LIMIT {BM25_K})
     UNION ALL
     SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vmin, 6), 'min'
     FROM fstats

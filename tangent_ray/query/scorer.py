@@ -758,6 +758,8 @@ class QueryScorer:
         self._mixed_leg_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         #: per-term dense (ids, contrib) vectors — see _dense_term_vec
         self._term_vecs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        #: per-group dense (nz, tfn, n_postings) legs — see _dense_group_vec
+        self._group_vecs: dict[tuple, tuple] = {}
         #: per-query instrumentation (reference `I` rows): qt_ms, postings
         #: touched, query terms with matches, candidate docs, returned rows
         self.last_stats: dict = {}
@@ -771,6 +773,7 @@ class QueryScorer:
         self._facets = None
         self._mixed_leg_cache = {}
         self._term_vecs = {}
+        self._group_vecs = {}
         self._phrase_cache = {}
 
     def attach_positions(self, src) -> None:
@@ -1018,6 +1021,59 @@ class QueryScorer:
     _FILTER_RE = re.compile(r"(?<!\w)#([A-Za-z_]\w*)(:|>=|<=|>|<)([^\s]+)")
     #: Lucene-style cap on prefix expansion (kept by global-df desc)
     prefix_max_expansions = 128
+
+    # -- required (MUST) clauses -------------------------------------------
+    #: ``+term`` — Lucene BooleanQuery MUST: the doc must contain the term
+    #: (which still scores as an ordinary SHOULD term). Binds only to a
+    #: plain term; ``+`` elsewhere is punctuation.
+    _MUST_RE = re.compile(r"(?<![\w*?~^\\])\+([a-z0-9]+)(?![*?~/])",
+                          re.IGNORECASE)
+
+    def _split_required(self, text: str) -> tuple[str, list[str]]:
+        """Strip the ``+`` off ``+term`` tokens (outside $math$ spans) and
+        return (text with the bare terms kept for scoring, stemmed
+        required terms). Docs missing ANY required term are cut after
+        scoring, survivor scores unchanged — Lucene MUST semantics where
+        every other clause stays SHOULD."""
+        if "+" not in text or "<math" in text or ":math" in text:
+            return text, []
+        req: list[str] = []
+
+        def repl(m: re.Match) -> str:
+            req.append(m.group(1).lower())
+            return " " + m.group(1)
+
+        pieces: list[str] = []
+        pos = 0
+        for m in _MATH_RE.finditer(text):  # never rewrite inside a formula
+            pieces.append(self._MUST_RE.sub(repl, text[pos : m.start()]))
+            pieces.append(m.group(0))
+            pos = m.end()
+        pieces.append(self._MUST_RE.sub(repl, text[pos:]))
+        if req and self.cfg.stem:
+            from tangent_ray.tokenize.porter import porter_stem
+
+            req = [porter_stem(t) for t in req]
+        return "".join(pieces), sorted(set(req))
+
+    def _required_mask(self, d: np.ndarray, required: list[str]) -> np.ndarray:
+        """Keep-mask: candidate contains EVERY required term (per-term
+        postings union across this reader's segments; O(sum df))."""
+        keep = np.ones(len(d), dtype=bool)
+        for term in required:
+            ids = [
+                seg.postings(row)[0].astype(np.int64)
+                for seg in self.reader.segments
+                for row in seg.lookup.get(term, ())
+            ]
+            if not ids:
+                return np.zeros(len(d), dtype=bool)
+            have = np.unique(np.concatenate(ids))
+            pos = np.minimum(np.searchsorted(have, d), len(have) - 1)
+            keep &= have[pos] == d
+            if not keep.any():
+                break
+        return keep
 
     # -- quoted phrases ---------------------------------------------------
     #: ``"a b"`` exact phrase, ``"a b"~2`` ordered slop (Lucene sloppy
@@ -1346,6 +1402,7 @@ class QueryScorer:
         # complete), while the WAND loop checks self._dead at the pivot so
         # a dead doc can never inflate the pruning threshold.
         text, phrases, neg_phrases = self._split_phrases(text)
+        text, required = self._split_required(text)
         if (phrases or neg_phrases) and kind != "text":
             raise ValueError(
                 "quoted-phrase clauses are text-query syntax (kind="
@@ -1394,7 +1451,7 @@ class QueryScorer:
         # force the full TAAT candidate set
         full_cand = (
             after is not None or bool(filters) or bool(phrases)
-            or mm > 1 or k is None
+            or bool(required) or mm > 1 or k is None
         )
         if kind == "text":
             d, s = self._score_bm25(terms, None if full_cand else k,
@@ -1425,6 +1482,10 @@ class QueryScorer:
             )
             keep = counts >= mm
             self.last_stats["mm_cut"] = int(len(d) - keep.sum())
+            d, s = d[keep], s[keep]
+        if required and len(d):
+            keep = self._required_mask(d, required)
+            self.last_stats["must_cut"] = int(len(d) - keep.sum())
             d, s = d[keep], s[keep]
         dead = self._dead
         if dead.size and len(d):
@@ -1496,8 +1557,8 @@ class QueryScorer:
         )
         self.last_stats["terms"] += len(term_plan) + len(group_plan)
         gplan = [
-            (boost * idf, rows)
-            for _m, _df, idf, boost, _sdf, rows in group_plan
+            (boost * idf, rows, m)
+            for m, _df, idf, boost, _sdf, rows in group_plan
         ]
         if (
             not gplan
@@ -1628,7 +1689,7 @@ class QueryScorer:
             tfn = self._bm25_tfn(tfs.astype(np.float64), dls)
             cand.append(docs.astype(np.int64))
             contrib.append(idf * tfn)
-        for idf, rows in gplan:
+        for idf, rows, *_m in gplan:
             # blended pseudo-term: merge the member postings per doc FIRST
             # (tf is summed before saturation — nonlinear, so this cannot
             # be folded into per-term contributions), then one BM25 kernel
@@ -1708,34 +1769,66 @@ class QueryScorer:
             self.last_stats["postings"] += int(len(tv[0]))
             st = np.bincount(tv[0], weights=tv[1], minlength=n_dense)
             scores = st if scores is None else np.add(scores, st, out=scores)
-        for idf, rows in gplan:
-            gi: list[np.ndarray] = []
-            gtf: list[np.ndarray] = []
-            gdl: list[np.ndarray] = []
-            for seg, row in rows:
-                dense = seg.postings_dense(row, all_docids)
-                if dense is None:
-                    return None
-                _d, tfs, dls, _p = seg.postings(row)
-                self.last_stats["postings"] += len(dense)
-                gi.append(dense.astype(np.int64))
-                gtf.append(tfs.astype(np.float64))
-                gdl.append(dls)
-            if not gi:
+        for idf, rows, *mkey in gplan:
+            gv = self._dense_group_vec(
+                mkey[0] if mkey else None, rows, all_docids
+            )
+            if gv is None:
+                return None
+            nz, tfn, n_post = gv
+            if not len(nz):
                 continue
+            self.last_stats["postings"] += n_post
+            if scores is None:
+                scores = np.zeros(n_dense)
+            # nz is unique, so fancy += adds exactly once per doc, in
+            # (terms-then-groups) order — the classic concat order
+            scores[nz] += idf * tfn
+        return scores
+
+    def _dense_group_vec(
+        self, mkey, rows, all_docids: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, int] | None:
+        """One expansion group's dense leg: (nz ranks, tfn(summed tf, dl),
+        total postings) — a pure function of the group members and the
+        reader's stats (the ^boost and idf scale OUTSIDE), so it is cached
+        per members-key exactly like ``_dense_term_vec`` caches terms.
+        The merge this replaces per query is the group-cost hot spot: a
+        128-member regexp group over a 1M-doc corpus concatenates ~2M
+        postings per query without the cache. None on docmap mismatch."""
+        got = self._group_vecs.get(mkey) if mkey is not None else None
+        if got is not None:
+            return got
+        n_dense = len(all_docids)
+        gi: list[np.ndarray] = []
+        gtf: list[np.ndarray] = []
+        gdl: list[np.ndarray] = []
+        n_post = 0
+        for seg, row in rows:
+            dense = seg.postings_dense(row, all_docids)
+            if dense is None:
+                return None
+            _d, tfs, dls, _p = seg.postings(row)
+            n_post += len(dense)
+            gi.append(dense.astype(np.int64))
+            gtf.append(tfs.astype(np.float64))
+            gdl.append(dls)
+        if not gi:
+            out = (
+                np.empty(0, np.int64), np.empty(0, np.float64), 0,
+            )
+        else:
             ids = np.concatenate(gi)
             utf = np.bincount(
                 ids, weights=np.concatenate(gtf), minlength=n_dense
             )
             dl_arr = np.zeros(n_dense)
-            dl_arr[ids] = np.concatenate(gdl)  # per-doc constant: any write wins
+            dl_arr[ids] = np.concatenate(gdl)  # per-doc constant
             nz = np.flatnonzero(utf)
-            if scores is None:
-                scores = np.zeros(n_dense)
-            # nz is unique, so fancy += adds exactly once per doc, in
-            # (terms-then-groups) order — the classic concat order
-            scores[nz] += idf * self._bm25_tfn(utf[nz], dl_arr[nz])
-        return scores
+            out = (nz, self._bm25_tfn(utf[nz], dl_arr[nz]), n_post)
+        if mkey is not None and len(self._group_vecs) < self.TERM_VEC_CACHE:
+            self._group_vecs[mkey] = out
+        return out
 
     def _score_bm25_taat_dense(
         self, term_plan: list, gplan: list, k: int, all_docids: np.ndarray,

@@ -156,3 +156,56 @@ def test_dense_sharded_subset_reader(built):
         sc_off = QueryScorer(out_dir, partials=group)
         _force(sc_off, False)
         assert_bit_identical(sc_on(qs), sc_off(qs))
+
+
+def test_documents_corpus_dense_identity(ray_session, tmp_path):
+    """Documents-corpus indexes carry the docmap sidecar too (raw-int64
+    docid rule), so the dense path engages and is bit-identical there."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tangent_ray.config import SQL_PARITY_CONFIG
+    from tangent_ray.sources.corpus import DocumentsCorpus
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    docs = [
+        " ".join(
+            ["alpha", "beta", "gamma", "delta"][(i + j) % 4]
+            for j in range(3 + i % 7)
+        )
+        for i in range(120)
+    ]
+    for fi in range(2):
+        sl = slice(fi, None, 2)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        list(range(1, len(docs) + 1))[sl], pa.int64()
+                    ),
+                    "text": pa.array(docs[sl], pa.string()),
+                }
+            ),
+            os.path.join(src, f"d{fi}.parquet"),
+        )
+    out = str(tmp_path / "idx")
+    import dataclasses
+
+    build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=2),
+                DocumentsCorpus())
+    sc = QueryScorer(out)
+    dd = sc.reader.dense_docids()
+    assert dd is not None and len(dd) == len(docs)
+    assert dd.tolist() == list(range(1, len(docs) + 1))  # raw-id rule
+    for q in ("alpha beta", "{alpha,beta} gamma", "alpha -delta"):
+        sc_on = QueryScorer(out)
+        _force(sc_on, True)
+        sc_off = QueryScorer(out)
+        _force(sc_off, False)
+        d1, s1 = sc_on.score_query(q, "text", 50)
+        assert sc_on.last_stats.get("dense_taat"), q
+        d2, s2 = sc_off.score_query(q, "text", 50)
+        assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist(), q
