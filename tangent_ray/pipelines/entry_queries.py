@@ -3024,12 +3024,13 @@ def q_search_features(sf_dir: str):
     term queries ``/pat/`` (``regexq``), minimum_should_match ``#mm:N``
     (``mm2``), scored exact/sloppy phrase clauses ``"a b"`` /
     ``"a b"~s`` as BM25 pseudo-terms (``phraseq`` / ``phrasesl``),
-    ``+term`` required MUST clauses (``must``), and the stats
-    aggregation over a numeric metadata column (``fstats``).
+    ``+term`` required MUST clauses (``must``), the stats aggregation
+    over a numeric metadata column (``fstats``), and sort-by-field
+    result ordering (``sortby``).
     Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid|phraseq|regexq|mm|must|
-    facet_stats.py); the twin re-derives all twenty-five from the raw
+    facet_stats.py); the twin re-derives all twenty-six from the raw
     corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
@@ -3079,7 +3080,7 @@ def q_search_features(sf_dir: str):
         for v, nd in zip(fc["value"].to_pylist(), fc["n_docs"].to_pylist()):
             add("facet", col, -1, nd, 0.0, v)
     # stats aggregation over the same candidate set (tests/test_facet_stats)
-    from tangent_ray.query.facets import facet_stats
+    from tangent_ray.query.facets import facet_stats, sorted_search
 
     fs = facet_stats(
         idx, FACET_QUERY, RANGE_COL, counter=counter, scorer=scorer
@@ -3087,6 +3088,16 @@ def q_search_features(sf_dir: str):
     for name in ("min", "max", "sum", "avg"):
         add("fstats", RANGE_COL, -1, fs["n_docs"],
             float(round_half_away(np.array([fs[f"v{name}"]]), 6)[0]), name)
+    # sort-by-field (tests/test_facet_stats.py sorted_search tests)
+    so = sorted_search(
+        idx, FACET_QUERY, RANGE_COL, k=BM25_K, ascending=False,
+        counter=counter, scorer=scorer,
+    )
+    for rk, dd, sv in zip(
+        so["rank"].to_pylist(), so["docid"].to_pylist(),
+        so["sort_value"].to_pylist(),
+    ):
+        add("sortby", RANGE_COL, dd, rk, float(sv), "")
     # ordered span-near (round 3: tests/test_spannear.py)
     from tangent_ray.index.positions import span_near_search
 
@@ -4114,6 +4125,17 @@ def _search_features_sql() -> str:
     UNION ALL
     SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vavg, 6), 'avg'
     FROM fstats
+    UNION ALL
+    SELECT 'sortby', '{RANGE_COL}', doc_id, rk, sv, '' FROM (
+      SELECT d.doc_id,
+             row_number() OVER (
+               ORDER BY d.{RANGE_COL} DESC, d.doc_id
+             ) AS rk,
+             d.{RANGE_COL}::DOUBLE AS sv
+      FROM documents d JOIN cand USING (doc_id)
+      WHERE d.{RANGE_COL} IS NOT NULL
+      QUALIFY rk <= {BM25_K}
+    )
     UNION ALL
     SELECT 'rangef', '{" ".join(BM25_QUERY_TERMS)} #{RANGE_COL}>{RANGE_CUT}',
            doc_id, 0::BIGINT, round(score, 6), ''

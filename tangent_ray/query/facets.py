@@ -204,6 +204,27 @@ class FacetCounter:
             out[hit] = vals.to_numpy(zero_copy_only=False)
         return out.tolist()
 
+    def numeric_values_of(self, docids: np.ndarray, col: str) -> np.ndarray:
+        """Per-docid NUMERIC facet value (float64; NaN for nulls and for
+        docids absent from every sidecar) — the sort-by-field lookup. A
+        text column raises, like range filters."""
+        q = np.asarray(docids, dtype=np.int64)
+        out = np.full(len(q), np.nan, dtype=np.float64)
+        for ids_sorted, table in self._load():
+            if col not in table.column_names:
+                raise KeyError(
+                    f"facet column {col!r} not in sidecar "
+                    f"(has {[c for c in table.column_names if c != 'docid']})"
+                )
+            if not len(ids_sorted):
+                continue
+            hit, rows = self._probe(ids_sorted, q)
+            if not len(hit):
+                continue
+            vals = pc.cast(table[col].take(pa.array(rows)), pa.float64())
+            out[hit] = vals.to_numpy(zero_copy_only=False)
+        return out
+
     _OPS = {
         ">": pc.greater, ">=": pc.greater_equal,
         "<": pc.less, "<=": pc.less_equal,
@@ -442,5 +463,45 @@ def facet_stats(
             "vmax": pa.array([st["max"]], pa.float64()),
             "vsum": pa.array([st["sum"]], pa.float64()),
             "vavg": pa.array([st["avg"]], pa.float64()),
+        }
+    )
+
+
+def sorted_search(
+    index_dir: str,
+    query_text: str,
+    col: str,
+    k: int = 10,
+    ascending: bool = True,
+    counter: FacetCounter | None = None,
+    scorer=None,
+) -> pa.Table:
+    """Sort-by-field results (Lucene SortField / the Elasticsearch
+    ``sort`` clause): the query's FULL candidate set ordered by a NUMERIC
+    metadata column instead of relevance — (column asc|desc, docid asc),
+    null / absent values dropped, limit ``k``. The deterministic
+    integer-keyed order avoids the cross-engine fp-tie hazard a score
+    tie-break would reintroduce; the BM25 score still rides along as a
+    column. Full query syntax applies (the candidates come from the
+    ordinary scoring path)."""
+    from tangent_ray.query.scorer import QueryScorer
+
+    if scorer is None:
+        scorer = QueryScorer(index_dir)
+    if counter is None:
+        counter = FacetCounter(index_dir)
+    d, s = scorer.score_query(query_text, "text", None)
+    vals = counter.numeric_values_of(d, col)
+    keep = ~np.isnan(vals)
+    d, s, vals = d[keep], s[keep], vals[keep]
+    order = np.lexsort((d, vals if ascending else -vals))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int32), pa.int32()
+            ),
+            "docid": pa.array(d[order], pa.int64()),
+            "sort_value": pa.array(vals[order], pa.float64()),
+            "score": pa.array(s[order], pa.float64()),
         }
     )

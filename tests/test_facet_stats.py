@@ -123,3 +123,43 @@ def test_stats_empty_and_guard(idx):
         facet_stats(idx, "alpha", "lang")  # text column: loud, not garbage
     with pytest.raises(KeyError):
         FacetCounter(idx).stats(pa.array([0]).to_numpy(), "nope")
+
+
+def test_sorted_search_matches_duckdb(idx):
+    """sorted_search: candidates ordered by a numeric column (nulls
+    dropped), twin = ORDER BY d.n_chars, doc_id."""
+    from tangent_ray.query.facets import sorted_search
+
+    con = duckdb.connect()
+    con.register("docs", _tab())
+    for asc in (True, False):
+        got = sorted_search(idx, "alpha beta", "n_chars", k=4,
+                            ascending=asc)
+        exp = con.execute(
+            f"""
+            WITH cand AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text),
+                       '[^a-z0-9]+')) AS tok FROM docs
+              ) WHERE tok IN ('alpha', 'beta')
+            )
+            SELECT d.doc_id, d.n_chars::DOUBLE
+            FROM docs d JOIN cand USING (doc_id)
+            WHERE d.n_chars IS NOT NULL
+            ORDER BY d.n_chars {'ASC' if asc else 'DESC'}, d.doc_id
+            LIMIT 4
+            """
+        ).fetchall()
+        assert got["docid"].to_pylist() == [r[0] for r in exp], asc
+        assert got["sort_value"].to_pylist() == [r[1] for r in exp], asc
+        assert got["rank"].to_pylist() == list(range(1, len(exp) + 1))
+
+
+def test_sorted_search_full_syntax(idx):
+    from tangent_ray.query.facets import sorted_search
+
+    got = sorted_search(idx, "alpha -gamma", "n_chars", k=10)
+    # alpha docs {0,1,3,5} minus gamma docs {1,5}, minus null n_chars (3)
+    assert got["docid"].to_pylist() == [0]
+    with pytest.raises(Exception):
+        sorted_search(idx, "alpha", "lang")  # text column: loud
