@@ -1078,8 +1078,11 @@ class QueryScorer:
     # -- quoted phrases ---------------------------------------------------
     #: ``"a b"`` exact phrase, ``"a b"~2`` ordered slop (Lucene sloppy
     #: PhraseQuery, inOrder), ``"a b"^2`` boost, ``-"a b"`` prohibited
-    #: phrase; an optional leading ``-`` binds to the quote
-    _PHRASE_RE = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?')
+    #: phrase, ``+"a b"`` required phrase (scored AND must match); an
+    #: optional leading ``-``/``+`` binds to the quote
+    _PHRASE_RE = re.compile(
+        r'([-+]?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'
+    )
 
     def _split_phrases(
         self, text: str
@@ -1091,11 +1094,12 @@ class QueryScorer:
         """Strip quoted-phrase clauses from the query text (outside $math$
         spans) and return ``(cleaned text, phrases, negated phrases)``.
 
-        ``phrases``: one ``(terms, slop, boost)`` per ``"a b"`` /
-        ``"a b"~slop`` / ``"a b"^boost`` clause — scored in
-        ``score_query`` as a BM25 pseudo-term whose per-doc tf is the
+        ``phrases``: one ``(terms, slop, boost, required)`` per ``"a b"``
+        / ``"a b"~slop`` / ``"a b"^boost`` / ``+"a b"`` clause — scored
+        in ``score_query`` as a BM25 pseudo-term whose per-doc tf is the
         sloppy-phrase frequency (``phrase_doc_tfs``) and whose df is the
-        phrase's global matching-doc count. ``negated``: ``(terms, slop)``
+        phrase's global matching-doc count; a ``+`` (MUST) phrase also
+        cuts candidates to its match set. ``negated``: ``(terms, slop)``
         per ``-"a b"`` — docs with an in-order match within slop are
         excluded (Lucene prohibited-phrase clause). Phrase terms are the
         SURFACE tokens (the positional sidecar is unstemmed), so a quoted
@@ -1118,10 +1122,13 @@ class QueryScorer:
             if not toks:  # empty quotes / pure punctuation: no-op clause
                 return " "
             slop = int(m.group(3) or 0)
-            if m.group(1):
+            if m.group(1) == "-":
                 negs.append((toks, slop))
             else:
-                phrases.append((toks, slop, float(m.group(4) or 1.0)))
+                phrases.append(
+                    (toks, slop, float(m.group(4) or 1.0),
+                     m.group(1) == "+")
+                )
             return " "
 
         pieces: list[str] = []
@@ -1463,13 +1470,19 @@ class QueryScorer:
                                      groups=groups, bounds=mixed_bounds,
                                      text_leg=text_leg)
         phrase_docs: list[np.ndarray] = []
+        req_phrase: list[np.ndarray] = []
         if phrases:
             # phrase clauses merge as extra SHOULD legs: per-doc score =
             # term-leg sum + each phrase contribution, left to right (the
             # SQL twin's coalesce(a,0)+coalesce(b,0) fp order)
             cand, contrib = [d], [s]
-            for pterms, pslop, pboost in phrases:
+            for pterms, pslop, pboost, preq in phrases:
                 leg = self._phrase_leg(pterms, pslop, pboost)
+                if preq:
+                    # +"a b": candidates must match this phrase — cut on
+                    # the GLOBAL match set (candidates are already
+                    # shard-local, so the intersection is exact)
+                    req_phrase.append(self._phrase_tfs(pterms, pslop)[0])
                 if leg is not None:
                     cand.append(leg[0])
                     contrib.append(leg[1])
@@ -1486,6 +1499,15 @@ class QueryScorer:
         if required and len(d):
             keep = self._required_mask(d, required)
             self.last_stats["must_cut"] = int(len(d) - keep.sum())
+            d, s = d[keep], s[keep]
+        for pd_req in req_phrase:
+            if not len(d):
+                break
+            if not len(pd_req):
+                d, s = d[:0], s[:0]
+                break
+            pos = np.minimum(np.searchsorted(pd_req, d), len(pd_req) - 1)
+            keep = pd_req[pos] == d
             d, s = d[keep], s[keep]
         dead = self._dead
         if dead.size and len(d):

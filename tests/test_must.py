@@ -149,3 +149,52 @@ def test_plus_as_punctuation(idx):
     d1, s1 = sc.score_query("alpha + beta", "text", 100)
     d2, s2 = sc.score_query("alpha beta", "text", 100)
     assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+
+
+def test_required_phrase(idx):
+    """+\"a b\" scores like \"a b\" AND cuts candidates to its matches."""
+    sc = QueryScorer(idx)
+    base_d, base_s = sc.score_query('"alpha beta" gamma', "text", 100)
+    base = dict(zip(base_d.tolist(), base_s.tolist()))
+    d, s = sc.score_query('+"alpha beta" gamma', "text", 100)
+    phrase_docs = {
+        i + 1
+        for i, doc in enumerate(DOCS)
+        if "alpha beta" in " " + doc + " "
+        and any(
+            doc.split()[j : j + 2] == ["alpha", "beta"]
+            for j in range(len(doc.split()))
+        )
+    }
+    assert set(d.tolist()) == {k for k in base if k in phrase_docs}
+    for x, y in zip(d.tolist(), s.tolist()):
+        assert y == base[x]
+    # no-match required phrase: zero results even with matching terms
+    d2, _ = sc.score_query('+"delta alpha" gamma', "text", 100)
+    assert len(d2) == 0
+    # sloppy required phrase widens the cut set
+    d3, _ = sc.score_query('+"alpha gamma"~2 beta', "text", 100)
+    wide = {
+        i + 1 for i, doc in enumerate(DOCS)
+        if _sloppy_match(doc.split(), ("alpha", "gamma"), 2)
+    }
+    base3_d, _ = sc.score_query('"alpha gamma"~2 beta', "text", 100)
+    assert set(d3.tolist()) == set(base3_d.tolist()) & wide
+
+
+def _sloppy_match(tt, terms, slop):
+    for i, w in enumerate(tt):
+        if w != terms[0]:
+            continue
+        cur, ok = i, True
+        for nxt in terms[1:]:
+            found = next(
+                (j for j in range(cur + 1, len(tt)) if tt[j] == nxt), None
+            )
+            if found is None:
+                ok = False
+                break
+            cur = found
+        if ok and (cur - i - (len(terms) - 1)) <= slop:
+            return True
+    return False
