@@ -1897,17 +1897,31 @@ class QueryScorer:
 
     def explain(self, text: str, docid: int) -> pa.Table:
         """Per-term score breakdown of a text query against ONE document
-        (Lucene's ``explain()``): a row per contributing query term or
-        expansion group with (term, kind, tf, df, idf, boost, tfn,
-        contribution) — the contributions sum to the doc's score on the
-        TAAT path exactly (same plan builder and saturation kernel).
-        Negations, filters, and index tombstones are reported as
-        synthetic ``excluded``/``filtered``/``deleted`` rows when they
-        remove the doc from results."""
+        (Lucene's ``explain()``): a row per contributing query term,
+        expansion group, or phrase clause with (term, kind, tf, df, idf,
+        boost, tfn, contribution) — the contributions sum to the doc's
+        score on the TAAT path exactly (same plan builder and saturation
+        kernel; phrase rows use the same global-df idf and sloppy tf as
+        ``_phrase_leg``). Negations (term or phrase), filters, ``#mm:N``
+        shortfalls, unmet ``+`` required clauses, and index tombstones
+        are reported as synthetic ``excluded``/``filtered``/``mm``/
+        ``required``/``deleted`` rows when they remove the doc from
+        results."""
         rows: list[dict] = []
         docid = int(docid)
+        text, phrases, neg_phrases = self._split_phrases(text)
+        text, required = self._split_required(text)
         text, neg_terms = self._split_negations(text)
         text, groups, filters = self._split_extensions(text)
+        mm = 1
+        if filters:
+            kept_f = []
+            for col, op, val in filters:
+                if col == "mm" and op == ":":
+                    mm = max(mm, int(val))
+                else:
+                    kept_f.append((col, op, val))
+            filters = kept_f
         r = self.reader
 
         def doc_tf_dl(seg_rows) -> tuple[float, float]:
@@ -1932,20 +1946,48 @@ class QueryScorer:
 
         terms, _, _, _ = self.parse_query(text)
         term_plan, group_plan = self._plan_bm25(terms, groups)
+        matched = 0  # distinct SHOULD clauses this doc matches (for #mm)
         for term, df, idf, seg_rows in term_plan:
             tf, dl = doc_tf_dl(seg_rows)
             if tf:
                 add(term, "term", tf, df, idf, 1.0, dl)
+                matched += 1
         for members, df_g, idf, boost, _sdf, seg_rows in group_plan:
             tf, dl = doc_tf_dl(seg_rows)
             if tf:
                 add("|".join(members), "group", tf, df_g, idf, boost, dl)
+                matched += 1
 
         def marker(term, kind):
             rows.append(
                 {"term": term, "kind": kind, "tf": 0.0, "df": 0,
                  "idf": 0.0, "boost": 0.0, "tfn": 0.0, "contribution": 0.0}
             )
+
+        def plabel(pterms, pslop):
+            return '"' + " ".join(pterms) + '"' + (
+                f"~{pslop}" if pslop else ""
+            )
+
+        for pterms, pslop, pboost, preq in phrases:
+            pd, ptf = self._phrase_tfs(pterms, pslop)
+            i = int(np.searchsorted(pd, docid))
+            tf = float(ptf[i]) if i < len(pd) and pd[i] == docid else 0.0
+            if tf:
+                mask, dls = self._doclen_of(
+                    np.array([docid], np.int64), pterms
+                )
+                add(plabel(pterms, pslop), "phrase", tf, len(pd),
+                    float(_bm25_idf(r.N, len(pd))), pboost,
+                    float(dls[0]) if mask[0] else 0.0)
+                matched += 1
+            elif preq:
+                marker("+" + plabel(pterms, pslop), "required")
+        for nterms, nslop in neg_phrases:
+            pd = self._phrase_tfs(nterms, nslop)[0]
+            i = int(np.searchsorted(pd, docid))
+            if i < len(pd) and pd[i] == docid:
+                marker("-" + plabel(nterms, nslop), "excluded")
 
         # membership probes, bounded per term — NOT _excluded_docs's full
         # decode+unique of every exclusion posting list for one doc
@@ -1960,6 +2002,11 @@ class QueryScorer:
 
         if neg_terms and any(contains(t) for t in neg_terms):
             marker(" ".join(neg_terms), "excluded")
+        for t in required:
+            if not contains(t):
+                marker("+" + t, "required")
+        if mm > 1 and matched < mm:
+            marker(f"#mm:{mm}", "mm")
         if filters:
             keep = self._facet_mask(np.array([docid], np.int64), filters)
             if not keep[0]:

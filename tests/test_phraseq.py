@@ -348,3 +348,37 @@ def test_positional_engine_attach_identity(idx):
             assert sa.tolist() == sb.tolist(), q
     finally:
         eng.shutdown()
+
+
+def test_explain_phrase_rows(idx):
+    """explain() rows for phrase / required / mm / negated-phrase clauses:
+    contributions still sum to the doc's score."""
+    sc = QueryScorer(idx)
+    q = '"alpha beta" gamma'
+    d, s = sc.score_query(q, "text", 5)
+    doc, score = int(d[0]), float(s[0])
+    ex = sc.explain(q, doc).to_pylist()
+    kinds = {r["kind"] for r in ex}
+    assert sum(r["contribution"] for r in ex) == pytest.approx(
+        score, abs=1e-12
+    )
+    if any(r["kind"] == "phrase" for r in ex):
+        pr = next(r for r in ex if r["kind"] == "phrase")
+        assert pr["term"] == '"alpha beta"' and pr["tf"] >= 1
+    # a doc that matches gamma but not the required phrase
+    only_gamma = next(
+        i + 1 for i, t in enumerate(DOCS)
+        if "gamma" in t.split() and not _occ([t], ("alpha", "beta"), 0)
+    )
+    ex2 = sc.explain('+"alpha beta" gamma', only_gamma).to_pylist()
+    assert any(r["kind"] == "required" for r in ex2)
+    # mm shortfall marker
+    ex3 = sc.explain("alpha beta gamma eps zeta #mm:5", only_gamma)
+    assert any(r["kind"] == "mm" for r in ex3.to_pylist())
+    # negated phrase marker on a matching doc
+    phrase_doc = next(iter(_occ(DOCS, ("alpha", "beta"), 0)))
+    ex4 = sc.explain('gamma -"alpha beta"', phrase_doc).to_pylist()
+    assert any(
+        r["kind"] == "excluded" and r["term"].startswith('-"')
+        for r in ex4
+    )
