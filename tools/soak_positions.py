@@ -199,6 +199,55 @@ def main():
     for _kind, q, _arg in qs[:3]:
         assert eng.phrase(q, k=50).equals(phrase_search(pdir, q, k=50)), q
     out["identity_vs_local"] = True
+
+    # --- scored phrase clauses ("a b" as a BM25 pseudo-term) at scale ------
+    # needs the main BM25 index for dl; the resident PositionalEngine is
+    # the phrase-postings provider (attach_positions), so this measures
+    # the full serving shape: sharded positional fetch + dl gather + merge
+    from tangent_ray.config import EngineConfig
+    from tangent_ray.index.build import build_index
+    from tangent_ray.query.scorer import QueryScorer
+    from tangent_ray.sources.corpus import TranscriptsCorpus
+
+    idx_dir = f"/tmp/tangent_ray_soak/bm25-idx-{n_convs}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        tdir, idx_dir,
+        EngineConfig(window=1, eol="none", stem=False, math=False,
+                     partitions=num_cpus),
+        TranscriptsCorpus(),
+    )
+    out["bm25_build_sec"] = round(time.time() - t0, 1)
+    sc = QueryScorer(idx_dir)
+    sc.attach_positions(eng)
+    pq_queries = [
+        f'"{words[0]} {words[7]}" {words[12]}',     # hot phrase + term
+        f'"{words[2]} {words[3]} {words[5]}"~4',    # sloppy trigram
+        f'+"{words[50]} {words[300]}" {words[1]}',  # required rarer phrase
+    ]
+    for q in pq_queries:  # warm
+        sc.score_query(q, "text", 20)
+    ts_all: dict[str, list[float]] = {}
+    for _ in range(6):
+        for q in pq_queries:
+            t0 = time.perf_counter()
+            sc.score_query(q, "text", 20)
+            ts_all.setdefault(q[:24], []).append(
+                (time.perf_counter() - t0) * 1e3
+            )
+    out["phraseq_warm_p50_ms"] = {
+        k: round(float(np.median(v)), 1) for k, v in ts_all.items()
+    }
+    # cold distinct phrases: each pays the sharded O(df) fetch + dl gather
+    colds = []
+    for i in range(12):
+        q = f'"{words[100 + 7 * i]} {words[101 + 7 * i]}"'
+        t0 = time.perf_counter()
+        sc.score_query(q, "text", 20)
+        colds.append((time.perf_counter() - t0) * 1e3)
+    out["phraseq_cold_p50_ms"] = round(float(np.median(colds)), 1)
+    log(f"phraseq: {out['phraseq_warm_p50_ms']} cold={out['phraseq_cold_p50_ms']}")
     eng.shutdown()
 
     print(json.dumps(out))
