@@ -382,3 +382,33 @@ def test_explain_phrase_rows(idx):
         r["kind"] == "excluded" and r["term"].startswith('-"')
         for r in ex4
     )
+
+
+def test_search_sharded_phrase_identity(idx):
+    """search_sharded (actor groups, positions auto-attach per shard)
+    returns exactly the unsharded actor-pool rows for phrase queries."""
+    from tangent_ray.query.scorer import search, search_sharded
+
+    queries = pa.table(
+        {
+            "query_id": pa.array(["p1", "p2", "p3"], pa.string()),
+            "kind": pa.array(["text"] * 3, pa.string()),
+            "text": pa.array(
+                ['"alpha beta" gamma', '"alpha beta"~2',
+                 '+"alpha beta" -delta'],
+                pa.string(),
+            ),
+        }
+    )
+    import ray
+
+    res = search(queries, idx, topk=25)
+    tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    flat = pa.concat_tables(tabs)
+    sharded = search_sharded(queries, idx, n_shards=3, topk=25)
+    key = ["query_id", "rank", "docid", "score"]
+
+    def rows(t):
+        return sorted(zip(*[t[c].to_pylist() for c in key]))
+
+    assert rows(flat) == rows(sharded)
