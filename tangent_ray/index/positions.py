@@ -705,14 +705,25 @@ def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
     checks the right offset even when terms repeat, e.g. "the the")."""
     terms = _phrase_terms(phrase)
     all_docs, keys = _term_keys(_provider(index_dir), terms)
+    # rarest slot first (intersection is commutative over the shifted key
+    # sets), then sorted searchsorted probes of the bigger sets — never a
+    # sort or an isin over a corpus-hot term's occurrence array
+    order = sorted(range(len(terms)), key=lambda j: len(keys[terms[j]]))
     survivors: np.ndarray | None = None
-    for i, t in enumerate(terms):
-        ki = keys[t] if i == 0 else keys[t] - np.uint64(i)
-        survivors = (
-            ki
-            if survivors is None
-            else survivors[np.isin(survivors, ki, assume_unique=True)]
-        )
+    for i in order:
+        ki = keys[terms[i]]
+        if i:
+            # entries < i cannot be matches (slot-i keys sit at start+i,
+            # start >= 1) and would wrap below zero — drop them so the
+            # shifted array stays sorted for the probes
+            ki = ki[int(np.searchsorted(ki, np.uint64(i))):] - np.uint64(i)
+        if survivors is None:
+            survivors = ki
+        elif len(ki) == 0:
+            survivors = ki
+        else:
+            pos = np.minimum(np.searchsorted(ki, survivors), len(ki) - 1)
+            survivors = survivors[ki[pos] == survivors]
         if survivors.size == 0:
             break
     if survivors is None or survivors.size == 0:
@@ -1215,6 +1226,7 @@ class PositionalEngine:
         self._actors = [
             self._actor_cls.remote(pos_dir, g) for g in self._groups
         ]
+        self._fetch_cache: dict[str, tuple] = {}
         ray.get([a.fetch.remote([]) for a in self._actors])  # load errors now
 
     def _tombstone_sig(self) -> tuple:
@@ -1227,14 +1239,30 @@ class PositionalEngine:
             )
         )
 
+    #: driver-side merged-postings LRU entries (hot terms at 20M turns
+    #: are ~100-200 MB of (docids, counts, positions) arrays PER TERM;
+    #: without this every repeat query re-ships them from the shard
+    #: actors — measured 950 ms/query for a corpus-head bigram)
+    FETCH_CACHE = 64
+
     # -- provider protocol (phrase_search & co. accept the engine) -------
     def fetch_terms(self, terms: list[str]) -> dict:
         import ray
 
-        parts = ray.get([a.fetch.remote(terms) for a in self._actors])
-        return {
-            t: merge_position_runs([p[t] for p in parts], t) for t in terms
-        }
+        missing = [t for t in terms if t not in self._fetch_cache]
+        if missing:
+            parts = ray.get([a.fetch.remote(missing) for a in self._actors])
+            for t in missing:
+                merged = merge_position_runs([p[t] for p in parts], t)
+                while len(self._fetch_cache) >= self.FETCH_CACHE:
+                    self._fetch_cache.pop(next(iter(self._fetch_cache)))
+                self._fetch_cache[t] = merged
+        out = {}
+        for t in terms:  # move-to-end on hit: dict order is the LRU order
+            v = self._fetch_cache.pop(t)
+            self._fetch_cache[t] = v
+            out[t] = v
+        return out
 
     # -- queries ----------------------------------------------------------
     def phrase(self, phrase: str, k: int = 10) -> pa.Table:
@@ -1275,6 +1303,8 @@ class PositionalEngine:
             for i in sorted(changed)
         ]
         ray.get(jobs)
+        if changed or new:
+            self._fetch_cache = {}  # postings changed under the cache
         return {
             "new_files": len(new),
             "reassigned": bool(dropped),

@@ -138,7 +138,7 @@ def _docs_index(sf_dir: str) -> str:
     from tangent_ray.sources.corpus import DocumentsCorpus
 
     src = _doc_path(sf_dir)
-    out = os.path.join(_TMP_ROOT, f"docs-{_lineage_token(src)}")
+    out = os.path.join(_TMP_ROOT, f"docs2-{_lineage_token(src)}")
     return _build_locked(
         out,
         lambda: build_index(
@@ -3024,13 +3024,14 @@ def q_search_features(sf_dir: str):
     term queries ``/pat/`` (``regexq``), minimum_should_match ``#mm:N``
     (``mm2``), scored exact/sloppy phrase clauses ``"a b"`` /
     ``"a b"~s`` as BM25 pseudo-terms (``phraseq`` / ``phrasesl``),
-    ``+term`` required MUST clauses (``must``), the stats aggregation
-    over a numeric metadata column (``fstats``), and sort-by-field
-    result ordering (``sortby``).
+    ``+term`` required MUST clauses (``must``), match-all ``*`` with a
+    metadata filter (``matchall``), the stats aggregation over a
+    numeric metadata column (``fstats``), and sort-by-field result
+    ordering (``sortby``).
     Each constituent keeps its own
     pytest differential suite (tests/test_phrase|proximity|negation|
     fuzzy|facets|expand|spannear|hybrid|phraseq|regexq|mm|must|
-    facet_stats.py); the twin re-derives all twenty-six from the raw
+    facet_stats.py); the twin re-derives all twenty-seven from the raw
     corpus + embeddings tables."""
     from tangent_ray.index.positions import phrase_search, proximity_search
     from tangent_ray.query.facets import FacetCounter, facet_counts
@@ -3119,6 +3120,7 @@ def q_search_features(sf_dir: str):
         ("phraseq", f'"{PHRASE_QUERY}" join'),
         ("phrasesl", f'"{PHRASE_QUERY}"~{PQ_SLOP}'),
         ("must", f"+{MUST_TERM} hash join"),
+        ("matchall", "* #lang:en"),
     ):
         d, s = scorer.score_query(q, "text", BM25_K)
         for dd, ss in zip(d.tolist(), round_half_away(s, 6)):
@@ -4113,6 +4115,10 @@ def _search_features_sql() -> str:
            round(score, 6), ''
     FROM (SELECT * FROM mustscores ORDER BY score DESC, doc_id
           LIMIT {BM25_K})
+    UNION ALL
+    SELECT 'matchall', '* #lang:en', doc_id, 0::BIGINT, 1.0::DOUBLE, ''
+    FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+          ORDER BY doc_id LIMIT {BM25_K})
     UNION ALL
     SELECT 'fstats', '{RANGE_COL}', (-1)::BIGINT, n, round(vmin, 6), 'min'
     FROM fstats

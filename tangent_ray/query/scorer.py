@@ -751,6 +751,8 @@ class QueryScorer:
             self.positions = _pos
         #: per-(terms, slop) global phrase postings (docids, tfs) — bounded
         self._phrase_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        #: per-(terms, slop) masked (docids, tfn, df) legs — _phrase_leg
+        self._phrase_leg_cache: dict[tuple, tuple] = {}
         # text legs computed by mixed_text_bounds (phase 1 of sharded
         # fusion), keyed by raw query text; popped by the phase-2
         # score_query so the leg is never computed twice. Replaced
@@ -775,6 +777,7 @@ class QueryScorer:
         self._term_vecs = {}
         self._group_vecs = {}
         self._phrase_cache = {}
+        self._phrase_leg_cache = {}
 
     def attach_positions(self, src) -> None:
         """Attach a positional-postings source for quoted-phrase clauses:
@@ -783,6 +786,7 @@ class QueryScorer:
         with ``fetch_terms(terms)`` (e.g. a ``PositionalEngine``)."""
         self.positions = src
         self._phrase_cache = {}
+        self._phrase_leg_cache = {}
 
     def __call__(
         self, batch: pa.Table,
@@ -1207,19 +1211,32 @@ class QueryScorer:
         over this reader's matching docs, or None when nothing matches.
         ``idf`` uses the phrase's GLOBAL df (the positional source is
         global), so sharded and unsharded scoring agree; tf saturates
-        through the same ``_bm25_tfn`` kernel as ordinary terms."""
-        pd, ptf = self._phrase_tfs(terms, slop)
-        if not len(pd):
+        through the same ``_bm25_tfn`` kernel as ordinary terms. The
+        masked (docids, tfn, df) triple is cached per (terms, slop) —
+        boost and idf scale outside — because the dl gather costs O(df of
+        the rarest phrase term) per call (measured 450 ms/query for a
+        corpus-hot phrase at 20M turns without the cache)."""
+        got = self._phrase_leg_cache.get((terms, slop))
+        if got is None:
+            pd, ptf = self._phrase_tfs(terms, slop)
+            df = len(pd)  # global phrase df, before the partial-subset mask
+            if df:
+                mask, dls = self._doclen_of(pd, terms)
+                pdm, ptfm = pd[mask], ptf[mask]
+                tfn = self._bm25_tfn(ptfm.astype(np.float64), dls)
+            else:
+                pdm = np.empty(0, np.int64)
+                tfn = np.empty(0, np.float64)
+            got = (pdm, tfn, df)
+            if len(self._phrase_leg_cache) < self.PHRASE_CACHE:
+                self._phrase_leg_cache[(terms, slop)] = got
+        pdm, tfn, df = got
+        if not len(pdm):
             return None
-        df = len(pd)  # global phrase df, before the partial-subset mask
-        mask, dls = self._doclen_of(pd, terms)
-        pd, ptf = pd[mask], ptf[mask]
-        if not len(pd):
-            return None
-        self.last_stats["postings"] += int(len(pd))
+        self.last_stats["postings"] += int(len(pdm))
         self.last_stats["terms"] += 1
         idf = _bm25_idf(self.reader.N, df)
-        return pd, boost * idf * self._bm25_tfn(ptf.astype(np.float64), dls)
+        return pdm, boost * idf * tfn
 
     def _clause_match_counts(
         self,
@@ -1451,6 +1468,10 @@ class QueryScorer:
                     if self._dead.size
                     else np.sort(pd)
                 )
+        # bare '*' (or Lucene '*:*') — match-all: every live doc at
+        # constant score 1.0, the filter-only browsing query. Needs the
+        # docmap-derived dense docid view (resident, docid-rate).
+        match_all = kind == "text" and text.split() in (["*"], ["*:*"])
         terms, bag, qtc, n_formulae = self.parse_query(text)
         # a cursor, a metadata filter, a phrase clause (merged after the
         # term pass), or k=None (a full-candidate caller) cuts/joins AFTER
@@ -1460,7 +1481,15 @@ class QueryScorer:
             after is not None or bool(filters) or bool(phrases)
             or bool(required) or mm > 1 or k is None
         )
-        if kind == "text":
+        if match_all:
+            dd = self.reader.dense_docids()
+            if dd is None:
+                raise ValueError(
+                    "match-all '*' needs the docmap sidecar (rebuild with "
+                    "this version's build_index)"
+                )
+            d, s = dd, np.ones(len(dd), dtype=np.float64)
+        elif kind == "text":
             d, s = self._score_bm25(terms, None if full_cand else k,
                                     groups=groups)
         elif kind == "math":

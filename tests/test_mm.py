@@ -128,3 +128,33 @@ def test_mm_kind_guard(idx):
     sc = QueryScorer(idx)
     with pytest.raises(ValueError, match="text queries only"):
         sc.score_query("$v!x$ #mm:2", "math", 10)
+
+
+def test_match_all(idx):
+    """'*' (and '*:*') — every live doc at constant score 1.0; filters,
+    negation and paging compose; docid-asc order under the constant."""
+    import numpy as np
+
+    sc = QueryScorer(idx)
+    d, s = sc.score_query("*", "text", 1000)
+    assert d.tolist() == list(range(1, len(DOCS) + 1))
+    assert set(s.tolist()) == {1.0}
+    d2, _ = sc.score_query("*:*", "text", 1000)
+    assert d2.tolist() == d.tolist()
+    # negation composes
+    d3, _ = sc.score_query("* -alpha", "text", 1000)
+    assert d3.tolist() == [
+        i + 1 for i, t in enumerate(DOCS) if "alpha" not in t.split()
+    ]
+    # paging under the constant score
+    rows, after = [], None
+    for _ in range(20):
+        dp, sp = sc.score_query("*", "text", 3, after=after)
+        if not len(dp):
+            break
+        rows.extend(dp.tolist())
+        after = (float(sp[-1]), int(dp[-1]))
+    assert rows == d.tolist()
+    # k-cut keeps the first k docids
+    d4, _ = sc.score_query("*", "text", 4)
+    assert d4.tolist() == d.tolist()[:4]

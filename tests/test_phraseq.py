@@ -412,3 +412,50 @@ def test_search_sharded_phrase_identity(idx):
         return sorted(zip(*[t[c].to_pylist() for c in key]))
 
     assert rows(flat) == rows(sharded)
+
+
+def test_phrase_cache_invalidation_on_refresh(ray_session, tmp_path):
+    """Positional increments become visible to a resident scorer after
+    refresh() (phrase caches cleared; the dir reader re-resolves)."""
+    import ray.data
+
+    from tangent_ray.index.positions import add_position_increment
+
+    docs = ["alpha beta here", "nothing else"]
+    root = tmp_path
+    src = str(root / "docs")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        os.path.join(src, "d.parquet"),
+    )
+    out = str(root / "idx")
+    build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    build_position_index(
+        ray.data.read_parquet(src, columns=["doc_id", "text"]),
+        os.path.join(out, "positions"), num_shards=2,
+    )
+    sc = QueryScorer(out)
+    d, _ = sc.score_query('"alpha beta"', "text", 10)
+    assert d.tolist() == [1]
+    # new doc arrives in BOTH the main index and the positional sidecar
+    inc_src = str(root / "inc")
+    os.makedirs(inc_src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([3], pa.int64()),
+                  "text": pa.array(["alpha beta again"], pa.string())}),
+        os.path.join(inc_src, "d.parquet"),
+    )
+    from tangent_ray.index.build import add_increment
+
+    add_increment(inc_src, out, corpus=DocumentsCorpus())
+    add_position_increment(
+        ray.data.read_parquet(inc_src, columns=["doc_id", "text"]),
+        os.path.join(out, "positions"), num_shards=2,
+    )
+    # stale until refresh (resident caches), fresh after
+    sc.refresh()
+    d2, _ = sc.score_query('"alpha beta"', "text", 10)
+    assert sorted(d2.tolist()) == [1, 3]
