@@ -595,6 +595,9 @@ class PositionsReader:
         self._cnts = self.table["counts"]
         self._poss = self.table["positions"]
         self._cache: dict[str, tuple] = {}
+        #: see _term_keys — readers are immutable post-load, so this only
+        #: needs to exist; invalidation is a new reader
+        self._tk_cache: dict[tuple, tuple] = {}
 
     def term_postings(
         self, term: str
@@ -672,28 +675,51 @@ def _provider(src):
     return src
 
 
+#: per-provider (terms-set -> (all_docs, keys)) entries kept hot — the
+#: unique over the docid union is O(sum df log) and dominates repeat
+#: queries on corpus-hot terms (~1 s/query at 20M turns without it)
+_TK_CACHE = 32
+
+
 def _term_keys(
     reader, terms: list[str]
 ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
     """(all candidate docids asc-uint64, per-term sorted (code<<32|pos)
     keys) — the shared O(df) prologue of the three positional queries.
     Codes index into the returned docid union, so keys from different
-    terms compare in one shared space."""
+    terms compare in one shared space. Cached per provider + terms-set
+    when the provider carries a ``_tk_cache`` dict (PositionsReader and
+    PositionalEngine do; both drop it when their postings change)."""
     uniq = sorted(set(terms))
+    cache = getattr(reader, "_tk_cache", None)
+    ckey = tuple(uniq)
+    if cache is not None:
+        got = cache.get(ckey)
+        if got is not None:
+            return got
     if hasattr(reader, "fetch_terms"):
         per = reader.fetch_terms(uniq)  # one batched round to shard actors
     else:
         per = {t: reader.term_postings(t) for t in uniq}
     nonempty = [p[0] for p in per.values() if p[0].size]
     if not nonempty:
-        return np.empty(0, np.uint64), {t: np.empty(0, np.uint64) for t in per}
-    all_docs = np.unique(np.concatenate(nonempty))
-    keys: dict[str, np.ndarray] = {}
-    for t, (d, c, f) in per.items():
-        codes = np.searchsorted(all_docs, d).astype(np.uint64)
-        # docids ascending + per-doc positions ascending => keys ascending
-        keys[t] = (np.repeat(codes, c) << _HI32) | f
-    return all_docs, keys
+        out = (
+            np.empty(0, np.uint64),
+            {t: np.empty(0, np.uint64) for t in per},
+        )
+    else:
+        all_docs = np.unique(np.concatenate(nonempty))
+        keys: dict[str, np.ndarray] = {}
+        for t, (d, c, f) in per.items():
+            codes = np.searchsorted(all_docs, d).astype(np.uint64)
+            # docids ascending + per-doc positions ascending => keys asc
+            keys[t] = (np.repeat(codes, c) << _HI32) | f
+        out = (all_docs, keys)
+    if cache is not None:
+        if len(cache) >= _TK_CACHE:
+            cache.pop(next(iter(cache)))
+        cache[ckey] = out
+    return out
 
 
 def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
@@ -1227,6 +1253,11 @@ class PositionalEngine:
             self._actor_cls.remote(pos_dir, g) for g in self._groups
         ]
         self._fetch_cache: dict[str, tuple] = {}
+        self._tk_cache: dict[tuple, tuple] = {}  # see _term_keys
+        #: ES/Solr-style query-result cache: repeat phrase/proximity/
+        #: span-near queries on a RESIDENT engine answer from here;
+        #: dropped whenever refresh() changes any shard's view
+        self._result_cache: dict[tuple, pa.Table] = {}
         ray.get([a.fetch.remote([]) for a in self._actors])  # load errors now
 
     def _tombstone_sig(self) -> tuple:
@@ -1264,15 +1295,34 @@ class PositionalEngine:
             out[t] = v
         return out
 
+    RESULT_CACHE = 256
+
+    def _cached(self, key: tuple, fn) -> pa.Table:
+        got = self._result_cache.get(key)
+        if got is None:
+            got = fn()
+            if len(self._result_cache) >= self.RESULT_CACHE:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[key] = got
+        return got
+
     # -- queries ----------------------------------------------------------
     def phrase(self, phrase: str, k: int = 10) -> pa.Table:
-        return phrase_search(self, phrase, k=k)
+        return self._cached(
+            ("phrase", phrase, k), lambda: phrase_search(self, phrase, k=k)
+        )
 
     def proximity(self, query: str, window: int, k: int = 10) -> pa.Table:
-        return proximity_search(self, query, window=window, k=k)
+        return self._cached(
+            ("prox", query, window, k),
+            lambda: proximity_search(self, query, window=window, k=k),
+        )
 
     def span_near(self, phrase: str, slop: int, k: int = 10) -> pa.Table:
-        return span_near_search(self, phrase, slop=slop, k=k)
+        return self._cached(
+            ("span", phrase, slop, k),
+            lambda: span_near_search(self, phrase, slop=slop, k=k),
+        )
 
     def refresh(self) -> dict:
         """Pick up add_position_increment / delete_position_docs /
@@ -1304,7 +1354,10 @@ class PositionalEngine:
         ]
         ray.get(jobs)
         if changed or new:
-            self._fetch_cache = {}  # postings changed under the cache
+            # postings changed under every resident cache layer
+            self._fetch_cache = {}
+            self._tk_cache = {}
+            self._result_cache = {}
         return {
             "new_files": len(new),
             "reassigned": bool(dropped),

@@ -1502,9 +1502,11 @@ class QueryScorer:
         req_phrase: list[np.ndarray] = []
         if phrases:
             # phrase clauses merge as extra SHOULD legs: per-doc score =
-            # term-leg sum + each phrase contribution, left to right (the
-            # SQL twin's coalesce(a,0)+coalesce(b,0) fp order)
-            cand, contrib = [d], [s]
+            # term-leg sum + each phrase contribution (coalesce-sum fp
+            # order, two-operand commutative). Both sides arrive sorted
+            # unique, so the sort-free _fuse_legs merge applies — the
+            # argsort-based _accumulate cost ~500 ms/query for a
+            # corpus-hot phrase's multi-million-doc leg at 20M turns
             for pterms, pslop, pboost, preq in phrases:
                 leg = self._phrase_leg(pterms, pslop, pboost)
                 if preq:
@@ -1513,11 +1515,8 @@ class QueryScorer:
                     # shard-local, so the intersection is exact)
                     req_phrase.append(self._phrase_tfs(pterms, pslop)[0])
                 if leg is not None:
-                    cand.append(leg[0])
-                    contrib.append(leg[1])
+                    d, s = _fuse_legs(d, s, leg[0], leg[1])
                     phrase_docs.append(leg[0])
-            if len(cand) > 1:
-                d, s = _accumulate(cand, contrib)
         if mm > 1 and len(d):
             counts = self._clause_match_counts(
                 d, terms, groups, phrase_docs
