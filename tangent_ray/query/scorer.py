@@ -753,6 +753,12 @@ class QueryScorer:
         self._phrase_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         #: per-(terms, slop) masked (docids, tfn, df) legs — _phrase_leg
         self._phrase_leg_cache: dict[tuple, tuple] = {}
+        #: ES/Solr-style query-result cache (top-k calls only; k=None
+        #: full-candidate calls are never cached): a repeat hot-phrase
+        #: query re-materialized a multi-million-doc candidate merge per
+        #: call (~450 ms at 20M turns). Keyed on the RAW inputs, cleared
+        #: on refresh/attach_positions.
+        self._result_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         # text legs computed by mixed_text_bounds (phase 1 of sharded
         # fusion), keyed by raw query text; popped by the phase-2
         # score_query so the leg is never computed twice. Replaced
@@ -778,6 +784,7 @@ class QueryScorer:
         self._group_vecs = {}
         self._phrase_cache = {}
         self._phrase_leg_cache = {}
+        self._result_cache = {}
 
     def attach_positions(self, src) -> None:
         """Attach a positional-postings source for quoted-phrase clauses:
@@ -787,6 +794,7 @@ class QueryScorer:
         self.positions = src
         self._phrase_cache = {}
         self._phrase_leg_cache = {}
+        self._result_cache = {}
 
     def __call__(
         self, batch: pa.Table,
@@ -1146,6 +1154,8 @@ class QueryScorer:
 
     #: phrase postings cache entries kept hot per scorer
     PHRASE_CACHE = 256
+    #: query-result cache entries (top-k rows each — tiny)
+    RESULT_CACHE = 512
 
     def _phrase_tfs(
         self, terms: tuple[str, ...], slop: int
@@ -1415,6 +1425,14 @@ class QueryScorer:
         # instrumentation counters — the reference's per-query `I` rows
         # (qt/post/expr/doc, mathindex.cpp:161-168,295-317)
         self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
+        rkey = None
+        if kind == "text" and k is not None and mixed_bounds is None:
+            rkey = (text, k, after)
+            got = self._result_cache.get(rkey)
+            if got is not None:
+                self.last_stats["result_cached"] = True
+                self.last_stats["qt_ms"] = (time.perf_counter() - t0) * 1e3
+                return got[0].copy(), got[1].copy()
         # phase-1 text leg (keyed by the RAW query text, before the
         # negation/extension splits below rewrite ``text``)
         text_leg = (
@@ -1558,6 +1576,8 @@ class QueryScorer:
         out = _topk(d, s, len(d) if k is None else k)
         self.last_stats["returned"] = int(len(out[0]))
         self.last_stats["qt_ms"] = (time.perf_counter() - t0) * 1000.0
+        if rkey is not None and len(self._result_cache) < self.RESULT_CACHE:
+            self._result_cache[rkey] = (out[0].copy(), out[1].copy())
         return out
 
     #: posting-count threshold above which multi-term text queries take the

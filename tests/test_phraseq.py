@@ -459,3 +459,21 @@ def test_phrase_cache_invalidation_on_refresh(ray_session, tmp_path):
     sc.refresh()
     d2, _ = sc.score_query('"alpha beta"', "text", 10)
     assert sorted(d2.tolist()) == [1, 3]
+
+
+def test_scorer_result_cache(idx):
+    """Repeat top-k text queries answer from the result cache (identical
+    arrays, fresh copies) and refresh() invalidates it."""
+    sc = QueryScorer(idx)
+    d1, s1 = sc.score_query('"alpha beta" gamma', "text", 10)
+    d2, s2 = sc.score_query('"alpha beta" gamma', "text", 10)
+    assert sc.last_stats.get("result_cached") is True
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    d2[0] = -1  # caller mutation must not poison the cache
+    d3, _ = sc.score_query('"alpha beta" gamma', "text", 10)
+    assert d3.tolist() == d1.tolist()
+    sc.refresh()
+    assert not sc._result_cache
+    # k=None (full-candidate) calls are never cached
+    sc.score_query("gamma", "text", None)
+    assert not sc._result_cache
