@@ -642,20 +642,29 @@ class PositionsReader:
 _READERS: dict[str, tuple[tuple, PositionsReader]] = {}
 
 
-def positions_reader(pos_dir: str) -> PositionsReader:
-    """Cached resident reader for a positional index dir (rebuilds,
-    increments, deletes and compactions all detected via the active-file +
-    tombstone set's (name, size, mtime) signature)."""
-    key = os.path.realpath(pos_dir)
+def positions_sig(pos_dir: str) -> tuple:
+    """Cheap stat-based change signature of a positional dir: the active
+    file set + tombstone files' (relpath, size, mtime). Any rebuild,
+    increment, delete or compaction changes it — the invalidation key for
+    every cache layered over the dir (``positions_reader``, the scorer's
+    phrase caches)."""
     watched = _active_files(pos_dir) + sorted(
         glob.glob(os.path.join(pos_dir, POS_DELETES_DIR, "*.parquet"))
     )
-    sig = tuple(
+    return tuple(
         sorted(
             (os.path.relpath(p, pos_dir), st.st_size, st.st_mtime_ns)
             for p, st in ((p, os.stat(p)) for p in watched if os.path.exists(p))
         )
     )
+
+
+def positions_reader(pos_dir: str) -> PositionsReader:
+    """Cached resident reader for a positional index dir (rebuilds,
+    increments, deletes and compactions all detected via the active-file +
+    tombstone set's (name, size, mtime) signature)."""
+    key = os.path.realpath(pos_dir)
+    sig = positions_sig(pos_dir)
     got = _READERS.get(key)
     if got is not None and got[0] == sig:
         return got[1]
@@ -1254,6 +1263,10 @@ class PositionalEngine:
         ]
         self._fetch_cache: dict[str, tuple] = {}
         self._tk_cache: dict[tuple, tuple] = {}  # see _term_keys
+        #: postings generation — bumped whenever refresh() changes any
+        #: shard's view; scorers watch it via postings_sig() to invalidate
+        #: their own phrase caches
+        self._gen = 0
         #: ES/Solr-style query-result cache: repeat phrase/proximity/
         #: span-near queries on a RESIDENT engine answer from here;
         #: dropped whenever refresh() changes any shard's view
@@ -1280,20 +1293,31 @@ class PositionalEngine:
     def fetch_terms(self, terms: list[str]) -> dict:
         import ray
 
-        missing = [t for t in terms if t not in self._fetch_cache]
+        # touch hits FIRST (move-to-end: dict order is the LRU order) so
+        # the miss-fill's eviction below can never evict a term that this
+        # very request is about to return (the evict-then-KeyError bug)
+        out: dict[str, tuple] = {}
+        for t in terms:
+            v = self._fetch_cache.pop(t, None)
+            if v is not None:
+                self._fetch_cache[t] = v
+                out[t] = v
+        missing = sorted({t for t in terms if t not in out})
         if missing:
             parts = ray.get([a.fetch.remote(missing) for a in self._actors])
             for t in missing:
                 merged = merge_position_runs([p[t] for p in parts], t)
+                out[t] = merged
                 while len(self._fetch_cache) >= self.FETCH_CACHE:
-                    self._fetch_cache.pop(next(iter(self._fetch_cache)))
+                    # evict oldest entries NOT serving the current request
+                    victim = next(
+                        (o for o in self._fetch_cache if o not in out), None
+                    )
+                    if victim is None:
+                        break  # request larger than the cache: let it grow
+                    self._fetch_cache.pop(victim)
                 self._fetch_cache[t] = merged
-        out = {}
-        for t in terms:  # move-to-end on hit: dict order is the LRU order
-            v = self._fetch_cache.pop(t)
-            self._fetch_cache[t] = v
-            out[t] = v
-        return out
+        return {t: out[t] for t in terms}
 
     RESULT_CACHE = 256
 
@@ -1358,11 +1382,17 @@ class PositionalEngine:
             self._fetch_cache = {}
             self._tk_cache = {}
             self._result_cache = {}
+            self._gen += 1
         return {
             "new_files": len(new),
             "reassigned": bool(dropped),
             "reloaded": sorted(changed),
         }
+
+    def postings_sig(self) -> tuple:
+        """Change signature for caches layered over this engine (the
+        scorer's phrase caches): (engine identity, postings generation)."""
+        return (id(self), self._gen)
 
     def shutdown(self) -> None:
         import ray

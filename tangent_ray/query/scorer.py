@@ -417,11 +417,15 @@ class IndexReader:
         so ``tabl.s`` touches only ``tabl``-terms; a pattern with no
         literal prefix scans the whole text vocabulary — the same
         documented cost Lucene regexp queries pay. Deterministic and
-        shard-consistent (see ``text_vocab``)."""
+        shard-consistent (see ``text_vocab``). A top-level alternation
+        (``tab.*|join``) makes any literal prefix non-mandatory, so those
+        patterns always take the whole-vocabulary scan."""
         m = re.match(r"[a-z0-9]*", pattern)
         pre = m.group(0) if m else ""
         if pre and pattern[len(pre) : len(pre) + 1] in ("*", "?", "+", "{"):
             pre = pre[:-1]  # quantifier binds the last literal char
+        if pre and _has_toplevel_alt(pattern):
+            pre = ""  # the branch after '|' need not start with the prefix
         cand_t, cand_df = self._vocab_range(pre)
         if not len(cand_t):
             return []
@@ -613,6 +617,35 @@ class IndexReader:
         ]
 
 
+def _has_toplevel_alt(pattern: str) -> bool:
+    """True when ``pattern`` carries an alternation at paren depth 0
+    (outside character classes and escapes) — e.g. ``tab.*|join``. A
+    top-level branch invalidates literal-prefix narrowing: the other
+    branch's matches need not start with the prefix."""
+    depth = 0
+    in_class = False
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _bm25_idf(N: int, df: np.ndarray | int) -> np.ndarray | float:
     return np.log(1.0 + (N - df + 0.5) / (df + 0.5))
 
@@ -749,6 +782,9 @@ class QueryScorer:
         _pos = os.path.join(index_dir, "positions")
         if os.path.isdir(_pos):
             self.positions = _pos
+        #: last seen positional-source signature (see
+        #: ``_check_positions_fresh``) — None until the first phrase query
+        self._pos_sig: tuple | None = None
         #: per-(terms, slop) global phrase postings (docids, tfs) — bounded
         self._phrase_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         #: per-(terms, slop) masked (docids, tfn, df) legs — _phrase_leg
@@ -792,9 +828,33 @@ class QueryScorer:
         cached reader, increments/deletes auto-detected) or any object
         with ``fetch_terms(terms)`` (e.g. a ``PositionalEngine``)."""
         self.positions = src
+        self._pos_sig = None
         self._phrase_cache = {}
         self._phrase_leg_cache = {}
         self._result_cache = {}
+
+    def _check_positions_fresh(self) -> None:
+        """Drop the phrase-derived caches when the attached positional
+        source changed: a dir source is watched via its stat signature
+        (``positions_sig`` — the same check ``positions_reader`` runs), an
+        engine source via its ``postings_sig()`` generation counter
+        (bumped by ``PositionalEngine.refresh``)."""
+        src = self.positions
+        if isinstance(src, str):
+            from tangent_ray.index.positions import positions_sig
+
+            sig = ("dir", positions_sig(src))
+        else:
+            hook = getattr(src, "postings_sig", None)
+            if hook is None:
+                return
+            sig = ("obj", hook())
+        if sig != self._pos_sig:
+            if self._pos_sig is not None:
+                self._phrase_cache = {}
+                self._phrase_leg_cache = {}
+                self._result_cache = {}
+            self._pos_sig = sig
 
     def __call__(
         self, batch: pa.Table,
@@ -1038,7 +1098,10 @@ class QueryScorer:
     #: ``+term`` — Lucene BooleanQuery MUST: the doc must contain the term
     #: (which still scores as an ordinary SHOULD term). Binds only to a
     #: plain term; ``+`` elsewhere is punctuation.
-    _MUST_RE = re.compile(r"(?<![\w*?~^\\])\+([a-z0-9]+)(?![*?~/])",
+    #: the trailing lookahead also rejects word characters so a required
+    #: wildcard like ``+table*`` cannot backtrack into a partial match
+    #: (``+tabl``) — it falls through to the wildcard pass instead
+    _MUST_RE = re.compile(r"(?<![\w*?~^\\])\+([a-z0-9]+)(?![a-z0-9*?~/])",
                           re.IGNORECASE)
 
     def _split_required(self, text: str) -> tuple[str, list[str]]:
@@ -1425,6 +1488,13 @@ class QueryScorer:
         # instrumentation counters — the reference's per-query `I` rows
         # (qt/post/expr/doc, mathindex.cpp:161-168,295-317)
         self.last_stats = {"postings": 0, "terms": 0, "candidates": 0}
+        if self.positions is not None and '"' in text:
+            # phrase clauses read the positional sidecar through per-scorer
+            # caches — drop them when the sidecar changed underneath
+            # (add_position_increment / delete_position_docs / compaction),
+            # so phrase tfs/results track the live postings without an
+            # explicit refresh()/attach_positions() call
+            self._check_positions_fresh()
         rkey = None
         if kind == "text" and k is not None and mixed_bounds is None:
             rkey = (text, k, after)

@@ -198,3 +198,13 @@ def _sloppy_match(tt, terms, slop):
         if ok and (cur - i - (len(terms) - 1)) <= slop:
             return True
     return False
+
+
+def test_required_wildcard_not_half_parsed(idx):
+    """``+alpha*`` must NOT backtrack into MUST 'alph' (empty results) —
+    it falls through to the ordinary wildcard pass."""
+    sc = QueryScorer(idx)
+    d1, s1 = sc.score_query("+alpha* gamma", "text", 100)
+    d2, s2 = sc.score_query("alpha* gamma", "text", 100)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    assert len(d1)

@@ -477,3 +477,34 @@ def test_scorer_result_cache(idx):
     # k=None (full-candidate) calls are never cached
     sc.score_query("gamma", "text", None)
     assert not sc._result_cache
+
+
+def test_positional_change_autodetected_without_refresh(ray_session, tmp_path):
+    """A positional-sidecar-only change (delete_position_docs) is picked
+    up by a resident scorer's NEXT phrase query — no refresh() needed:
+    the phrase caches watch the sidecar's stat signature."""
+    import ray.data
+
+    from tangent_ray.index.positions import delete_position_docs
+
+    docs = ["alpha beta one", "alpha beta two", "alpha alone"]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        os.path.join(src, "d.parquet"),
+    )
+    out = str(tmp_path / "idx")
+    build_index(src, out, dataclasses.replace(SQL_PARITY_CONFIG, partitions=1),
+                DocumentsCorpus())
+    build_position_index(
+        ray.data.read_parquet(src, columns=["doc_id", "text"]),
+        os.path.join(out, "positions"), num_shards=2,
+    )
+    sc = QueryScorer(out)
+    d, _ = sc.score_query('"alpha beta"', "text", 10)
+    assert sorted(d.tolist()) == [1, 2]
+    delete_position_docs(os.path.join(out, "positions"), [2])
+    d2, _ = sc.score_query('"alpha beta"', "text", 10)  # NO refresh()
+    assert d2.tolist() == [1]

@@ -113,3 +113,36 @@ def test_engine_duplicate_across_shards_raises(ray_session, tmp_path):
             eng.phrase("beta", k=5)
     finally:
         eng.shutdown()
+
+
+def test_fetch_cache_eviction_mixed_hit_miss(ray_session, tmp_path):
+    """A query mixing a cached term with a miss must not evict (then
+    KeyError on) the cached term while filling the miss — the resident
+    LRU regression from long-running serving."""
+    import ray.data
+
+    live = str(tmp_path / "lru")
+    ids, docs = _corpus(random.Random(11), 30)
+    build_position_index(ray.data.from_arrow(_table(ids, docs)), live,
+                         num_shards=4)
+    eng = PositionalEngine(live, n_shards=2)
+    try:
+        eng.FETCH_CACHE = 2  # instance override: tiny cache
+        local = {t: phrase_search(live, t, k=10_000) for t in VOCAB[:4]}
+        eng.fetch_terms(["alpha"])
+        eng.fetch_terms(["beta"])   # cache now full: {alpha, beta}
+        # hit alpha + miss gamma: the old fill evicted alpha, then
+        # crashed popping it; the fix touches hits first
+        got = eng.fetch_terms(["alpha", "gamma"])
+        assert set(got) == {"alpha", "gamma"}
+        # request larger than the cache: must still answer, cache may
+        # transiently exceed its cap but shrinks on the next call
+        got = eng.fetch_terms(["alpha", "beta", "gamma", "delta"])
+        assert set(got) == {"alpha", "beta", "gamma", "delta"}
+        eng.fetch_terms(["eps"])
+        assert len(eng._fetch_cache) <= eng.FETCH_CACHE + 1
+        # served results stay correct end-to-end
+        for t in VOCAB[:4]:
+            assert eng.phrase(t, k=10_000).equals(local[t])
+    finally:
+        eng.shutdown()

@@ -129,3 +129,37 @@ def test_no_match_and_leading_metachar(idx):
         if any(re.fullmatch(".*ing", t) for t in doc.split())
     }
     assert set(d3.tolist()) == exp
+
+
+def test_toplevel_alternation_not_prefix_narrowed(idx):
+    """``tab.*|join`` has a top-level branch: the literal-prefix fast path
+    must not silently drop the 'join' side (full-vocab fullmatch rule)."""
+    sc = QueryScorer(idx)
+    got = sorted(sc.reader.expand_regexp("tab.*|join", 1000))
+    assert got == _expand_oracle("tab.*|join", 1000)
+    assert "join" in got and "table" in got
+    # grouped alternation AFTER the prefix keeps the narrowing sound
+    got2 = sorted(sc.reader.expand_regexp("tab(le|s)", 1000))
+    assert got2 == _expand_oracle("tab(le|s)", 1000)
+    # escaped pipe is a literal, not an alternation (no vocab hit, but
+    # the expansion must not crash or mis-narrow)
+    assert sc.reader.expand_regexp(r"tab\|le", 1000) == _expand_oracle(
+        r"tab\|le", 1000
+    )
+    # negation of an alternation excludes BOTH branches
+    d, _ = sc.score_query("hash -/tab.*|join/", "text", 100)
+    banned = {
+        i + 1
+        for i, doc in enumerate(DOCS)
+        if any(re.fullmatch("tab.*|join", t) for t in doc.split())
+    }
+    kept = {i + 1 for i, doc in enumerate(DOCS) if "hash" in doc.split()}
+    assert set(d.tolist()) == kept - banned and len(d)
+
+
+def test_negated_regexp_case_insensitive(idx):
+    """``-/Tab.*/`` lowercases before expansion — excludes like -/tab.*/."""
+    sc = QueryScorer(idx)
+    d1, s1 = sc.score_query("join -/Tab.*/", "text", 100)
+    d2, s2 = sc.score_query("join -/tab.*/", "text", 100)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
