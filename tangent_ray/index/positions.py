@@ -168,7 +168,17 @@ def _explode_positions(batch: pa.Table, id_col: str, text_col: str,
     )
 
 
-def encode_positions_group(group: pa.Table) -> pa.Table:
+#: positions per encoded run row — a corpus-hot term's postings split
+#: into multiple rows at doc boundaries past this, so no single Parquet
+#: binary cell grows with the corpus (readers fold the rows back via
+#: ``merge_position_runs``; a sharded engine can slice them
+#: independently). 1M positions ≈ 1-2 MB encoded.
+MAX_RUN_POSITIONS = 1 << 20
+
+
+def encode_positions_group(
+    group: pa.Table, max_run_positions: int | None = None
+) -> pa.Table:
     """Encode every term of one shard group into positional posting runs.
 
     One shared numpy pass over all the group's terms (the same
@@ -177,7 +187,11 @@ def encode_positions_group(group: pa.Table) -> pa.Table:
     streams once each, then slice per-term byte runs out of the shared
     encoded buffers. Duplicate (term, docid) rows raise — a repeated
     document is input corruption (reference warns on repeated docIDs,
-    ``mathindex.cpp:335``)."""
+    ``mathindex.cpp:335``). Terms holding more than ``max_run_positions``
+    positions emit MULTIPLE rows, cut at doc boundaries (single-doc rows
+    can exceed the cap — doc granularity is the floor)."""
+    if max_run_positions is None:
+        max_run_positions = MAX_RUN_POSITIONS
     n = group.num_rows
     if n == 0:
         return POS_SCHEMA.empty_table()
@@ -209,13 +223,37 @@ def encode_positions_group(group: pa.Table) -> pa.Table:
                 "(repeated document in input?)"
             )
 
-    # docid deltas, reset at each term's first posting
+    off = np.cumsum(sizes) - sizes  # flat start per row
+    # run-cap pass: split oversized terms' row ranges at doc boundaries
+    # so every emitted run stays <= max_run_positions positions (the
+    # delta streams below reset at RUN starts, so each run decodes
+    # standalone). Rare by construction — the Python loop touches only
+    # terms past the cap.
+    npos_term = off[ends - 1] + sizes[ends - 1] - off[starts]
+    if np.any(npos_term > max_run_positions):
+        new_starts: list[int] = []
+        for t in np.flatnonzero(npos_term >= 0):  # all terms, in order
+            s, e = int(starts[t]), int(ends[t])
+            if npos_term[t] <= max_run_positions:
+                new_starts.append(s)
+                continue
+            cum = np.cumsum(sizes[s:e])
+            cut = 0  # row offset within the term
+            while cut < e - s:
+                new_starts.append(s + cut)
+                base = int(cum[cut - 1]) if cut else 0
+                nxt = int(
+                    np.searchsorted(cum, base + max_run_positions, "right")
+                )
+                cut = max(nxt, cut + 1)  # >= 1 row per run
+        starts = np.asarray(new_starts, dtype=np.int64)
+        ends = np.append(starts[1:], n)
+    # docid deltas, reset at each run's first posting
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = docids_s[0]
     np.subtract(docids_s[1:], docids_s[:-1], out=deltas[1:])
     deltas[starts] = docids_s[starts]
     # position deltas, reset at each (doc, term) row's first position
-    off = np.cumsum(sizes) - sizes  # flat start per row
     pdel = np.empty(len(flat), dtype=np.uint64)
     if len(flat):
         pdel[0] = flat[0]
@@ -256,14 +294,18 @@ def encode_positions_group(group: pa.Table) -> pa.Table:
 
 
 def build_position_index(ds, out_dir: str, num_shards: int = 64,
-                         id_col: str = "doc_id", text_col: str = "text"):
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_run_positions: int | None = None):
     """Corpus -> term-sharded positional postings at ``out_dir`` (Parquet).
 
     One tokenize map + ONE ``groupby(skey)`` shuffle (`skey = crc32(term)
     % num_shards`), then a vectorized multi-term encode per reduce group.
     ``num_shards`` bounds the reduce-group size (positions-rate rows /
-    num_shards per group); Parquet dictionary+RLE handles the term
-    strings. Query-side access is O(df) via :class:`PositionsReader`."""
+    num_shards per group); ``max_run_positions`` (default
+    ``MAX_RUN_POSITIONS``) caps positions per emitted run row; Parquet
+    dictionary+RLE handles the term strings. Query-side access is O(df)
+    via :class:`PositionsReader`."""
+    cap = MAX_RUN_POSITIONS if max_run_positions is None else max_run_positions
     (
         ds.map_batches(
             lambda b: _explode_positions(b, id_col, text_col, num_shards),
@@ -271,7 +313,7 @@ def build_position_index(ds, out_dir: str, num_shards: int = 64,
         )
         .groupby("skey")
         .map_groups(
-            lambda g: encode_positions_group(g.drop_columns(["skey"])),
+            lambda g: encode_positions_group(g.drop_columns(["skey"]), cap),
             batch_format="pyarrow",
         )
         .write_parquet(out_dir)
@@ -438,8 +480,11 @@ def _decode_rows_to_lists(batch: pa.Table, num_shards: int,
     )
 
 
-def compact_positions(pos_dir: str, num_shards: int = 64) -> dict:
-    """Rewrite a positional dir to one row per term, physically dropping
+def compact_positions(pos_dir: str, num_shards: int = 64,
+                      max_run_positions: int | None = None) -> dict:
+    """Rewrite a positional dir to one run-capped row set per term
+    (one row, or several doc-range rows past ``max_run_positions`` —
+    see ``encode_positions_group``), physically dropping
     tombstoned docs and folding every increment — the positional
     ``purge_deletes`` + ``compact_index``. One Ray job: decode-explode the
     live rows (vocab-rate Python, positions-rate numpy), re-shard with the
@@ -451,6 +496,7 @@ def compact_positions(pos_dir: str, num_shards: int = 64) -> dict:
     ignorable orphans, never a bad view)."""
     import ray.data
 
+    cap = MAX_RUN_POSITIONS if max_run_positions is None else max_run_positions
     old_files = _active_files(pos_dir)
     tomb = load_position_tombstones(pos_dir)
     with open(os.path.join(pos_dir, ".lock"), "w") as lf:
@@ -469,7 +515,8 @@ def compact_positions(pos_dir: str, num_shards: int = 64) -> dict:
             )
             .groupby("skey")
             .map_groups(
-                lambda g: encode_positions_group(g.drop_columns(["skey"])),
+                lambda g: encode_positions_group(g.drop_columns(["skey"]),
+                                                 cap),
                 batch_format="pyarrow",
             )
             .write_parquet(tmp)
@@ -710,20 +757,7 @@ def _term_keys(
         per = reader.fetch_terms(uniq)  # one batched round to shard actors
     else:
         per = {t: reader.term_postings(t) for t in uniq}
-    nonempty = [p[0] for p in per.values() if p[0].size]
-    if not nonempty:
-        out = (
-            np.empty(0, np.uint64),
-            {t: np.empty(0, np.uint64) for t in per},
-        )
-    else:
-        all_docs = np.unique(np.concatenate(nonempty))
-        keys: dict[str, np.ndarray] = {}
-        for t, (d, c, f) in per.items():
-            codes = np.searchsorted(all_docs, d).astype(np.uint64)
-            # docids ascending + per-doc positions ascending => keys asc
-            keys[t] = (np.repeat(codes, c) << _HI32) | f
-        out = (all_docs, keys)
+    out = _keys_from_postings(per)
     if cache is not None:
         if len(cache) >= _TK_CACHE:
             cache.pop(next(iter(cache)))
@@ -731,18 +765,38 @@ def _term_keys(
     return out
 
 
-def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
-    """Exact phrase top-k from the positional postings — O(sum df) decode,
-    no Dataset job.
+def _keys_from_postings(
+    per: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """Postings dict -> (docid union asc, per-term sorted (code<<32|pos)
+    keys) — the shared key-space construction of every positional kernel
+    (used both driver-side via ``_term_keys`` and inside the distributed
+    doc-range kernel tasks)."""
+    nonempty = [p[0] for p in per.values() if p[0].size]
+    if not nonempty:
+        return (
+            np.empty(0, np.uint64),
+            {t: np.empty(0, np.uint64) for t in per},
+        )
+    all_docs = np.unique(np.concatenate(nonempty))
+    keys: dict[str, np.ndarray] = {}
+    for t, (d, c, f) in per.items():
+        codes = np.searchsorted(all_docs, d).astype(np.uint64)
+        # docids ascending + per-doc positions ascending => keys asc
+        keys[t] = (np.repeat(codes, c) << _HI32) | f
+    return all_docs, keys
 
-    Returns (docid, n_occurrences) sorted by (count desc, docid asc),
-    limit ``k``. Duplicate phrase terms are handled (each occurrence slot
+
+def _phrase_match_counts(
+    all_docs: np.ndarray, terms: list[str], keys: dict[str, np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """ALL exact-phrase matches as (docids int64, n_occurrences int64) —
+    the shared kernel of ``phrase_search`` and the distributed range
+    tasks. Rarest slot first (intersection is commutative over the
+    shifted key sets), then sorted searchsorted probes of the bigger
+    sets — never a sort or an isin over a corpus-hot term's occurrence
+    array. Duplicate phrase terms are handled (each occurrence slot
     checks the right offset even when terms repeat, e.g. "the the")."""
-    terms = _phrase_terms(phrase)
-    all_docs, keys = _term_keys(_provider(index_dir), terms)
-    # rarest slot first (intersection is commutative over the shifted key
-    # sets), then sorted searchsorted probes of the bigger sets — never a
-    # sort or an isin over a corpus-hot term's occurrence array
     order = sorted(range(len(terms)), key=lambda j: len(keys[terms[j]]))
     survivors: np.ndarray | None = None
     for i in order:
@@ -762,47 +816,95 @@ def phrase_search(index_dir: str, phrase: str, k: int = 10) -> pa.Table:
         if survivors.size == 0:
             break
     if survivors is None or survivors.size == 0:
-        return _result_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     codes, counts = np.unique(
         (survivors >> _HI32).astype(np.int64), return_counts=True
     )
-    docs = all_docs[codes].astype(np.int64)
+    return all_docs[codes].astype(np.int64), counts.astype(np.int64)
+
+
+def _after_filter_desc(
+    docs: np.ndarray, counts: np.ndarray, after: tuple[int, int] | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep rows strictly AFTER the cursor in (count desc, docid asc)
+    order — the phrase-family ``search_after`` filter (cursor = the
+    previous page's last (n_occurrences, docid) pair)."""
+    if after is None:
+        return docs, counts
+    a_cnt, a_doc = int(after[0]), int(after[1])
+    keep = (counts < a_cnt) | ((counts == a_cnt) & (docs > a_doc))
+    return docs[keep], counts[keep]
+
+
+def _after_filter_asc(
+    docs: np.ndarray, spans: np.ndarray, after: tuple[int, int] | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cursor filter for the (span/slop asc, docid asc) orders."""
+    if after is None:
+        return docs, spans
+    a_span, a_doc = int(after[0]), int(after[1])
+    keep = (spans > a_span) | ((spans == a_span) & (docs > a_doc))
+    return docs[keep], spans[keep]
+
+
+def phrase_search(
+    index_dir: str, phrase: str, k: int = 10,
+    search_after: tuple[int, int] | None = None,
+) -> pa.Table:
+    """Exact phrase top-k from the positional postings — O(sum df) decode,
+    no Dataset job.
+
+    Returns (docid, n_occurrences) sorted by (count desc, docid asc),
+    limit ``k``. ``search_after=(n_occurrences, docid)`` — the previous
+    page's last row — returns the NEXT k rows of the same total order
+    (Elasticsearch search_after pagination), so a consumer can page
+    through every match without re-ranking the whole set client-side."""
+    terms = _phrase_terms(phrase)
+    all_docs, keys = _term_keys(_provider(index_dir), terms)
+    docs, counts = _phrase_match_counts(all_docs, terms, keys)
+    docs, counts = _after_filter_desc(docs, counts, search_after)
     order = np.lexsort((docs, -counts))[:k]
-    return _result_table(docs[order], counts[order].astype(np.int64))
+    return _result_table(docs[order], counts[order])
 
 
 def proximity_search(
-    index_dir: str, query: str, window: int, k: int = 10
+    index_dir: str, query: str, window: int, k: int = 10,
+    search_after: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Docs whose distinct query terms all occur within ``window`` positions
     of each other, from the positional postings (O(sum df) decode).
 
     Returns (docid, min_span) with ``min_span <= window``, sorted by
-    (min_span asc, docid asc), limit ``k``."""
+    (min_span asc, docid asc), limit ``k``. ``search_after=(min_span,
+    docid)`` pages the same total order like ``phrase_search``."""
     terms = sorted(set(_phrase_terms(query)))
     all_docs, keys = _term_keys(_provider(index_dir), terms)
     codes, spans = _spans_from_sorted_keys([keys[t] for t in terms])
     keep = spans <= window
     docs = all_docs[codes[keep]].astype(np.int64)
     spans = spans[keep]
+    docs, spans = _after_filter_asc(docs, spans, search_after)
     order = np.lexsort((docs, spans))[:k]
     return _span_table(docs[order], spans[order])
 
 
 def span_near_search(
-    index_dir: str, phrase: str, slop: int, k: int = 10
+    index_dir: str, phrase: str, slop: int, k: int = 10,
+    search_after: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Ordered phrase-with-slop over the positional postings (Lucene
     ``"a b"~slop`` SpanNear with ``inOrder=true``): docs where the phrase
     terms occur IN ORDER with at most ``slop`` extra positions between the
     first and last (slop 0 = exact phrase). Returns (docid, min_slop)
-    sorted (min_slop asc, docid asc), limit ``k``; O(sum df) decode."""
+    sorted (min_slop asc, docid asc), limit ``k``; O(sum df) decode.
+    ``search_after=(min_slop, docid)`` pages the same total order."""
     terms = _phrase_terms(phrase)  # phrase ORDER, repeats kept
     all_docs, keys = _term_keys(_provider(index_dir), terms)
     codes, slops = _ordered_spans([keys[t] for t in terms])
     keep = slops <= slop
     docs = all_docs[codes[keep]].astype(np.int64)
     slops = slops[keep]
+    docs, slops = _after_filter_asc(docs, slops, search_after)
     order = np.lexsort((docs, slops))[:k]
     return _span_table(docs[order], slops[order])
 
@@ -1155,8 +1257,20 @@ def phrase_doc_tfs(
     DuckDB positions-join twin matches bit-for-bit. Returns (docids int64
     asc, tf int64) over matching docs; O(sum df) decode via the resident
     reader (``src``: a positional index dir or any ``fetch_terms``
-    provider, e.g. :class:`PositionalEngine`)."""
-    all_docs, keys = _term_keys(_provider(src), terms)
+    provider, e.g. :class:`PositionalEngine`). A provider exposing a
+    ``doc_tfs(terms, slop)`` hook (the engine's distributed doc-range
+    path) answers through it instead of shipping postings here."""
+    p = _provider(src)
+    hook = getattr(p, "doc_tfs", None)
+    if hook is not None:
+        return hook(terms, slop)
+    return _doc_tfs_local(p, terms, slop)
+
+
+def _doc_tfs_local(provider, terms: list[str], slop: int):
+    """Driver-side ``phrase_doc_tfs`` body (see there) over any postings
+    provider — also the engine's small-query fallback."""
+    all_docs, keys = _term_keys(provider, terms)
     doc_codes, slops = _start_slops([keys[t] for t in terms])
     m = slops <= slop
     if not m.any():
@@ -1205,6 +1319,57 @@ def span_near_scan(ds, phrase: str, slop: int, k: int = 10,
 # ---------------------------------------------------------------------------
 
 
+def _pos_range_kernel(kind: str, terms: list[str], arg: int, k: int,
+                      after, *shard_parts: dict) -> pa.Table:
+    """One doc range's positional kernel, run as a Ray task.
+
+    ``shard_parts`` are the per-shard ``{term: (docids, counts, flat)}``
+    slices for THIS doc range (one object per shard, produced by
+    ``_PosShardWorker.fetch_sliced`` with ``num_returns``, so each task
+    pulls only its range's postings). The kernels are per-doc and the
+    ranges are doc-disjoint, so per-range results union to the global
+    answer exactly; the per-range partial top-k keeps the driver merge at
+    O(k * ranges) — the postings themselves never reach the driver
+    (reference analogue: the resident engine never ships postings,
+    ``mathindex.cpp:415-457``)."""
+    per = {
+        t: merge_position_runs([p[t] for p in shard_parts if t in p], t)
+        for t in set(terms)
+    }
+    all_docs, keys = _keys_from_postings(per)
+    if kind == "phrase":
+        docs, counts = _phrase_match_counts(all_docs, list(terms), keys)
+        docs, counts = _after_filter_desc(docs, counts, after)
+        return _result_table(*_partial_topk(docs, counts, k))
+    if kind == "prox":
+        codes, spans = _spans_from_sorted_keys([keys[t] for t in terms])
+        keep = spans <= arg
+        docs = all_docs[codes[keep]].astype(np.int64)
+        docs, spans = _after_filter_asc(docs, spans[keep], after)
+        return _span_table(*_partial_span_topk(docs, spans, k))
+    if kind == "span":
+        codes, slops = _ordered_spans([keys[t] for t in terms])
+        keep = slops <= arg
+        docs = all_docs[codes[keep]].astype(np.int64)
+        docs, slops = _after_filter_asc(docs, slops[keep], after)
+        return _span_table(*_partial_span_topk(docs, slops, k))
+    if kind == "tfs":
+        doc_codes, slops = _start_slops([keys[t] for t in terms])
+        m = slops <= arg
+        if not m.any():
+            docs = np.empty(0, np.int64)
+            tfs = np.empty(0, np.int64)
+        else:
+            codes, tfs = np.unique(doc_codes[m], return_counts=True)
+            docs = all_docs[codes].astype(np.int64)
+            tfs = tfs.astype(np.int64)
+        return pa.table(
+            {"docid": pa.array(docs, pa.int64()),
+             "tf": pa.array(tfs, pa.int64())}
+        )
+    raise ValueError(f"unknown positional kernel kind {kind!r}")
+
+
 class _PosShardWorker:
     """Ray actor body: a resident :class:`PositionsReader` over a disjoint
     subset of the positional dir's files."""
@@ -1217,6 +1382,47 @@ class _PosShardWorker:
         """Per-term (docids, counts, flat positions) runs from THIS
         shard's files — already run-merged and tombstone-filtered."""
         return {t: self.reader.term_postings(t) for t in terms}
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term df held by THIS shard, WITHOUT decoding postings —
+        the planning round of the distributed kernel path."""
+        out: dict[str, int] = {}
+        df_col = self.reader.table["df"]
+        for t in terms:
+            rows = self.reader.lookup.get(t, ())
+            out[t] = int(sum(df_col[r].as_py() for r in rows))
+        return out
+
+    def term_docids(self, term: str) -> np.ndarray:
+        """One term's live docid array (uint64 asc) — the boundary-
+        sampling round (called on the query's RAREST term only, so the
+        payload is bounded by min df, not sum df)."""
+        return self.reader.term_postings(term)[0]
+
+    def fetch_sliced(self, terms: list[str], bounds: np.ndarray) -> list:
+        """Postings split into ``len(bounds)+1`` doc ranges: returns one
+        ``{term: (docids, counts, flat)}`` dict PER RANGE, invoked with
+        ``num_returns=len(bounds)+1`` so each range ships as its own
+        object — a doc-range kernel task pulls only its slice, never the
+        whole shard payload, and the driver never touches postings at
+        all."""
+        n_ranges = len(bounds) + 1
+        outs: list[dict] = [dict() for _ in range(n_ranges)]
+        for t in terms:
+            d, c, f = self.reader.term_postings(t)
+            if not d.size:
+                continue
+            cuts = np.searchsorted(d, bounds)
+            off = np.cumsum(c) - c
+            prev = 0
+            for r in range(n_ranges):
+                hi = int(cuts[r]) if r < n_ranges - 1 else len(d)
+                if hi > prev:
+                    fs = int(off[prev])
+                    fe = int(off[hi - 1] + c[hi - 1])
+                    outs[r][t] = (d[prev:hi], c[prev:hi], f[fs:fe])
+                prev = hi
+        return outs
 
     def reload(self, files: list[str]) -> int:
         self.reader = PositionsReader(self.pos_dir, files=files)
@@ -1330,23 +1536,154 @@ class PositionalEngine:
             self._result_cache[key] = got
         return got
 
+    # -- distributed doc-range kernels -----------------------------------
+    #: distribute a query when its terms' summed df exceeds this; below
+    #: it the driver-side kernel over fetch_terms is faster than task
+    #: round-trips (and its LRU makes repeats ~free). Instance-overridable
+    #: (tests set 0 to force distribution).
+    DIST_MIN_SUMDF = 1 << 18
+    #: upper bound on doc-range fan-out per query
+    MAX_RANGES = 32
+
+    def _kernel(self):
+        import ray
+
+        if getattr(self, "_kernel_fn", None) is None:
+            self._kernel_fn = ray.remote(num_cpus=1)(_pos_range_kernel)
+        return self._kernel_fn
+
+    def _distributed(self, kind: str, slot_terms: list[str], arg: int,
+                     k: int, after) -> pa.Table | None:
+        """Doc-range-split kernel execution: plan ranges off the RAREST
+        term's docids (candidates are a subset of them for every kernel
+        family), slice each shard's postings server-side
+        (``fetch_sliced`` with ``num_returns`` — one object per range),
+        run :func:`_pos_range_kernel` once per range as a Ray task, and
+        merge the O(k)-or-O(matches)-sized partials on the driver.
+
+        Returns None when the query is too small to be worth task
+        round-trips (the caller falls back to the exact driver-side
+        path), or an exact result table. Payload ever touching the
+        driver: per-term dfs, the rarest term's docids, and the partial
+        result tables — never the O(sum df) postings."""
+        import ray
+
+        uniq = sorted(set(slot_terms))
+        dfs = ray.get([a.term_dfs.remote(uniq) for a in self._actors])
+        tot = {t: sum(d[t] for d in dfs) for t in uniq}
+        if min(tot.values()) == 0:
+            # every kernel family requires every term: a missing term
+            # means no matches, no postings need move at all
+            if kind == "phrase":
+                return _result_table(np.empty(0, np.int64),
+                                     np.empty(0, np.int64))
+            if kind == "tfs":
+                return pa.table(
+                    {"docid": pa.array([], pa.int64()),
+                     "tf": pa.array([], pa.int64())}
+                )
+            return _span_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        sum_df = sum(tot.values())
+        if sum_df < self.DIST_MIN_SUMDF:
+            return None
+        rarest = min(uniq, key=lambda t: (tot[t], t))
+        rid = ray.get([a.term_docids.remote(rarest) for a in self._actors])
+        rd = np.sort(np.concatenate([p for p in rid if p.size]))
+        n_r = int(
+            min(
+                self.MAX_RANGES,
+                max(2, sum_df // max(1, self.DIST_MIN_SUMDF // 2)),
+                len(rd),
+            )
+        )
+        if n_r < 2:
+            return None
+        # boundaries at the rarest term's docid quantiles: candidate docs
+        # are a subset of its docids, so ranges balance the candidate
+        # count even under skewed docid spaces
+        bounds = np.unique(rd[(np.arange(1, n_r) * len(rd)) // n_r])
+        n_r = len(bounds) + 1
+        if n_r < 2:
+            return None
+        slice_refs = [
+            a.fetch_sliced.options(num_returns=n_r).remote(uniq, bounds)
+            for a in self._actors
+        ]
+        kern = self._kernel()
+        parts = ray.get(
+            [
+                kern.remote(
+                    kind, list(slot_terms), arg, k, after,
+                    *[slice_refs[s][r] for s in range(len(self._actors))],
+                )
+                for r in range(n_r)
+            ]
+        )
+        if kind == "phrase":
+            return _merge_topk([p for p in parts if p.num_rows], k)
+        if kind == "tfs":
+            # ranges are docid-ordered, so concat keeps docids ascending
+            return pa.concat_tables(parts)
+        return _merge_span_topk([p for p in parts if p.num_rows], k)
+
     # -- queries ----------------------------------------------------------
-    def phrase(self, phrase: str, k: int = 10) -> pa.Table:
-        return self._cached(
-            ("phrase", phrase, k), lambda: phrase_search(self, phrase, k=k)
-        )
+    def phrase(self, phrase: str, k: int = 10,
+               search_after: tuple[int, int] | None = None) -> pa.Table:
+        def run() -> pa.Table:
+            terms = _phrase_terms(phrase)
+            got = self._distributed("phrase", terms, 0, k, search_after)
+            if got is not None:
+                return got
+            return phrase_search(self, phrase, k=k,
+                                 search_after=search_after)
 
-    def proximity(self, query: str, window: int, k: int = 10) -> pa.Table:
-        return self._cached(
-            ("prox", query, window, k),
-            lambda: proximity_search(self, query, window=window, k=k),
-        )
+        return self._cached(("phrase", phrase, k, search_after), run)
 
-    def span_near(self, phrase: str, slop: int, k: int = 10) -> pa.Table:
-        return self._cached(
-            ("span", phrase, slop, k),
-            lambda: span_near_search(self, phrase, slop=slop, k=k),
-        )
+    def proximity(self, query: str, window: int, k: int = 10,
+                  search_after: tuple[int, int] | None = None) -> pa.Table:
+        def run() -> pa.Table:
+            terms = sorted(set(_phrase_terms(query)))
+            got = self._distributed("prox", terms, window, k, search_after)
+            if got is not None:
+                return got
+            return proximity_search(self, query, window=window, k=k,
+                                    search_after=search_after)
+
+        return self._cached(("prox", query, window, k, search_after), run)
+
+    def span_near(self, phrase: str, slop: int, k: int = 10,
+                  search_after: tuple[int, int] | None = None) -> pa.Table:
+        def run() -> pa.Table:
+            terms = _phrase_terms(phrase)
+            got = self._distributed("span", terms, slop, k, search_after)
+            if got is not None:
+                return got
+            return span_near_search(self, phrase, slop=slop, k=k,
+                                    search_after=search_after)
+
+        return self._cached(("span", phrase, slop, k, search_after), run)
+
+    def doc_tfs(
+        self, terms: list[str], slop: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Sloppy-phrase (docids, tf) — the :func:`phrase_doc_tfs`
+        provider hook: big queries run the distributed doc-range path,
+        small ones the driver-side kernel over the fetch LRU."""
+        key = ("tfs", tuple(terms), slop)
+        got = self._result_cache.get(key)
+        if got is None:
+            t = self._distributed("tfs", list(terms), slop, 0, None)
+            if t is None:
+                got = _doc_tfs_local(self, terms, slop)
+            else:
+                got = (
+                    t["docid"].to_numpy().astype(np.int64),
+                    t["tf"].to_numpy().astype(np.int64),
+                )
+            if len(self._result_cache) >= self.RESULT_CACHE:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[key] = got
+        return got
 
     def refresh(self) -> dict:
         """Pick up add_position_increment / delete_position_docs /

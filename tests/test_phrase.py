@@ -185,3 +185,46 @@ def test_postings_decode_sorted_and_complete(ray_session, tmp_path):
         toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
         if toks:
             assert per_doc_total[doc_id] == len(toks)
+
+
+def test_search_after_pagination(ray_session, sidecar):
+    """Phrase-family search_after cursors page the exact total order —
+    k-row pages concatenate to the one-shot full ranking (ES search_after
+    semantics, mirroring the BM25 path's cursor rule)."""
+    from tangent_ray.index.positions import (
+        proximity_search,
+        span_near_search,
+    )
+
+    full = phrase_search(sidecar, "the", k=10_000)
+    assert full.num_rows >= 3
+    pages, cur = [], None
+    while True:
+        pg = phrase_search(sidecar, "the", k=2, search_after=cur)
+        if not pg.num_rows:
+            break
+        pages.append(pg)
+        cur = (pg["n_occurrences"][-1].as_py(), pg["docid"][-1].as_py())
+    assert pa.concat_tables(pages).equals(full)
+
+    full = span_near_search(sidecar, "the cat", slop=3, k=10_000)
+    pages, cur = [], None
+    while True:
+        pg = span_near_search(sidecar, "the cat", slop=3, k=1,
+                              search_after=cur)
+        if not pg.num_rows:
+            break
+        pages.append(pg)
+        cur = (pg["min_span"][-1].as_py(), pg["docid"][-1].as_py())
+    assert pa.concat_tables(pages).equals(full)
+
+    full = proximity_search(sidecar, "cat sat", window=5, k=10_000)
+    pages, cur = [], None
+    while True:
+        pg = proximity_search(sidecar, "cat sat", window=5, k=1,
+                              search_after=cur)
+        if not pg.num_rows:
+            break
+        pages.append(pg)
+        cur = (pg["min_span"][-1].as_py(), pg["docid"][-1].as_py())
+    assert pa.concat_tables(pages).equals(full)

@@ -146,3 +146,91 @@ def test_fetch_cache_eviction_mixed_hit_miss(ray_session, tmp_path):
             assert eng.phrase(t, k=10_000).equals(local[t])
     finally:
         eng.shutdown()
+
+
+def test_distributed_kernels_identity(ray_session, tmp_path):
+    """Forcing the doc-range-distributed kernel path (DIST_MIN_SUMDF=0)
+    answers identically to the single-process reader across all four
+    kernel families, through increments + deletes, with search_after
+    paging — postings never materialize on the driver."""
+    import numpy as np
+    import ray.data
+
+    from tangent_ray.index.positions import phrase_doc_tfs
+
+    rng = random.Random(23)
+    ids, docs = _corpus(rng, 120)
+    live = str(tmp_path / "dist")
+    build_position_index(
+        ray.data.from_arrow(_table(ids, docs)).repartition(4), live,
+        num_shards=8,
+    )
+    eng = PositionalEngine(live, n_shards=3)
+    try:
+        eng.DIST_MIN_SUMDF = 0  # force the distributed path
+        eng.MAX_RANGES = 4
+        _assert_engine_matches_local(eng, live, rng, n=10)
+
+        # doc_tfs hook: distributed == local for exact and sloppy
+        for q, s in [("alpha beta", 0), ("alpha gamma", 2), ("beta", 0)]:
+            terms = q.split()
+            d1, t1 = phrase_doc_tfs(eng, terms, s)
+            d2, t2 = phrase_doc_tfs(live, terms, s)
+            assert d1.tolist() == d2.tolist(), (q, s)
+            assert t1.tolist() == t2.tolist(), (q, s)
+
+        # search_after pages reconstruct the full ranking exactly
+        full = eng.phrase("alpha", k=10_000)
+        pages, cur = [], None
+        while True:
+            pg = eng.phrase("alpha", k=7, search_after=cur)
+            if not pg.num_rows:
+                break
+            pages.append(pg)
+            cur = (
+                pg["n_occurrences"][-1].as_py(), pg["docid"][-1].as_py()
+            )
+        assert pa.concat_tables(pages).equals(full)
+        sp_full = eng.span_near("alpha beta", slop=3, k=10_000)
+        pages, cur = [], None
+        while True:
+            pg = eng.span_near("alpha beta", slop=3, k=5, search_after=cur)
+            if not pg.num_rows:
+                break
+            pages.append(pg)
+            cur = (pg["min_span"][-1].as_py(), pg["docid"][-1].as_py())
+        assert pa.concat_tables(pages).equals(sp_full)
+
+        # lifecycle: increment + delete, identity holds on the new view
+        ids_b, docs_b = _corpus(random.Random(29), 40, id_base=9000)
+        add_position_increment(
+            ray.data.from_arrow(_table(ids_b, docs_b)), live, num_shards=8
+        )
+        eng.refresh()
+        _assert_engine_matches_local(eng, live, rng, n=6)
+        delete_position_docs(live, ids[::5])
+        eng.refresh()
+        _assert_engine_matches_local(eng, live, rng, n=6)
+        # missing term short-circuits with zero postings moved
+        assert eng.phrase("zzzmissing alpha", k=5).num_rows == 0
+        assert eng.proximity("zzzmissing alpha", window=4, k=5).num_rows == 0
+    finally:
+        eng.shutdown()
+
+
+def test_distributed_duplicate_docid_raises(ray_session, tmp_path):
+    """A doc double-indexed across increments lands in the SAME doc range
+    (ranges split by docid), so the in-task run merge still catches it."""
+    import ray.data
+
+    live = str(tmp_path / "dup2")
+    t = _table(list(range(1, 40)), ["alpha beta"] * 39)
+    build_position_index(ray.data.from_arrow(t), live, num_shards=2)
+    add_position_increment(ray.data.from_arrow(t), live, num_shards=2)
+    eng = PositionalEngine(live, n_shards=2)
+    try:
+        eng.DIST_MIN_SUMDF = 0
+        with pytest.raises(Exception, match="duplicate docid"):
+            eng.phrase("beta", k=5)
+    finally:
+        eng.shutdown()

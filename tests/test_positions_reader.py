@@ -164,3 +164,66 @@ def test_reader_cache_invalidation(ray_session, tmp_path):
         out, num_shards=2,
     )
     assert _rows(phrase_search(out, "alpha beta", k=5)) == [(1, 1)]
+
+
+def test_run_cap_splits_hot_terms(ray_session, tmp_path):
+    """A term past max_run_positions encodes as MULTIPLE rows cut at doc
+    boundaries; readers fold them back — query results identical to an
+    uncapped build, and compaction preserves the cap."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tangent_ray.index.positions import (
+        _active_files,
+        compact_positions,
+    )
+
+    rng = random.Random(31)
+    ids, docs = _corpus(rng, 60)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+    capped = str(tmp_path / "capped")
+    flat = str(tmp_path / "flat")
+    build_position_index(ray.data.from_arrow(t), capped, num_shards=2,
+                         max_run_positions=64)
+    build_position_index(ray.data.from_arrow(t), flat, num_shards=2)
+
+    def runs_per_term(d):
+        tab = pa.concat_tables(
+            [pq.read_table(f) for f in _active_files(d)]
+        )
+        out: dict[str, int] = {}
+        for term in tab["term"].to_pylist():
+            out[term] = out.get(term, 0) + 1
+        return out, tab
+
+    capped_runs, ctab = runs_per_term(capped)
+    flat_runs, _ = runs_per_term(flat)
+    assert max(capped_runs.values()) > 1  # a hot term actually split
+    assert max(flat_runs.values()) == 1
+    # every capped run obeys the cap unless it is a single doc's row
+    for npos, df in zip(ctab["npos"].to_pylist(), ctab["df"].to_pylist()):
+        assert npos <= 64 or df == 1
+    # fold-back identity across all three families
+    for q in ["alpha", "alpha beta", "beta gamma alpha"]:
+        assert phrase_search(capped, q, k=10_000).equals(
+            phrase_search(flat, q, k=10_000)
+        ), q
+        assert proximity_search(capped, q, window=6, k=10_000).equals(
+            proximity_search(flat, q, window=6, k=10_000)
+        ), q
+        assert span_near_search(capped, q, slop=4, k=10_000).equals(
+            span_near_search(flat, q, slop=4, k=10_000)
+        ), q
+    # compaction keeps the cap and the answers
+    compact_positions(capped, num_shards=2, max_run_positions=64)
+    capped_runs2, ctab2 = runs_per_term(capped)
+    assert max(capped_runs2.values()) > 1
+    for npos, df in zip(ctab2["npos"].to_pylist(), ctab2["df"].to_pylist()):
+        assert npos <= 64 or df == 1
+    for q in ["alpha", "alpha beta"]:
+        assert phrase_search(capped, q, k=10_000).equals(
+            phrase_search(flat, q, k=10_000)
+        ), q
