@@ -83,6 +83,14 @@ def _corpus_of(cntl: dict):
 
 
 def _read_queries(path: str):
+    if path.endswith(".xml"):
+        # NTCIR topics file (the reference's query format, query.py:96-114)
+        from tangent_ray.sources.topics import read_topics
+
+        t = read_topics(path)
+        if t.num_rows == 0:
+            raise SystemExit(f"topics xml {path}: no <topic> entries found")
+        return t
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)

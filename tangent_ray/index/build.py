@@ -56,7 +56,12 @@ logger = logging.getLogger(__name__)
 from tangent_ray.config import EngineConfig
 from tangent_ray.index.codec import encode_postings_multi
 from tangent_ray.sources.corpus import Corpus, corpus_kind, corpus_spec
-from tangent_ray.tokenize.batch import KIND_PROBLEM, TokenizeBatch
+from tangent_ray.tokenize.batch import (
+    EXPR_INST_TERM,
+    EXPR_UNIQ_TERM,
+    KIND_PROBLEM,
+    TokenizeBatch,
+)
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -345,6 +350,19 @@ def _partition_manifest(
         "tokens_text": int(cf[is_text].sum()),
         "tokens_math": int(cf[is_math].sum()),
         "problem_fragments": int(cf[is_prob].sum()),
+        # reference-indexer expression totals (log1.txt:171-179): parsed
+        # formula instances / per-doc-unique expressions, summed from the
+        # kind-4 pseudo-rows the tokenizer emits per math-bearing doc
+        "math_expr_instances": int(
+            cf[pc.equal(t["term"], EXPR_INST_TERM).to_numpy(
+                zero_copy_only=False
+            )].sum()
+        ),
+        "math_expr_unique": int(
+            cf[pc.equal(t["term"], EXPR_UNIQ_TERM).to_numpy(
+                zero_copy_only=False
+            )].sum()
+        ),
         "config": cfg.to_json(),
         "corpus": corpus_spec(corpus),
     }
@@ -429,6 +447,12 @@ def finalize_index(out_dir: str, cfg: EngineConfig, corpus: Corpus) -> dict:
         "postings_text": sum(m["postings_text"] for m in manifests),
         "postings_math": sum(m["postings_math"] for m in manifests),
         "problem_fragments": sum(m["problem_fragments"] for m in manifests),
+        "math_expr_instances": sum(
+            m.get("math_expr_instances", 0) for m in manifests
+        ),
+        "math_expr_unique": sum(
+            m.get("math_expr_unique", 0) for m in manifests
+        ),
         "avgdl_text": (tokens_text / n_docs) if n_docs else 0.0,
         "config": cfg.to_json(),
         "corpus": corpus_spec(corpus),

@@ -237,12 +237,15 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str,
     for key in (
         "n_docs", "n_terms_text", "n_terms_math", "postings_text",
         "postings_math", "tokens_text", "tokens_math", "problem_fragments",
+        "math_expr_instances", "math_expr_unique",
     ):
-        merged[key] = sum(m[key] for m in manifests)
+        merged[key] = sum(m.get(key, 0) for m in manifests)
     # term counts across partials overlap; recount from the merged table
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(tmp, "terms"), columns=["kind", "df", "cf"])
+    t = pq.read_table(
+        os.path.join(tmp, "terms"), columns=["term", "kind", "df", "cf"]
+    )
     kinds = t["kind"].to_numpy(zero_copy_only=False)
     merged["n_terms_text"] = int((kinds == 0).sum())
     merged["n_terms_math"] = int((kinds == 1).sum())
@@ -258,6 +261,11 @@ def merge_partials(out_dir: str, names: list[str], merged_name: str,
         merged["tokens_text"] = int(cf[kinds == 0].sum())
         merged["tokens_math"] = int(cf[kinds == 1].sum())
         merged["problem_fragments"] = int(cf[kinds == 3].sum())
+        from tangent_ray.tokenize.batch import EXPR_INST_TERM, EXPR_UNIQ_TERM
+
+        terms_np = t["term"].to_numpy(zero_copy_only=False)
+        merged["math_expr_instances"] = int(cf[terms_np == EXPR_INST_TERM].sum())
+        merged["math_expr_unique"] = int(cf[terms_np == EXPR_UNIQ_TERM].sum())
     merged["merged_from"] = names
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
@@ -318,7 +326,7 @@ def _verify_batch(t: pa.Table) -> pa.Table:
     cfs = t["cf"].to_numpy(zero_copy_only=False)
     for i in range(t.num_rows):
         kind = int(kinds[i])
-        if kind == 3:
+        if kind in (3, 4):  # problem / expr-stats pseudo-rows: not postings
             continue
         d, tf, _, _ = decode_postings(
             t["postings"][i].as_py(), t["skips"][i].as_py()

@@ -1399,6 +1399,17 @@ class _PosShardWorker:
         payload is bounded by min df, not sum df)."""
         return self.reader.term_postings(term)[0]
 
+    def term_docid_samples(self, term: str, n: int) -> np.ndarray:
+        """<= n equally-spaced docids from this shard's run of ``term``
+        (uint64 asc) — enough to plan balanced doc-range boundaries
+        without shipping a hot term's full docid array to the driver
+        (8 B x df is tens of MB at 10M+ df; 8 B x n is ~8 KB)."""
+        d = self.reader.term_postings(term)[0]
+        if len(d) <= n:
+            return d
+        idx = (np.arange(n, dtype=np.int64) * len(d)) // n
+        return d[idx]
+
     def fetch_sliced(self, terms: list[str], bounds: np.ndarray) -> list:
         """Postings split into ``len(bounds)+1`` doc ranges: returns one
         ``{term: (docids, counts, flat)}`` dict PER RANGE, invoked with
@@ -1473,6 +1484,10 @@ class PositionalEngine:
         #: shard's view; scorers watch it via postings_sig() to invalidate
         #: their own phrase caches
         self._gen = 0
+        #: instrumentation: queries served by the distributed doc-range
+        #: kernel path vs the driver-side fallback (soaks report both)
+        self.dist_queries = 0
+        self.local_queries = 0
         #: ES/Solr-style query-result cache: repeat phrase/proximity/
         #: span-near queries on a RESIDENT engine answer from here;
         #: dropped whenever refresh() changes any shard's view
@@ -1549,7 +1564,12 @@ class PositionalEngine:
         import ray
 
         if getattr(self, "_kernel_fn", None) is None:
-            self._kernel_fn = ray.remote(num_cpus=1)(_pos_range_kernel)
+            # num_cpus=0: the range kernels are short vectorized bursts on
+            # the QUERY path — they must never queue behind long-lived
+            # actor CPU reservations (the engine's own shard actors plus a
+            # resident BM25 pool can hold every slot on a busy node, and a
+            # pending kernel task would deadlock the query that spawned it)
+            self._kernel_fn = ray.remote(num_cpus=0)(_pos_range_kernel)
         return self._kernel_fn
 
     def _distributed(self, kind: str, slot_terms: list[str], arg: int,
@@ -1585,9 +1605,15 @@ class PositionalEngine:
             return _span_table(np.empty(0, np.int64), np.empty(0, np.int64))
         sum_df = sum(tot.values())
         if sum_df < self.DIST_MIN_SUMDF:
+            self.local_queries += 1
             return None
         rarest = min(uniq, key=lambda t: (tot[t], t))
-        rid = ray.get([a.term_docids.remote(rarest) for a in self._actors])
+        rid = ray.get(
+            [
+                a.term_docid_samples.remote(rarest, 4096)
+                for a in self._actors
+            ]
+        )
         rd = np.sort(np.concatenate([p for p in rid if p.size]))
         n_r = int(
             min(
@@ -1597,6 +1623,7 @@ class PositionalEngine:
             )
         )
         if n_r < 2:
+            self.local_queries += 1
             return None
         # boundaries at the rarest term's docid quantiles: candidate docs
         # are a subset of its docids, so ranges balance the candidate
@@ -1604,7 +1631,9 @@ class PositionalEngine:
         bounds = np.unique(rd[(np.arange(1, n_r) * len(rd)) // n_r])
         n_r = len(bounds) + 1
         if n_r < 2:
+            self.local_queries += 1
             return None
+        self.dist_queries += 1
         slice_refs = [
             a.fetch_sliced.options(num_returns=n_r).remote(uniq, bounds)
             for a in self._actors
@@ -1726,10 +1755,17 @@ class PositionalEngine:
             "reloaded": sorted(changed),
         }
 
+    _instance_seq = iter(range(1 << 62))
+
     def postings_sig(self) -> tuple:
         """Change signature for caches layered over this engine (the
-        scorer's phrase caches): (engine identity, postings generation)."""
-        return (id(self), self._gen)
+        scorer's phrase caches): (engine identity, postings generation).
+        Identity is a process-unique sequence number, not id() — a
+        recycled address must never alias a dead engine's signature."""
+        seq = getattr(self, "_seq", None)
+        if seq is None:
+            seq = self._seq = next(PositionalEngine._instance_seq)
+        return (seq, self._gen)
 
     def shutdown(self) -> None:
         import ray

@@ -436,7 +436,8 @@ def ivf_knn(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
 
 def build_ivf_index(ds, out_dir: str, nlist: int = 64, iters: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    centroids: np.ndarray | None = None) -> dict:
+                    centroids: np.ndarray | None = None,
+                    recall_sample: int = 32, recall_k: int = 10) -> dict:
     """Persist a cluster-partitioned IVF index: ONE assignment pass writes
     the corpus as Parquet partitioned by ``cluster=K/`` dirs, plus the
     centroid matrix and a manifest.
@@ -447,7 +448,14 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 64, iters: int = 2,
     once at build, and :class:`IVFReader` then touches only the probed
     clusters' files per query — O(N·nprobe/nlist) bytes, no job, no
     shuffle. The same build-once/serve-many split as the BM25 index and
-    the positional postings."""
+    the positional postings.
+
+    Recall guardrail: ``recall_sample`` corpus vectors (deterministic —
+    the dataset's first rows) are probed against the brute ground truth
+    (nprobe = nlist) at build time, and the MEASURED recall@``recall_k``
+    per nprobe lands in the manifest as ``recall_curve`` — operators pick
+    nprobe from data, not folklore (``IVFReader.min_nprobe``). Pass
+    ``recall_sample=0`` to skip."""
     import json
 
     import ray
@@ -471,7 +479,54 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 64, iters: int = 2,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    if recall_sample > 0:
+        manifest.update(_measure_recall(ds, out_dir, vec_col,
+                                        recall_sample, recall_k))
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def _measure_recall(ds, out_dir: str, vec_col: str, n_sample: int,
+                    k: int) -> dict:
+    """Sampled recall@k per nprobe against the brute (nprobe=nlist)
+    ground truth, measured on the JUST-BUILT index. Cost: one exact scan
+    of the index for ``n_sample`` queries plus the nprobe sweep over the
+    reader's (cached) clusters — build-time only."""
+    # deterministic sample: the dataset's first n rows
+    rows = ds.limit(n_sample).select_columns([vec_col]).take_all()
+    qv = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    reader = IVFReader(out_dir)
+    nlist = reader.centroids.shape[0]
+    truth = reader.search(qv, k=k, nprobe=nlist)
+    id_col = reader.manifest["id_col"]
+
+    def per_query_sets(t):
+        out: dict[int, set] = {}
+        for q_, i_ in zip(t["qid"].to_pylist(), t[id_col].to_pylist()):
+            out.setdefault(q_, set()).add(i_)
+        return out
+
+    tsets = per_query_sets(truth)
+    curve: dict[str, float] = {}
+    p = 1
+    probes: list[int] = []
+    while p < nlist:
+        probes.append(p)
+        p *= 2
+    probes.append(nlist)
+    for p in probes:
+        rsets = per_query_sets(reader.search(qv, k=k, nprobe=p))
+        recalls = [
+            len(rsets.get(q_, set()) & ts) / max(1, len(ts))
+            for q_, ts in tsets.items()
+        ]
+        curve[str(p)] = round(float(np.mean(recalls)) if recalls else 1.0, 4)
+    return {
+        "recall_curve": curve,
+        "recall_k": int(k),
+        "recall_sample": int(len(qv)),
+    }
 
 
 class IVFReader:
@@ -511,6 +566,20 @@ class IVFReader:
         if len(self._cache) < self.MAX_RESIDENT:
             self._cache[c] = out
         return out
+
+    def min_nprobe(self, target_recall: float = 0.9) -> int:
+        """Smallest nprobe whose BUILD-MEASURED recall@k (the manifest's
+        ``recall_curve``) meets ``target_recall`` — data-driven probe
+        sizing instead of folklore. Falls back to probing every cluster
+        when the index was built without a recall sample or no measured
+        point reaches the target."""
+        curve = self.manifest.get("recall_curve") or {}
+        best = None
+        for p_str, r in curve.items():
+            p = int(p_str)
+            if r >= target_recall and (best is None or p < best):
+                best = p
+        return best if best is not None else self.centroids.shape[0]
 
     def search(self, query_vecs: np.ndarray, k: int = 10,
                nprobe: int = 8) -> pa.Table:

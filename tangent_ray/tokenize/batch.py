@@ -48,6 +48,16 @@ from tangent_ray.tokenize.text import tokenize_text
 KIND_TEXT = 0
 KIND_MATH = 1
 KIND_PROBLEM = 3
+#: per-doc formula-count pseudo-rows (kind 4): tf carries the doc's
+#: parsed formula INSTANCES (``\x02expr_inst``) / per-doc UNIQUE
+#: expressions (``\x02expr_uniq``) so the build manifest reports the
+#: reference indexer's expression totals (log1.txt:171-179 — e.g. 644
+#: unique / 846 instances on the bundled smoke corpus) without a second
+#: corpus pass. The \x02 prefix can never tokenize out of a query, the
+#: same isolation rule as PROBLEM_TERM.
+KIND_EXPR = 4
+EXPR_INST_TERM = "\x02expr_inst"
+EXPR_UNIQ_TERM = "\x02expr_uniq"
 PROBLEM_TERM = "\x02problem"
 
 _MATH_RE = re.compile(r"\$([^$]+)\$")
@@ -143,7 +153,14 @@ class TokenizeBatch:
         dls: list[int] = []
         pos1s: list[int] = []
         has = pc.or_(
-            pc.match_substring(texts, "$"), pc.match_substring(texts, "<math")
+            pc.or_(
+                pc.match_substring(texts, "$"),
+                pc.match_substring(texts, "<math"),
+            ),
+            # namespace-prefixed MathML (<m:math ...>, the NTCIR topic /
+            # arXiv xhtml convention) — cheap superset filter, _spans_of
+            # does the precise span work
+            pc.match_substring(texts, ":math"),
         ).to_numpy(zero_copy_only=False)
         for i in np.flatnonzero(has):
             text = texts[i].as_py()
@@ -151,20 +168,26 @@ class TokenizeBatch:
             if not spans:
                 continue
             seen: dict[str, int] = {}
+            parsed_ok: dict[str, bool] = {}
             bag: Counter = Counter()
             first_pos: dict[str, int] = {}
             problems = 0
+            inst_ok = 0
             for ordinal, slt in enumerate(spans):
                 if slt is None:
                     problems += 1
                     continue
                 if slt in seen:
+                    if parsed_ok[slt]:
+                        inst_ok += 1  # duplicate INSTANCE of a good expr
                     continue
                 seen[slt] = ordinal
                 tups = self._tuples_of(slt)
+                parsed_ok[slt] = tups is not None
                 if tups is None:
                     problems += 1
                     continue
+                inst_ok += 1
                 for t, c in tups.items():
                     bag[t] += c
                     first_pos.setdefault(t, ordinal + 1)
@@ -177,6 +200,18 @@ class TokenizeBatch:
                 tfs.append(c)
                 dls.append(mdl)
                 pos1s.append(first_pos[t])
+            if inst_ok:
+                uniq_ok = sum(parsed_ok.values())
+                for pseudo, val in (
+                    (EXPR_INST_TERM, inst_ok),
+                    (EXPR_UNIQ_TERM, uniq_ok),
+                ):
+                    terms.append(pseudo)
+                    kinds.append(KIND_EXPR)
+                    out_doc.append(did)
+                    tfs.append(val)
+                    dls.append(0)
+                    pos1s.append(0)
             if problems:
                 terms.append(PROBLEM_TERM)
                 kinds.append(KIND_PROBLEM)

@@ -191,3 +191,42 @@ def test_ivf_index_recall(ray_session, tmp_path):
     a, e = sets(approx), sets(exact)
     recall = np.mean([len(a.get(qi, set()) & e[qi]) / len(e[qi]) for qi in e])
     assert recall >= 0.9, recall
+
+
+def test_ivf_recall_manifest_guardrail(ray_session, tmp_path):
+    """build_ivf_index measures a recall@k curve per nprobe on a sampled
+    query set and stores it in the manifest; IVFReader.min_nprobe picks
+    the smallest measured nprobe meeting a target. Full probe is exact by
+    construction (recall 1.0) and the curve is monotone nondecreasing."""
+    import json
+    import os
+
+    import ray.data
+
+    from tangent_ray.ops.ann import IVFReader, build_ivf_index
+
+    t = _clustered(n=200)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = str(tmp_path / "ivf")
+    m = build_ivf_index(ds, out, nlist=4, iters=2, recall_sample=16,
+                        recall_k=5)
+    assert m["recall_sample"] == 16 and m["recall_k"] == 5
+    curve = m["recall_curve"]
+    assert set(curve) == {"1", "2", "4"}
+    vals = [curve[p] for p in ("1", "2", "4")]
+    assert vals == sorted(vals)  # more probes never lose recall here
+    assert curve["4"] == 1.0  # nprobe = nlist IS the ground truth
+    # the manifest on disk carries the curve too
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["recall_curve"] == curve
+    reader = IVFReader(out)
+    assert reader.min_nprobe(1.0) <= 4
+    assert reader.min_nprobe(0.0) == 1
+    # sizing beats folklore: the picked nprobe meets the target on the
+    # measured sample by construction
+    p = reader.min_nprobe(0.9)
+    assert curve[str(p)] >= 0.9
+    # an index built without sampling falls back to probing everything
+    out2 = str(tmp_path / "ivf2")
+    build_ivf_index(ds, out2, nlist=4, iters=1, recall_sample=0)
+    assert IVFReader(out2).min_nprobe(0.9) == 4

@@ -161,3 +161,102 @@ def test_cli_positions_then_phrase_query(cli_env, capsys):
     assert t.num_rows > 0
     assert t["score"].to_pylist() == sorted(t["score"].to_pylist(),
                                             reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end NTCIR run through the CLI against the reference's bundled
+# 41-doc smoke corpus (testing/testlist.txt): the index manifest must
+# reproduce the reference indexer's logged expression totals
+# (log1.txt:173-174 — 644 unique exprs, 846 instances) PER (window, EOL)
+# condition, and the full 100-query NTCIR-11 topic set must run through
+# `query` straight from the topics XML.
+
+REF_TESTING = "/root/reference/tangent_code/tangent/testing"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_TESTING), reason="reference corpus not present"
+)
+
+
+def _smoke_corpus_parquet(root) -> str:
+    import pyarrow as pa
+
+    files = [
+        line.strip()
+        for line in open(os.path.join(REF_TESTING, "testlist.txt"))
+        if line.strip() and not line.strip().endswith(".tex")
+    ]
+    texts = [
+        open(os.path.join(REF_TESTING, "..", f), encoding="utf-8",
+             errors="replace").read()
+        for f in files
+    ]
+    src = str(root / "ntcir_docs")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(files) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(src, "docs.parquet"),
+    )
+    return src
+
+
+@needs_ref
+@pytest.mark.parametrize("window,eol", [(0, "none"), (2, "all"), (4, "small")])
+def test_cli_ntcir_e2e(ray_session, tmp_path, capsys, window, eol):
+    src = _smoke_corpus_parquet(tmp_path)
+    cntl = {
+        "input": src,
+        "index_dir": str(tmp_path / f"idx_w{window}_{eol}"),
+        "corpus": "documents",
+        "config": {"window": window, "eol": eol, "stem": False,
+                   "math": True, "partitions": 2},
+    }
+    cntl_path = str(tmp_path / "cntl.json")
+    with open(cntl_path, "w") as f:
+        json.dump(cntl, f)
+    assert main(["index", cntl_path]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the reference indexer's own totals, from the CLI path (log1.txt)
+    assert manifest["math_expr_unique"] == 644
+    assert manifest["math_expr_instances"] == 846
+    assert main(["verify", cntl_path]) == 0
+    capsys.readouterr()
+
+    # full 100-topic NTCIR-11 set straight from the topics XML
+    topics = os.path.join(
+        REF_TESTING, "test_queries", "NTCIR11-Math-queries.xml"
+    )
+    out = str(tmp_path / f"res_w{window}_{eol}.parquet")
+    assert main(["query", cntl_path, "--queries", topics, "--out", out,
+                 "--topk", "20"]) == 0
+    res = pq.read_table(out)
+    qids = set(res["query_id"].to_pylist())
+    assert len(qids) >= 30  # a 41-doc corpus can't serve every topic
+    assert all(q.startswith("NTCIR11-Math-") for q in qids)
+    scores = res["score"].to_pylist()
+    assert res.num_rows and min(scores) > 0
+
+
+@needs_ref
+def test_topics_reader_kinds():
+    """The topics XML reader classifies formula-only topics as math and
+    keyword-bearing ones as mixed, preserving the <math> span bytes."""
+    from tangent_ray.sources.topics import read_topics
+
+    t = read_topics(os.path.join(
+        REF_TESTING, "test_queries", "NTCIR11-Math-queries.xml"
+    ))
+    assert t.num_rows == 100
+    assert set(t["kind"].to_pylist()) == {"math"}
+    assert all("<m:math" in x for x in t["text"].to_pylist())
+    t2 = read_topics(os.path.join(
+        REF_TESTING, "test_queries",
+        "NTCIR12-MathWiki-queries-participants.xml",
+    ))
+    kinds = t2["kind"].to_pylist()
+    assert t2.num_rows == 30 and kinds.count("mixed") == 27

@@ -227,3 +227,63 @@ def test_run_cap_splits_hot_terms(ray_session, tmp_path):
         assert phrase_search(capped, q, k=10_000).equals(
             phrase_search(flat, q, k=10_000)
         ), q
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_scan_twin_fuzz_with_lifecycle(ray_session, tmp_path, seed):
+    """CI-cheap differential fuzz (the soak twins, shrunk): a ~200-doc
+    corpus, then an increment and tombstones MID-SEQUENCE — after every
+    lifecycle step the O(df) index path must equal the index-free scan
+    twin over the LIVE corpus, byte-identical, across all three families
+    and both docid styles."""
+    import ray.data
+
+    from tangent_ray.index.positions import (
+        add_position_increment,
+        delete_position_docs,
+    )
+
+    rng = random.Random(seed)
+    hash_ids = seed % 2 == 0
+    ids, docs = _corpus(rng, 140, hash_ids)
+    out = str(tmp_path / "lc")
+    base = _table(ids, docs)
+    build_position_index(
+        ray.data.from_arrow(base).repartition(3), out, num_shards=8,
+        max_run_positions=256,  # force multi-run hot terms in the fuzz
+    )
+
+    def check(live_ids, live_docs, tag):
+        ds = ray.data.from_arrow(_table(live_ids, live_docs)).repartition(3)
+        for _ in range(5):
+            q = " ".join(
+                rng.choice(VOCAB) for _ in range(rng.randint(1, 3))
+            )
+            k = rng.choice([4, 1000])
+            assert phrase_search(out, q, k=k).equals(
+                phrase_count_scan(ds, q, k=k)
+            ), (tag, q)
+            w = rng.randint(0, 9)
+            assert proximity_search(out, q, window=w, k=k).equals(
+                proximity_scan(ds, q, window=w, k=k)
+            ), (tag, q, w)
+            s = rng.randint(0, 9)
+            assert span_near_search(out, q, slop=s, k=k).equals(
+                span_near_scan(ds, q, slop=s, k=k)
+            ), (tag, q, s)
+
+    check(ids, docs, "base")
+    # increment mid-sequence
+    inc_ids, inc_docs = _corpus(random.Random(seed + 1), 50, hash_ids)
+    inc_ids = [i + (max(ids) + 7) for i in inc_ids]
+    add_position_increment(
+        ray.data.from_arrow(_table(inc_ids, inc_docs)), out, num_shards=8
+    )
+    ids, docs = ids + inc_ids, docs + inc_docs
+    check(ids, docs, "post-increment")
+    # tombstones mid-sequence (some base, some increment docs)
+    victims = set(ids[::7])
+    delete_position_docs(out, sorted(victims))
+    live = [(i, d) for i, d in zip(ids, docs) if i not in victims]
+    ids, docs = [i for i, _ in live], [d for _, d in live]
+    check(ids, docs, "post-delete")

@@ -86,6 +86,11 @@ def lat(eng, queries, reps=6):
             float(np.median(list(firsts.values()))), 1
         ),
         "slowest_first_ms": worst,
+        # doc-range-distributed kernel vs driver-fallback split (hot
+        # queries must take the distributed path — postings stay off the
+        # driver)
+        "distributed_queries": eng.dist_queries,
+        "local_queries": eng.local_queries,
     }
 
 
