@@ -215,6 +215,7 @@ def cmd_positions(args) -> int:
     build_position_index(
         ds.map_batches(to_pos_cols, batch_format="pyarrow"), out,
         num_shards=args.shards,
+        doc_partitions=getattr(args, "doc_partitions", 0) or 0,
     )
     from tangent_ray.index.positions import _active_files
 
@@ -332,6 +333,12 @@ def main(argv: list[str] | None = None) -> int:
                             "span-near serving + quoted-phrase clauses)")
     p.add_argument("--shards", type=int, default=64,
                    help="term-hash shard files (bounds reduce-group size)")
+    p.add_argument("--doc-partitions", type=int, default=0,
+                   dest="doc_partitions",
+                   help="also hash-partition by docid into R doc-disjoint "
+                        "parts (the document-partitioned serving layout: "
+                        "PositionalEngine broadcasts kernels, only top-k "
+                        "partials move; 0 = term-sharded only)")
     p.set_defaults(fn=cmd_positions)
 
     p = sub.add_parser("delete", parents=[common],

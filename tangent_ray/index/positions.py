@@ -105,11 +105,46 @@ def _active_files(pos_dir: str) -> list[str]:
     ]
 
 
-def _write_manifest(pos_dir: str, rel_files: list[str]) -> None:
+def _write_manifest(pos_dir: str, rel_files: list[str],
+                    doc_partitions: int | None = None) -> None:
     mpath = os.path.join(pos_dir, POS_MANIFEST)
+    meta: dict = {"files": sorted(rel_files)}
+    if doc_partitions is None:
+        doc_partitions = read_doc_partitions(pos_dir)  # preserve layout
+    if doc_partitions:
+        meta["doc_partitions"] = int(doc_partitions)
     with open(mpath + ".tmp", "w") as f:
-        json.dump({"files": sorted(rel_files)}, f, indent=1)
+        json.dump(meta, f, indent=1)
     os.replace(mpath + ".tmp", mpath)
+
+
+def read_doc_partitions(pos_dir: str) -> int:
+    """The dir's doc-partition count (0 = term-sharded-only layout)."""
+    mpath = os.path.join(pos_dir, POS_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return int(json.load(f).get("doc_partitions", 0))
+    return 0
+
+
+#: Fibonacci multiplicative docid->partition hash: uniform for both
+#: sequential test ids and 62-bit blake2b transcript docids, and STABLE
+#: across builds/increments (a doc's partition never changes, so
+#: partitions stay doc-disjoint through the whole D/E/T lifecycle)
+_DPART_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def dpart_of(docids: np.ndarray, doc_partitions: int) -> np.ndarray:
+    return (
+        (docids.astype(np.uint64) * _DPART_GOLD) >> np.uint64(33)
+    ) % np.uint64(doc_partitions)
+
+
+def _dpart_of_path(path: str) -> int:
+    for seg in path.split(os.sep):
+        if seg.startswith("dpart="):
+            return int(seg[6:])
+    return -1
 
 _HI32 = np.uint64(32)
 _I64_MAX = np.iinfo(np.int64).max
@@ -121,20 +156,25 @@ _I64_MAX = np.iinfo(np.int64).max
 
 
 def _explode_positions(batch: pa.Table, id_col: str, text_col: str,
-                       num_shards: int) -> pa.Table:
+                       num_shards: int, doc_partitions: int = 0) -> pa.Table:
     """Explode one batch to (skey, term, docid, positions) rows — one row
-    per distinct (doc, term), positions the full sorted occurrence list."""
+    per distinct (doc, term), positions the full sorted occurrence list.
+    With ``doc_partitions`` the shuffle key combines (docid partition,
+    term shard) so ONE groupby yields the doc-partitioned serving layout
+    (see ``build_position_index``); a ``dpart`` column rides along for
+    the partitioned Parquet write."""
     from tangent_ray.index.build import term_shards
 
     parents, tokens, pos = split_tokens(batch[text_col])
-    empty = pa.table(
-        {
-            "skey": pa.array([], pa.int32()),
-            "term": pa.array([], pa.string()),
-            "docid": pa.array([], pa.int64()),
-            "positions": pa.array([], pa.list_(pa.int32())),
-        }
-    )
+    cols = {
+        "skey": pa.array([], pa.int32()),
+        "term": pa.array([], pa.string()),
+        "docid": pa.array([], pa.int64()),
+        "positions": pa.array([], pa.list_(pa.int32())),
+    }
+    if doc_partitions:
+        cols["dpart"] = pa.array([], pa.int32())
+    empty = pa.table(cols)
     if len(tokens) == 0:
         return empty
     docids_all = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -158,14 +198,23 @@ def _explode_positions(batch: pa.Table, id_col: str, text_col: str,
     )
     group_rows = sp[starts]
     terms = dict_arr.dictionary.take(pa.array(sc[starts], pa.int64()))
-    return pa.table(
-        {
-            "skey": pa.array(term_shards(terms, num_shards), pa.int32()),
-            "term": terms,
-            "docid": pa.array(docids_all[group_rows], pa.int64()),
-            "positions": lists,
-        }
-    )
+    docid_out = docids_all[group_rows]
+    skey = term_shards(terms, num_shards).astype(np.int64)
+    out = {
+        "skey": None,  # filled below
+        "term": terms,
+        "docid": pa.array(docid_out, pa.int64()),
+        "positions": lists,
+    }
+    if doc_partitions:
+        dp = dpart_of(docid_out, doc_partitions).astype(np.int64)
+        out["skey"] = pa.array(
+            (dp * num_shards + skey).astype(np.int32), pa.int32()
+        )
+        out["dpart"] = pa.array(dp.astype(np.int32), pa.int32())
+    else:
+        out["skey"] = pa.array(skey.astype(np.int32), pa.int32())
+    return pa.table(out)
 
 
 #: positions per encoded run row — a corpus-hot term's postings split
@@ -295,7 +344,8 @@ def encode_positions_group(
 
 def build_position_index(ds, out_dir: str, num_shards: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
-                         max_run_positions: int | None = None):
+                         max_run_positions: int | None = None,
+                         doc_partitions: int = 0):
     """Corpus -> term-sharded positional postings at ``out_dir`` (Parquet).
 
     One tokenize map + ONE ``groupby(skey)`` shuffle (`skey = crc32(term)
@@ -304,23 +354,52 @@ def build_position_index(ds, out_dir: str, num_shards: int = 64,
     num_shards per group); ``max_run_positions`` (default
     ``MAX_RUN_POSITIONS``) caps positions per emitted run row; Parquet
     dictionary+RLE handles the term strings. Query-side access is O(df)
-    via :class:`PositionsReader`."""
+    via :class:`PositionsReader`.
+
+    ``doc_partitions=R`` additionally hash-partitions the postings by
+    DOCID into ``dpart=r/`` subdirs (still ONE shuffle — the key becomes
+    (dpart, term shard)) — the document-partitioned serving layout:
+    :class:`PositionalEngine` then broadcasts each query's kernel to
+    doc-disjoint part actors and only top-k partials move, the
+    Lucene/Elasticsearch shard model (and this repo's BM25
+    ``search_sharded``). Each part actor decodes df/R per hot term
+    instead of df, so first-call latency scales down with R."""
     cap = MAX_RUN_POSITIONS if max_run_positions is None else max_run_positions
-    (
+    enc = (
         ds.map_batches(
-            lambda b: _explode_positions(b, id_col, text_col, num_shards),
+            lambda b: _explode_positions(b, id_col, text_col, num_shards,
+                                         doc_partitions),
             batch_format="pyarrow",
         )
         .groupby("skey")
         .map_groups(
-            lambda g: encode_positions_group(g.drop_columns(["skey"]), cap),
+            lambda g: _encode_group_keep_dpart(g, cap, doc_partitions),
             batch_format="pyarrow",
         )
-        .write_parquet(out_dir)
     )
-    _write_manifest(
-        out_dir,
-        [f for f in os.listdir(out_dir) if f.endswith(".parquet")],
+    if doc_partitions:
+        enc.write_parquet(out_dir, partition_cols=["dpart"])
+    else:
+        enc.write_parquet(out_dir)
+    rel = []
+    for root, _dirs, fnames in os.walk(out_dir):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                rel.append(os.path.relpath(os.path.join(root, f), out_dir))
+    _write_manifest(out_dir, rel, doc_partitions=doc_partitions)
+
+
+def _encode_group_keep_dpart(g: pa.Table, cap: int,
+                             doc_partitions: int) -> pa.Table:
+    """Encode one shuffle group; in doc-partitioned builds the group's
+    (single) dpart value decorates the encoded rows so the Parquet write
+    can partition by it."""
+    if not doc_partitions:
+        return encode_positions_group(g.drop_columns(["skey"]), cap)
+    dp = int(g["dpart"][0].as_py()) if g.num_rows else 0
+    enc = encode_positions_group(g.drop_columns(["skey", "dpart"]), cap)
+    return enc.append_column(
+        "dpart", pa.array(np.full(enc.num_rows, dp, np.int32), pa.int32())
     )
 
 
@@ -354,18 +433,32 @@ def add_position_increment(ds, pos_dir: str, num_shards: int = 64,
         name = f"inc{i:05d}"
         tmp = os.path.join(pos_dir, name + "__tmp")
         shutil.rmtree(tmp, ignore_errors=True)
+        # an increment inherits the parent dir's layout: same docid hash,
+        # same partition count — a doc's partition never changes, so the
+        # doc-disjointness the serving kernels rely on survives increments
+        doc_partitions = read_doc_partitions(pos_dir)
         build_position_index(ds, tmp, num_shards=num_shards,
-                             id_col=id_col, text_col=text_col)
+                             id_col=id_col, text_col=text_col,
+                             doc_partitions=doc_partitions)
         # one manifest per positional dir: the parent's governs, drop the
         # sub-build's
         os.remove(os.path.join(tmp, POS_MANIFEST))
-        new_rel = [
-            os.path.join(name, f)
-            for f in sorted(os.listdir(tmp))
-            if f.endswith(".parquet")
-        ]
-        n_terms = sum(pq.read_metadata(os.path.join(tmp, os.path.basename(r))).num_rows
-                      for r in new_rel)
+        new_rel = []
+        for root, _dirs, fnames in os.walk(tmp):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    new_rel.append(
+                        os.path.join(
+                            name, os.path.relpath(os.path.join(root, f), tmp)
+                        )
+                    )
+        new_rel.sort()
+        n_terms = sum(
+            pq.read_metadata(
+                os.path.join(tmp, os.path.relpath(r, name))
+            ).num_rows
+            for r in new_rel
+        )
         os.rename(tmp, os.path.join(pos_dir, name))
         base = [os.path.relpath(p, pos_dir) for p in _active_files(pos_dir)]
         _write_manifest(pos_dir, base + new_rel)
@@ -417,7 +510,8 @@ def delete_position_docs(pos_dir: str, docids) -> dict:
 
 
 def _decode_rows_to_lists(batch: pa.Table, num_shards: int,
-                          tomb: np.ndarray) -> pa.Table:
+                          tomb: np.ndarray,
+                          doc_partitions: int = 0) -> pa.Table:
     """Segment rows -> exploded (skey, term, docid, positions:list<int32>)
     rows, dropping tombstoned docs — the decode inverse of
     :func:`encode_positions_group`, used by compaction. The Python loop is
@@ -448,14 +542,15 @@ def _decode_rows_to_lists(batch: pa.Table, num_shards: int,
         lists_val.append(flat.astype(np.int32))
         lists_len.append(counts)
     if not terms_out:
-        return pa.table(
-            {
-                "skey": pa.array([], pa.int32()),
-                "term": pa.array([], pa.string()),
-                "docid": pa.array([], pa.int64()),
-                "positions": pa.array([], pa.list_(pa.int32())),
-            }
-        )
+        cols = {
+            "skey": pa.array([], pa.int32()),
+            "term": pa.array([], pa.string()),
+            "docid": pa.array([], pa.int64()),
+            "positions": pa.array([], pa.list_(pa.int32())),
+        }
+        if doc_partitions:
+            cols["dpart"] = pa.array([], pa.int32())
+        return pa.table(cols)
     term_arr = pa.array(
         np.repeat(
             np.arange(len(terms_out)), [len(d) for d in docs_out]
@@ -470,14 +565,23 @@ def _decode_rows_to_lists(batch: pa.Table, num_shards: int,
         pa.array(offsets, pa.int32()),
         pa.array(np.concatenate(lists_val), pa.int32()),
     )
-    return pa.table(
-        {
-            "skey": pa.array(term_shards(terms, num_shards), pa.int32()),
-            "term": terms,
-            "docid": pa.array(np.concatenate(docs_out), pa.int64()),
-            "positions": lists,
-        }
-    )
+    docid_out = np.concatenate(docs_out)
+    skey = term_shards(terms, num_shards).astype(np.int64)
+    out = {
+        "skey": None,
+        "term": terms,
+        "docid": pa.array(docid_out, pa.int64()),
+        "positions": lists,
+    }
+    if doc_partitions:
+        dp = dpart_of(docid_out, doc_partitions).astype(np.int64)
+        out["skey"] = pa.array(
+            (dp * num_shards + skey).astype(np.int32), pa.int32()
+        )
+        out["dpart"] = pa.array(dp.astype(np.int32), pa.int32())
+    else:
+        out["skey"] = pa.array(skey.astype(np.int32), pa.int32())
+    return pa.table(out)
 
 
 def compact_positions(pos_dir: str, num_shards: int = 64,
@@ -497,6 +601,7 @@ def compact_positions(pos_dir: str, num_shards: int = 64,
     import ray.data
 
     cap = MAX_RUN_POSITIONS if max_run_positions is None else max_run_positions
+    doc_partitions = read_doc_partitions(pos_dir)  # layout survives compaction
     old_files = _active_files(pos_dir)
     tomb = load_position_tombstones(pos_dir)
     with open(os.path.join(pos_dir, ".lock"), "w") as lf:
@@ -507,27 +612,35 @@ def compact_positions(pos_dir: str, num_shards: int = 64,
         name = f"cmp{i:05d}"
         tmp = os.path.join(pos_dir, name + "__tmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        (
+        enc = (
             ray.data.read_parquet(old_files)
             .map_batches(
-                lambda b: _decode_rows_to_lists(b, num_shards, tomb),
+                lambda b: _decode_rows_to_lists(b, num_shards, tomb,
+                                                doc_partitions),
                 batch_format="pyarrow",
             )
             .groupby("skey")
             .map_groups(
-                lambda g: encode_positions_group(g.drop_columns(["skey"]),
-                                                 cap),
+                lambda g: _encode_group_keep_dpart(g, cap, doc_partitions),
                 batch_format="pyarrow",
             )
-            .write_parquet(tmp)
         )
-        new_rel = [
-            os.path.join(name, f)
-            for f in sorted(os.listdir(tmp))
-            if f.endswith(".parquet")
-        ]
+        if doc_partitions:
+            enc.write_parquet(tmp, partition_cols=["dpart"])
+        else:
+            enc.write_parquet(tmp)
+        new_rel = []
+        for root, _dirs, fnames in os.walk(tmp):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    new_rel.append(
+                        os.path.join(
+                            name, os.path.relpath(os.path.join(root, f), tmp)
+                        )
+                    )
+        new_rel.sort()
         os.rename(tmp, os.path.join(pos_dir, name))
-        _write_manifest(pos_dir, new_rel)
+        _write_manifest(pos_dir, new_rel, doc_partitions=doc_partitions)
         # old view is unreachable now — physical cleanup
         shutil.rmtree(os.path.join(pos_dir, POS_DELETES_DIR),
                       ignore_errors=True)
@@ -620,19 +733,25 @@ class PositionsReader:
     def __init__(self, pos_dir: str, files: list[str] | None = None):
         if files is None:
             files = _active_files(pos_dir)
-        if not files:
-            raise FileNotFoundError(
-                f"no positional postings under {pos_dir!r} — run "
-                "build_position_index"
-            )
-        first = pq.read_schema(files[0])
-        if "docs" not in first.names:
-            raise ValueError(
-                f"{pos_dir!r} holds a legacy doc-sharded positional sidecar "
-                "(schema lacks the encoded 'docs' column) — rebuild it with "
-                "build_position_index"
-            )
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+            if not files:
+                raise FileNotFoundError(
+                    f"no positional postings under {pos_dir!r} — run "
+                    "build_position_index"
+                )
+        # an explicitly-empty subset is legal (a sharded-serving actor
+        # whose partitions currently hold no files): every term resolves
+        # to empty postings
+        if files:
+            first = pq.read_schema(files[0])
+            if "docs" not in first.names:
+                raise ValueError(
+                    f"{pos_dir!r} holds a legacy doc-sharded positional "
+                    "sidecar (schema lacks the encoded 'docs' column) — "
+                    "rebuild it with build_position_index"
+                )
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+        else:
+            t = POS_SCHEMA.empty_table()
         self.table = t.combine_chunks()
         self.tombstones = load_position_tombstones(pos_dir)
         self.lookup: dict[str, list[int]] = {}
@@ -645,6 +764,29 @@ class PositionsReader:
         #: see _term_keys — readers are immutable post-load, so this only
         #: needs to exist; invalidation is a new reader
         self._tk_cache: dict[tuple, tuple] = {}
+
+    def term_docids(self, term: str) -> np.ndarray:
+        """One term's live docids (uint64 asc) WITHOUT decoding counts or
+        positions — O(df bytes) varint work, ~30x cheaper than
+        ``term_postings`` for a hot term. The distributed planner's
+        boundary-sampling primitive."""
+        rows = self.lookup.get(term, ())
+        parts = [
+            np.cumsum(
+                varint_decode(
+                    np.frombuffer(self._docs[r].as_py(), dtype=np.uint8)
+                ),
+                dtype=np.uint64,
+            )
+            for r in rows
+        ]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, np.uint64)
+        d = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+        if self.tombstones.size:
+            d = d[~np.isin(d.astype(np.int64), self.tombstones)]
+        return d
 
     def term_postings(
         self, term: str
@@ -1319,24 +1461,66 @@ def span_near_scan(ds, phrase: str, slop: int, k: int = 10,
 # ---------------------------------------------------------------------------
 
 
+def _trim_run(
+    d: np.ndarray, c: np.ndarray, f: np.ndarray,
+    lo: int | None, hi: int | None, tombstones: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Restrict one decoded run to the doc range [lo, hi) and drop
+    tombstoned docs — the kernel-side twin of the reader's live-docs
+    filter (runs ship encoded and untrimmed; see fetch_runs_sliced)."""
+    a = 0 if lo is None else int(np.searchsorted(d, np.uint64(lo)))
+    b = len(d) if hi is None else int(np.searchsorted(d, np.uint64(hi)))
+    if a or b < len(d):
+        off = np.cumsum(c) - c
+        fs = int(off[a]) if a < len(d) else len(f)
+        fe = int(off[b - 1] + c[b - 1]) if b > a else fs
+        d, c, f = d[a:b], c[a:b], f[fs:fe]
+    if tombstones.size and d.size:
+        dead = np.isin(d.astype(np.int64), tombstones)
+        if dead.any():
+            keep = ~dead
+            d, c, f = d[keep], c[keep], f[np.repeat(keep, c)]
+    return d, c, f
+
+
 def _pos_range_kernel(kind: str, terms: list[str], arg: int, k: int,
-                      after, *shard_parts: dict) -> pa.Table:
+                      after, lo, hi, tombstones: np.ndarray,
+                      *shard_parts: dict) -> pa.Table:
     """One doc range's positional kernel, run as a Ray task.
 
-    ``shard_parts`` are the per-shard ``{term: (docids, counts, flat)}``
-    slices for THIS doc range (one object per shard, produced by
-    ``_PosShardWorker.fetch_sliced`` with ``num_returns``, so each task
-    pulls only its range's postings). The kernels are per-doc and the
-    ranges are doc-disjoint, so per-range results union to the global
-    answer exactly; the per-range partial top-k keeps the driver merge at
-    O(k * ranges) — the postings themselves never reach the driver
-    (reference analogue: the resident engine never ships postings,
+    ``shard_parts`` are the per-shard ``{term: [encoded run blobs]}``
+    routed to THIS doc range (one object per shard, produced by
+    ``_PosShardWorker.fetch_runs_sliced`` with ``num_returns``, so each
+    task pulls only its range's bytes — varint-encoded, ~1-2 B/token on
+    the wire). The task decodes its runs (the expensive O(df + npos)
+    step, parallel across ranges), trims to [lo, hi), applies the
+    tombstone filter, merges, and runs the per-doc kernel. Ranges are
+    doc-disjoint, so per-range results union to the global answer
+    exactly; the per-range partial top-k keeps the driver merge at
+    O(k * ranges) — postings never reach the driver (reference
+    analogue: the resident engine never ships postings,
     ``mathindex.cpp:415-457``)."""
-    per = {
-        t: merge_position_runs([p[t] for p in shard_parts if t in p], t)
-        for t in set(terms)
-    }
+    per = {}
+    for t in set(terms):
+        runs = []
+        for p in shard_parts:
+            for db, cb, pb in p.get(t, ()):
+                run = _trim_run(
+                    *decode_position_run(db, cb, pb), lo, hi, tombstones
+                )
+                if run[0].size:
+                    runs.append(run)
+        per[t] = merge_position_runs(runs, t)
     all_docs, keys = _keys_from_postings(per)
+    return _dispatch_kernel(kind, terms, arg, k, after, all_docs, keys)
+
+
+def _dispatch_kernel(kind: str, terms: list[str], arg: int, k: int,
+                     after, all_docs: np.ndarray,
+                     keys: dict[str, np.ndarray]) -> pa.Table:
+    """Shared per-slice kernel dispatch over a prepared key space —
+    the partial (doc-disjoint-slice) half of every positional query
+    family; exact under union because every kernel is per-doc."""
     if kind == "phrase":
         docs, counts = _phrase_match_counts(all_docs, list(terms), keys)
         docs, counts = _after_filter_desc(docs, counts, after)
@@ -1383,6 +1567,17 @@ class _PosShardWorker:
         shard's files — already run-merged and tombstone-filtered."""
         return {t: self.reader.term_postings(t) for t in terms}
 
+    def query_kernel(self, kind: str, terms: list[str], arg: int, k: int,
+                     after) -> pa.Table:
+        """Run one query family's kernel entirely ON this actor over its
+        doc-disjoint partition files and return only the O(k)/O(matches)
+        partial — the document-partitioned serving path: postings never
+        leave the actor, and the reader's term-postings LRU + term-keys
+        cache make repeats on the same terms ~free."""
+        uniq = sorted(set(terms))
+        all_docs, keys = _term_keys(self.reader, uniq)
+        return _dispatch_kernel(kind, terms, arg, k, after, all_docs, keys)
+
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Per-term df held by THIS shard, WITHOUT decoding postings —
         the planning round of the distributed kernel path."""
@@ -1403,36 +1598,47 @@ class _PosShardWorker:
         """<= n equally-spaced docids from this shard's run of ``term``
         (uint64 asc) — enough to plan balanced doc-range boundaries
         without shipping a hot term's full docid array to the driver
-        (8 B x df is tens of MB at 10M+ df; 8 B x n is ~8 KB)."""
-        d = self.reader.term_postings(term)[0]
+        (8 B x df is tens of MB at 10M+ df; 8 B x n is ~8 KB). Decodes
+        the docid stream ONLY (``PositionsReader.term_docids``) — a hot
+        term's full positions decode costs ~1.5 s at 5M df and would
+        serialize the whole query behind one actor."""
+        d = self.reader.term_docids(term)
         if len(d) <= n:
             return d
         idx = (np.arange(n, dtype=np.int64) * len(d)) // n
         return d[idx]
 
-    def fetch_sliced(self, terms: list[str], bounds: np.ndarray) -> list:
-        """Postings split into ``len(bounds)+1`` doc ranges: returns one
-        ``{term: (docids, counts, flat)}`` dict PER RANGE, invoked with
-        ``num_returns=len(bounds)+1`` so each range ships as its own
-        object — a doc-range kernel task pulls only its slice, never the
-        whole shard payload, and the driver never touches postings at
-        all."""
+    def fetch_runs_sliced(self, terms: list[str], bounds: np.ndarray) -> list:
+        """ENCODED runs routed to ``len(bounds)+1`` doc ranges: one
+        ``{term: [(doc_blob, cnt_blob, pos_blob), ...]}`` dict PER RANGE,
+        invoked with ``num_returns`` so each range ships as its own
+        object. The actor decodes only each run's docid stream (to route
+        it — O(df bytes)); the expensive counts/positions decode happens
+        INSIDE the doc-range kernel tasks, 32-way parallel, and the wire
+        carries varint bytes (~1-2 B/token) instead of decoded uint64
+        triples (~24 B/posting). A run spanning b boundaries ships b+1
+        times (bounded by the build's run cap); kernels trim to their
+        range after decode."""
         n_ranges = len(bounds) + 1
         outs: list[dict] = [dict() for _ in range(n_ranges)]
+        reader = self.reader
         for t in terms:
-            d, c, f = self.reader.term_postings(t)
-            if not d.size:
-                continue
-            cuts = np.searchsorted(d, bounds)
-            off = np.cumsum(c) - c
-            prev = 0
-            for r in range(n_ranges):
-                hi = int(cuts[r]) if r < n_ranges - 1 else len(d)
-                if hi > prev:
-                    fs = int(off[prev])
-                    fe = int(off[hi - 1] + c[hi - 1])
-                    outs[r][t] = (d[prev:hi], c[prev:hi], f[fs:fe])
-                prev = hi
+            for r_i in reader.lookup.get(t, ()):
+                doc_blob = reader._docs[r_i].as_py()
+                deltas = varint_decode(np.frombuffer(doc_blob, np.uint8))
+                if not deltas.size:
+                    continue
+                first = int(deltas[0])
+                last = int(deltas.sum())
+                lo_r = int(np.searchsorted(bounds, first, side="right"))
+                hi_r = int(np.searchsorted(bounds, last, side="right"))
+                blobs = (
+                    doc_blob,
+                    reader._cnts[r_i].as_py(),
+                    reader._poss[r_i].as_py(),
+                )
+                for r in range(lo_r, hi_r + 1):
+                    outs[r].setdefault(t, []).append(blobs)
         return outs
 
     def reload(self, files: list[str]) -> int:
@@ -1466,11 +1672,18 @@ class PositionalEngine:
         import ray
 
         self.pos_dir = pos_dir
+        #: doc-partitioned layout (build_position_index doc_partitions=R):
+        #: actors own whole doc-disjoint partitions and run every query's
+        #: kernel locally — only top-k partials move. 0 = term-sharded
+        #: layout (actors are postings providers; kernels run driver-side
+        #: or as doc-range tasks).
+        self.doc_partitions = read_doc_partitions(pos_dir)
         files = _active_files(pos_dir)
         if not files:
             raise FileNotFoundError(f"no positional postings under {pos_dir!r}")
         n = max(1, min(n_shards, len(files)))
-        self._groups: list[list[str]] = [files[i::n] for i in range(n)]
+        self._groups: list[list[str]] = self._plan_groups(files, n)
+        n = len(self._groups)
         self._tomb_sig = self._tombstone_sig()
         self._actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(
             _PosShardWorker
@@ -1493,6 +1706,25 @@ class PositionalEngine:
         #: dropped whenever refresh() changes any shard's view
         self._result_cache: dict[tuple, pa.Table] = {}
         ray.get([a.fetch.remote([]) for a in self._actors])  # load errors now
+
+    def _plan_groups(self, files: list[str], n: int) -> list[list[str]]:
+        """File -> actor assignment. Doc-partitioned layout: whole
+        partitions per actor (partition r -> actor r % n) so every actor
+        is doc-disjoint and doc-complete for its partitions — the
+        property the local kernels need. Term-sharded layout: plain
+        round-robin (actors are term-disjoint-ish postings providers)."""
+        if self.doc_partitions:
+            groups = [[] for _ in range(min(n, self.doc_partitions))]
+            for f in sorted(files):
+                r = _dpart_of_path(f)
+                if r < 0:
+                    raise ValueError(
+                        f"doc-partitioned positional dir has a file outside "
+                        f"dpart= layout: {f!r}"
+                    )
+                groups[r % len(groups)].append(f)
+            return [g for g in groups if g]
+        return [files[i::n] for i in range(n)]
 
     def _tombstone_sig(self) -> tuple:
         return tuple(
@@ -1560,6 +1792,18 @@ class PositionalEngine:
     #: upper bound on doc-range fan-out per query
     MAX_RANGES = 32
 
+    def _tombstones_ref(self):
+        """Shared object-store copy of the current tombstone set for the
+        range kernels (runs ship raw — the live-docs filter moves into
+        the task); re-put lazily after each refresh()."""
+        import ray
+
+        if getattr(self, "_tombs_ref", None) is None:
+            self._tombs_ref = ray.put(
+                load_position_tombstones(self.pos_dir)
+            )
+        return self._tombs_ref
+
     def _kernel(self):
         import ray
 
@@ -1585,8 +1829,31 @@ class PositionalEngine:
         round-trips (the caller falls back to the exact driver-side
         path), or an exact result table. Payload ever touching the
         driver: per-term dfs, the rarest term's docids, and the partial
-        result tables — never the O(sum df) postings."""
+        result tables — never the O(sum df) postings.
+
+        On a DOC-PARTITIONED dir this short-circuits to the broadcast
+        path: every actor runs the kernel locally over its partitions
+        (``query_kernel``), so nothing but partials moves at all and
+        per-actor decode is df/R per term."""
         import ray
+
+        if self.doc_partitions:
+            self.dist_queries += 1
+            parts = ray.get(
+                [
+                    a.query_kernel.remote(kind, list(slot_terms), arg, k,
+                                          after)
+                    for a in self._actors
+                ]
+            )
+            if kind == "phrase":
+                return _merge_topk([p for p in parts if p.num_rows], k)
+            if kind == "tfs":
+                merged = pa.concat_tables(parts)
+                if merged.num_rows:
+                    merged = merged.sort_by("docid")  # parts interleave
+                return merged
+            return _merge_span_topk([p for p in parts if p.num_rows], k)
 
         uniq = sorted(set(slot_terms))
         dfs = ray.get([a.term_dfs.remote(uniq) for a in self._actors])
@@ -1635,14 +1902,19 @@ class PositionalEngine:
             return None
         self.dist_queries += 1
         slice_refs = [
-            a.fetch_sliced.options(num_returns=n_r).remote(uniq, bounds)
+            a.fetch_runs_sliced.options(num_returns=n_r).remote(uniq, bounds)
             for a in self._actors
         ]
         kern = self._kernel()
+        tref = self._tombstones_ref()
+        blist = [int(b) for b in bounds]
         parts = ray.get(
             [
                 kern.remote(
                     kind, list(slot_terms), arg, k, after,
+                    blist[r - 1] if r else None,
+                    blist[r] if r < n_r - 1 else None,
+                    tref,
                     *[slice_refs[s][r] for s in range(len(self._actors))],
                 )
                 for r in range(n_r)
@@ -1725,7 +1997,18 @@ class PositionalEngine:
         dropped = assigned - set(current)
         new = [f for f in current if f not in assigned]
         changed: set[int] = set()
-        if dropped:
+        if self.doc_partitions:
+            # layout-aware: a file always belongs to its partition's
+            # actor, so increments land on the right actor and doc-
+            # disjointness is preserved; compaction changes every group
+            new_groups = self._plan_groups(current, len(self._actors))
+            while len(new_groups) < len(self._actors):
+                new_groups.append([])
+            for i in range(len(self._actors)):
+                if set(new_groups[i]) != set(self._groups[i]):
+                    changed.add(i)
+            self._groups = new_groups
+        elif dropped:
             n = len(self._actors)
             self._groups = [current[i::n] for i in range(n)]
             changed = set(range(n))
@@ -1748,6 +2031,7 @@ class PositionalEngine:
             self._fetch_cache = {}
             self._tk_cache = {}
             self._result_cache = {}
+            self._tombs_ref = None  # re-put on next distributed query
             self._gen += 1
         return {
             "new_files": len(new),

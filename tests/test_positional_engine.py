@@ -234,3 +234,101 @@ def test_distributed_duplicate_docid_raises(ray_session, tmp_path):
             eng.phrase("beta", k=5)
     finally:
         eng.shutdown()
+
+
+def test_doc_partitioned_layout_identity(ray_session, tmp_path):
+    """build_position_index(doc_partitions=R) — the document-partitioned
+    serving layout (Lucene/ES shard model): the engine broadcasts each
+    query's kernel to doc-disjoint part actors, only partials move, and
+    answers are identical to the term-sharded single-process path
+    through the full D/E/T lifecycle, pagination and doc_tfs included."""
+    import ray.data
+
+    from tangent_ray.index.positions import (
+        phrase_doc_tfs,
+        read_doc_partitions,
+    )
+
+    rng = random.Random(47)
+    ids, docs = _corpus(rng, 130)
+    dpart = str(tmp_path / "dpart")
+    flat = str(tmp_path / "flat")
+    t = _table(ids, docs)
+    build_position_index(
+        ray.data.from_arrow(t).repartition(3), dpart, num_shards=4,
+        doc_partitions=6,
+    )
+    build_position_index(ray.data.from_arrow(t).repartition(3), flat,
+                         num_shards=4)
+    assert read_doc_partitions(dpart) == 6
+    assert read_doc_partitions(flat) == 0
+    eng = PositionalEngine(dpart, n_shards=3)
+    try:
+        assert eng.doc_partitions == 6
+        _assert_engine_matches_local(eng, flat, rng, n=8)
+        assert eng.dist_queries > 0  # partitioned path actually served
+
+        # doc_tfs (the scorer's scored-phrase hook) matches too
+        for terms, s in [(["alpha", "beta"], 0), (["alpha", "gamma"], 2)]:
+            d1, t1 = phrase_doc_tfs(eng, terms, s)
+            d2, t2 = phrase_doc_tfs(flat, terms, s)
+            assert d1.tolist() == d2.tolist() and t1.tolist() == t2.tolist()
+
+        # increment inherits the layout; identity holds on the new view
+        ids_b, docs_b = _corpus(random.Random(48), 40, id_base=9000)
+        add_position_increment(
+            ray.data.from_arrow(_table(ids_b, docs_b)), dpart, num_shards=4
+        )
+        add_position_increment(
+            ray.data.from_arrow(_table(ids_b, docs_b)), flat, num_shards=4
+        )
+        eng.refresh()
+        _assert_engine_matches_local(eng, flat, rng, n=5)
+
+        # tombstones
+        victims = ids[::6]
+        delete_position_docs(dpart, victims)
+        delete_position_docs(flat, victims)
+        eng.refresh()
+        hits = eng.phrase("alpha", k=10_000)["docid"].to_pylist()
+        assert not set(hits) & set(victims)
+        _assert_engine_matches_local(eng, flat, rng, n=5)
+
+        # compaction preserves the layout
+        compact_positions(dpart, num_shards=4)
+        compact_positions(flat, num_shards=4)
+        assert read_doc_partitions(dpart) == 6
+        eng.refresh()
+        _assert_engine_matches_local(eng, flat, rng, n=5)
+
+        # pagination on the partitioned path reconstructs the full order
+        full = eng.phrase("alpha", k=10_000)
+        pages, cur = [], None
+        while True:
+            pg = eng.phrase("alpha", k=5, search_after=cur)
+            if not pg.num_rows:
+                break
+            pages.append(pg)
+            cur = (pg["n_occurrences"][-1].as_py(),
+                   pg["docid"][-1].as_py())
+        assert pa.concat_tables(pages).equals(full)
+    finally:
+        eng.shutdown()
+
+
+def test_doc_partitioned_duplicate_docid_raises(ray_session, tmp_path):
+    """A doc double-indexed lands in the SAME partition (stable docid
+    hash), so the part actor's run merge still catches it."""
+    import ray.data
+
+    live = str(tmp_path / "dupdp")
+    t = _table(list(range(1, 30)), ["alpha beta"] * 29)
+    build_position_index(ray.data.from_arrow(t), live, num_shards=2,
+                         doc_partitions=4)
+    add_position_increment(ray.data.from_arrow(t), live, num_shards=2)
+    eng = PositionalEngine(live, n_shards=2)
+    try:
+        with pytest.raises(Exception, match="duplicate docid"):
+            eng.phrase("beta", k=5)
+    finally:
+        eng.shutdown()

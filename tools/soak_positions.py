@@ -152,9 +152,11 @@ def main():
     pdir = f"/tmp/tangent_ray_soak/pos-idx-{n_convs}"
     shutil.rmtree(pdir, ignore_errors=True)
     t0 = time.time()
+    # doc-partitioned serving layout (Lucene/ES shard model): part actors
+    # run kernels locally and only top-k partials move — the 100x shape
     build_position_index(
         with_docids(ray.data.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])),
-        pdir, num_shards=pos_shards,
+        pdir, num_shards=pos_shards, doc_partitions=32,
     )
     out["build_sec"] = round(time.time() - t0, 1)
     out["build_turns_per_sec"] = round(out["n_turns"] / out["build_sec"])
@@ -162,7 +164,7 @@ def main():
 
     words = vocab()
     qs = query_list(words)
-    for n in (4, 8):
+    for n in (4, 32, 8):  # 8 last: it stays resident for the lifecycle
         t0 = time.time()
         eng = PositionalEngine(pdir, n_shards=n)
         load_s = round(time.time() - t0, 1)
