@@ -546,10 +546,11 @@ def _positions_sidecar(sf_dir: str) -> str:
     from tangent_ray.index.positions import build_position_index
 
     src = _doc_path(sf_dir)
-    # "pos2": layout version in the cache name — v2 is the term-sharded
-    # positional-postings layout; a stale v1 (doc-sharded) cache dir must
-    # not be reused
-    out = os.path.join(_TMP_ROOT, f"pos2-{_lineage_token(src)}")
+    # "pos3": layout version in the cache name — v3 adds the
+    # doc-partitioned serving twin dir (data_dpart/) next to the
+    # term-sharded one; stale v1 (doc-sharded) / v2 caches must not be
+    # reused
+    out = os.path.join(_TMP_ROOT, f"pos3-{_lineage_token(src)}")
 
     def build():
         import shutil
@@ -559,13 +560,18 @@ def _positions_sidecar(sf_dir: str) -> str:
         # files APPENDED to on retry (write_parquet adds uniquely-named
         # files), doubling phrase counts
         data_dir = os.path.join(out, "data")
+        dpart_dir = os.path.join(out, "data_dpart")
         shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(dpart_dir, ignore_errors=True)
         ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
         # parquet under data/ so the done-marker manifest.json is not
         # swept up by the sidecar's own read_parquet
         build_position_index(ds, data_dir, num_shards=16)
+        build_position_index(ds, dpart_dir, num_shards=16,
+                             doc_partitions=4)
         with open(os.path.join(out, "manifest.json"), "w") as f:
-            json.dump({"src": src, "num_shards": 16}, f)
+            json.dump({"src": src, "num_shards": 16,
+                       "doc_partitions": 4}, f)
 
     return os.path.join(_build_locked(out, build), "data")
 
@@ -574,7 +580,8 @@ def q_phrase_topk(sf_dir: str):
     """Exact phrase top-k from the positional postings (term-sharded,
     O(df) resident-reader decode; see index/positions.py). Integer
     occurrence counts, so the DuckDB positions-self-join twin matches
-    bit-for-bit."""
+    bit-for-bit. (Folded into the ``search_features`` gate entry, which
+    also pins the doc-partitioned engine's identity on the same query.)"""
     from tangent_ray.index.positions import phrase_search
 
     t = phrase_search(_positions_sidecar(sf_dir), PHRASE_QUERY, k=PHRASE_K)
@@ -3058,6 +3065,29 @@ def q_search_features(sf_dir: str):
     pr = proximity_search(pos, PHRASE_QUERY, window=PROX_WINDOW, k=PROX_K)
     for d, s in zip(pr["docid"].to_pylist(), pr["min_span"].to_pylist()):
         add("prox", PHRASE_QUERY, d, s, 0.0, "")
+    # the DOC-PARTITIONED serving layout (PositionalEngine broadcasting
+    # kernels to doc-disjoint part actors) must answer identically to
+    # the term-sharded reader path — folding the check here puts the new
+    # layout under the same oracle row
+    from tangent_ray.index.positions import PositionalEngine
+
+    eng = PositionalEngine(
+        os.path.join(os.path.dirname(pos), "data_dpart"), n_shards=2
+    )
+    try:
+        if not eng.phrase(PHRASE_QUERY, k=PHRASE_K).equals(ph):
+            raise AssertionError(
+                "doc-partitioned PositionalEngine diverged from the "
+                "term-sharded reader on the phrase feature"
+            )
+        pr2 = eng.proximity(PHRASE_QUERY, window=PROX_WINDOW, k=PROX_K)
+        if not pr2.equals(pr):
+            raise AssertionError(
+                "doc-partitioned PositionalEngine diverged from the "
+                "term-sharded reader on the proximity feature"
+            )
+    finally:
+        eng.shutdown()
 
     idx = _docs_feature_index(sf_dir)
     res = _collect(
