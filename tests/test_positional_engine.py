@@ -332,3 +332,33 @@ def test_doc_partitioned_duplicate_docid_raises(ray_session, tmp_path):
             eng.phrase("beta", k=5)
     finally:
         eng.shutdown()
+
+
+def test_doc_partitioned_hash_ids_fuzz(ray_session, tmp_path):
+    """Doc-partitioned identity under transcript-style 62-bit hash
+    docids and forced multi-run hot terms (tiny run cap) — the layout's
+    docid hash and run routing must hold off the sequential-id happy
+    path."""
+    import ray.data
+
+    rng = random.Random(53)
+    ids = sorted(rng.sample(range(1, 1 << 62), 100))
+    docs = [
+        " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 30)))
+        for _ in range(100)
+    ]
+    dpart = str(tmp_path / "dp")
+    flat = str(tmp_path / "fl")
+    t = _table(ids, docs)
+    build_position_index(
+        ray.data.from_arrow(t).repartition(3), dpart, num_shards=4,
+        doc_partitions=5, max_run_positions=128,
+    )
+    build_position_index(ray.data.from_arrow(t).repartition(3), flat,
+                         num_shards=4)
+    eng = PositionalEngine(dpart, n_shards=3)
+    try:
+        _assert_engine_matches_local(eng, flat, rng, n=10)
+        assert eng.dist_queries > 0
+    finally:
+        eng.shutdown()
