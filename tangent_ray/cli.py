@@ -71,15 +71,23 @@ def _config_of(cntl: dict):
 
 
 def _corpus_of(cntl: dict):
-    from tangent_ray.sources.corpus import DocumentsCorpus, TranscriptsCorpus
+    from tangent_ray.sources.corpus import (
+        DocumentsCorpus,
+        KeyedCorpus,
+        TranscriptsCorpus,
+    )
 
     name = cntl.get("corpus", "transcripts")
     try:
-        return {"transcripts": TranscriptsCorpus, "documents": DocumentsCorpus}[
-            name
-        ]()
+        return {
+            "transcripts": TranscriptsCorpus,
+            "documents": DocumentsCorpus,
+            "keyed": KeyedCorpus,
+        }[name]()
     except KeyError:
-        raise SystemExit(f"unknown corpus {name!r} (transcripts | documents)")
+        raise SystemExit(
+            f"unknown corpus {name!r} (transcripts | documents | keyed)"
+        )
 
 
 def _read_queries(path: str):
@@ -223,6 +231,21 @@ def cmd_positions(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Convert a raw corpus (file-per-document doclist/dir, or JSONL) to
+    the canonical Parquet layout every pipeline consumes — the
+    reference's doclist front door (S2-S4) as a streaming Ray job."""
+    _ensure_ray(args.num_cpus)
+    from tangent_ray.sources.ingest import ingest_corpus
+
+    out = ingest_corpus(
+        args.src, args.out, fmt=args.format, text_col=args.text_col,
+        id_col=args.id_col, root=args.root,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_delete(args) -> int:
     cntl = _load_cntl(args.cntl)
     from tangent_ray.index.deletes import delete_docs
@@ -340,6 +363,25 @@ def main(argv: list[str] | None = None) -> int:
                         "PositionalEngine broadcasts kernels, only top-k "
                         "partials move; 0 = term-sharded only)")
     p.set_defaults(fn=cmd_positions)
+
+    p = sub.add_parser("ingest",
+                       help="convert a raw corpus (doclist / directory of "
+                            "document files, or JSONL shards) to the "
+                            "canonical Parquet layout")
+    p.add_argument("src", help="doclist file, documents directory, or "
+                               ".jsonl path/dir")
+    p.add_argument("--out", required=True, help="output Parquet directory")
+    p.add_argument("--format", default="auto",
+                   choices=["auto", "files", "jsonl"])
+    p.add_argument("--text-col", default="text", dest="text_col",
+                   help="JSONL text column")
+    p.add_argument("--id-col", default="id", dest="id_col",
+                   help="JSONL stable id column (hashed to docids)")
+    p.add_argument("--root", default=None,
+                   help="doclist entries resolve against this root "
+                        "(default: the doclist's directory)")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("delete", parents=[common],
                        help="tombstone documents (Lucene-style live-docs; "

@@ -252,11 +252,19 @@ def q_boolean_and(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
+    """Exact dedup — and the JSONL-ingestion front door rides the same
+    oracle row: the corpus is round-tripped documents -> JSONL shards ->
+    ``ingest_corpus`` -> canonical Parquet (``_jsonl_roundtrip``), the
+    round-trip is asserted row-identical to the source, and dedup runs
+    over the INGESTED copy — so the gate's hash pins ingestion losing
+    nothing and keying deterministically, without spending a second
+    driver slot."""
     import ray.data
 
     from tangent_ray.ops.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ingested = _jsonl_roundtrip(sf_dir)
+    ds = ray.data.read_parquet(ingested, columns=["doc_id", "text"])
     t = _collect(exact_dedup(ds)).select(["doc_id", "dups"])
     return _cast64(t, ["doc_id", "dups"])
 
@@ -1393,6 +1401,63 @@ def q_distinct_tokens(sf_dir: str):
     return pa.table({"distinct_tokens": pa.array([n], type=pa.int64())})
 
 
+def _jsonl_roundtrip(sf_dir: str) -> str:
+    """Round-trip the corpus through the JSONL ingestion front door
+    (sources/ingest.py): documents -> JSONL shards (ray write_json) ->
+    ``ingest_corpus`` -> canonical (doc_id, dockey, text) Parquet, with
+    a row-identity assert against the source (integer ids pass through,
+    dockey is their string form, text unchanged). Cached per corpus
+    lineage; returns the ingested Parquet dir. Consumed by
+    ``q_dedup_exact`` so the ingestion path sits under an oracle row
+    without its own driver slot."""
+    import ray.data
+
+    from tangent_ray.sources.ingest import ingest_corpus
+
+    src = _doc_path(sf_dir)
+    base = os.path.join(_TMP_ROOT, f"jsonl-{_lineage_token(src)}")
+    jdir = base + "-src"
+    pdir = base + "-out"
+
+    def build():
+        import json as _json
+        import shutil
+
+        shutil.rmtree(jdir, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+        (
+            ray.data.read_parquet(src, columns=["doc_id", "text"])
+            .write_json(jdir)
+        )
+        ingest_corpus(jdir, pdir, fmt="jsonl", id_col="doc_id")
+        got = (
+            _collect(ray.data.read_parquet(pdir))
+            .sort_by("doc_id")
+            .select(["doc_id", "dockey", "text"])
+        )
+        want = _collect(
+            ray.data.read_parquet(src, columns=["doc_id", "text"])
+        ).sort_by("doc_id")
+        import pyarrow.compute as pc_
+
+        same = (
+            got["doc_id"].equals(pc_.cast(want["doc_id"], pa.int64()))
+            and got["text"].equals(want["text"])
+            and got["dockey"].to_pylist()
+            == [str(i) for i in want["doc_id"].to_pylist()]
+        )
+        if not same:
+            raise AssertionError(
+                "JSONL ingestion round-trip diverged from the source corpus"
+            )
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, "manifest.json"), "w") as f:
+            _json.dump({"src": src}, f)
+
+    _build_locked(base, build)
+    return pdir
+
+
 def q_chunk_spans(sf_dir: str):
     """Context-window chunking: overlapping token-range chunks per doc
     (stride = max - overlap, last chunk clamped to the doc end) — one
@@ -1861,6 +1926,7 @@ def _langid_sql() -> str:
 
 
 ORACLE_SQL["lang_id"] = _langid_sql()
+
 
 # Signed reinterpretation of a [0, 2^64) HUGEINT as the ops' int64 output.
 _I64 = (

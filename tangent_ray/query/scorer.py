@@ -555,11 +555,15 @@ class IndexReader:
         )
 
     def dockey_of(self, docids: np.ndarray) -> list[str]:
-        from tangent_ray.sources.corpus import TranscriptsCorpus, corpus_from_json
+        from tangent_ray.sources.corpus import (
+            KeyedCorpus,
+            TranscriptsCorpus,
+            corpus_from_json,
+        )
 
-        if not isinstance(
-            corpus_from_json(self.manifest["corpus"]), TranscriptsCorpus
-        ):
+        corpus = corpus_from_json(self.manifest["corpus"])
+        if not isinstance(corpus, (TranscriptsCorpus, KeyedCorpus)):
+            # documents: dockey IS the stringified id — no sidecar needed
             return [str(int(d)) for d in docids]
         if self._docmap is None:
             # per-partial docmap sidecars (sorted id arrays + key arrays,
@@ -584,7 +588,7 @@ class IndexReader:
                 else:
                     with open(os.path.join(pdir, p, "_MANIFEST.json")) as f:
                         legacy_files.update(json.load(f)["input_files"])
-            if legacy_files:
+            if legacy_files and isinstance(corpus, TranscriptsCorpus):
                 from tangent_ray.docids import (
                     dockeys_to_docids,
                     transcript_dockeys,
@@ -598,6 +602,22 @@ class IndexReader:
                     ids = dockeys_to_docids(keys.to_pylist())
                     order = np.argsort(ids)
                     maps.append((ids[order], keys.take(pa.array(order))))
+            elif legacy_files:
+                # keyed corpus: re-read the key columns from the inputs
+                for fp in sorted(legacy_files):
+                    t = pq.read_table(fp, columns=["doc_id", "dockey"])
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    order = np.argsort(ids)
+                    maps.append(
+                        (
+                            ids[order],
+                            t["dockey"].combine_chunks().take(
+                                pa.array(order)
+                            ),
+                        )
+                    )
             self._docmap = maps
         q = np.asarray(docids, dtype=np.int64)
         res: list[str | None] = [None] * len(q)

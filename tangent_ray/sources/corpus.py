@@ -73,7 +73,39 @@ class TranscriptsCorpus:
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
-Corpus = DocumentsCorpus | TranscriptsCorpus
+@dataclass(frozen=True)
+class KeyedCorpus:
+    """(doc_id, dockey, text) corpora — the ``sources.ingest`` layout:
+    docids are already blake2b(dockey) (or the user's integer ids), and
+    the explicit ``dockey`` column decorates results (file paths, JSONL
+    ids) instead of stringified hashes."""
+
+    id_column: str = "doc_id"
+    key_column: str = "dockey"
+    text_column: str = "text"
+
+    @property
+    def columns(self) -> list[str]:
+        return [self.id_column, self.key_column, self.text_column]
+
+    def docids(self, batch: pa.Table) -> np.ndarray:
+        col = batch[self.id_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError(f"{self.id_column!r} contains null ids")
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def dockeys(self, batch: pa.Table) -> pa.Array:
+        col = pc.cast(batch[self.key_column], pa.string())
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def texts(self, batch: pa.Table) -> pa.Array:
+        col = batch[self.text_column]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+Corpus = DocumentsCorpus | TranscriptsCorpus | KeyedCorpus
 
 
 def corpus_from_json(spec: str) -> Corpus:
@@ -82,7 +114,7 @@ def corpus_from_json(spec: str) -> Corpus:
     imply default column names)."""
     import json
 
-    if spec in ("transcripts", "documents"):
+    if spec in ("transcripts", "documents", "keyed"):
         d: dict = {"kind": spec}
     else:
         d = json.loads(spec)
@@ -91,6 +123,8 @@ def corpus_from_json(spec: str) -> Corpus:
         return TranscriptsCorpus(**d)
     if kind == "documents":
         return DocumentsCorpus(**d)
+    if kind == "keyed":
+        return KeyedCorpus(**d)
     raise ValueError(f"unknown corpus kind {kind!r}")
 
 
@@ -105,6 +139,15 @@ def corpus_spec(corpus: Corpus) -> str:
         return json.dumps(
             {"kind": "transcripts", "text_column": corpus.text_column}
         )
+    if isinstance(corpus, KeyedCorpus):
+        return json.dumps(
+            {
+                "kind": "keyed",
+                "id_column": corpus.id_column,
+                "key_column": corpus.key_column,
+                "text_column": corpus.text_column,
+            }
+        )
     return json.dumps(
         {
             "kind": "documents",
@@ -115,4 +158,8 @@ def corpus_spec(corpus: Corpus) -> str:
 
 
 def corpus_kind(corpus: Corpus) -> str:
-    return "transcripts" if isinstance(corpus, TranscriptsCorpus) else "documents"
+    if isinstance(corpus, TranscriptsCorpus):
+        return "transcripts"
+    if isinstance(corpus, KeyedCorpus):
+        return "keyed"
+    return "documents"

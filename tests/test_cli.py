@@ -260,3 +260,93 @@ def test_topics_reader_kinds():
     ))
     kinds = t2["kind"].to_pylist()
     assert t2.num_rows == 30 and kinds.count("mixed") == 27
+
+
+@needs_ref
+def test_cli_ingest_doclist_then_index(ray_session, tmp_path, capsys):
+    """The reference's real front door: `ingest` converts its doclist of
+    HTML/XHTML/MathML files (testlist.txt, .tex problem files included)
+    to the canonical Parquet corpus, and `index` over the result still
+    reproduces the reference indexer's expression totals — no manual
+    Parquet packing by the user."""
+    out_corpus = str(tmp_path / "corpus")
+    assert main([
+        "ingest", os.path.join(REF_TESTING, "testlist.txt"),
+        "--out", out_corpus,
+        "--root", os.path.join(REF_TESTING, ".."),
+    ]) == 0
+    ing = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ing["n_docs"] == 41 and ing["format"] == "files"
+    cntl = {
+        "input": out_corpus,
+        "index_dir": str(tmp_path / "idx"),
+        "corpus": "keyed",
+        "config": {"window": 4, "eol": "small", "stem": False,
+                   "math": True, "partitions": 2},
+    }
+    cntl_path = str(tmp_path / "cntl.json")
+    with open(cntl_path, "w") as f:
+        json.dump(cntl, f)
+    assert main(["index", cntl_path]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["math_expr_unique"] == 644
+    assert manifest["math_expr_instances"] == 846
+    # re-ingest is deterministic (same docids) — resume-safe
+    out2 = str(tmp_path / "corpus2")
+    assert main([
+        "ingest", os.path.join(REF_TESTING, "testlist.txt"),
+        "--out", out2, "--root", os.path.join(REF_TESTING, ".."),
+    ]) == 0
+    capsys.readouterr()
+    import pyarrow.dataset as pads
+
+    a = pads.dataset(out_corpus).to_table().sort_by("dockey")
+    b = pads.dataset(out2).to_table().sort_by("dockey")
+    assert a.equals(b)
+
+
+def test_cli_ingest_jsonl_then_query(ray_session, tmp_path, capsys):
+    """JSONL shards (the training-data interchange format) ingest into
+    the same canonical layout and serve BM25 through the normal cntl."""
+    shard_dir = str(tmp_path / "jsonl")
+    os.makedirs(shard_dir)
+    docs = [
+        {"id": "web/0001", "text": "alpha beta gamma"},
+        {"id": "web/0002", "text": "alpha alpha delta"},
+        {"id": "web/0003", "text": "gamma delta eps"},
+        {"id": "web/0004", "text": "unrelated words here"},
+    ]
+    with open(os.path.join(shard_dir, "shard0.jsonl"), "w") as f:
+        for d in docs[:2]:
+            f.write(json.dumps(d) + "\n")
+    with open(os.path.join(shard_dir, "shard1.jsonl"), "w") as f:
+        for d in docs[2:]:
+            f.write(json.dumps(d) + "\n")
+    out_corpus = str(tmp_path / "corpus")
+    assert main(["ingest", shard_dir, "--out", out_corpus,
+                 "--format", "jsonl"]) == 0
+    ing = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ing["n_docs"] == 4
+    cntl = {
+        "input": out_corpus,
+        "index_dir": str(tmp_path / "idx"),
+        "corpus": "keyed",
+        "config": {"stem": False, "math": False},
+    }
+    cntl_path = str(tmp_path / "cntl.json")
+    with open(cntl_path, "w") as f:
+        json.dump(cntl, f)
+    assert main(["index", cntl_path]) == 0
+    qpath = str(tmp_path / "q.parquet")
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"query_id": ["q1"], "kind": ["text"],
+                  "text": ["alpha delta"]}), qpath,
+    )
+    out = str(tmp_path / "res.parquet")
+    assert main(["query", cntl_path, "--queries", qpath, "--out", out]) == 0
+    res = pq.read_table(out)
+    assert res.num_rows >= 2
+    # dockeys round-trip: results decorate with the JSONL ids
+    assert set(res["dockey"].to_pylist()) <= {d["id"] for d in docs}
