@@ -1827,13 +1827,29 @@ class PositionalEngine:
             self.local_queries += 1
             return None
         rarest = min(uniq, key=lambda t: (tot[t], t))
-        rid = ray.get(
-            [
-                a.term_docid_samples.remote(rarest, 4096)
-                for a in self._actors
-            ]
-        )
-        rd = np.sort(np.concatenate([p for p in rid if p.size]))
+        rid = [
+            p
+            for p in ray.get(
+                [
+                    a.term_docid_samples.remote(rarest, 4096)
+                    for a in self._actors
+                ]
+            )
+            if p.size
+        ]
+        if not rid:
+            # df counts tombstoned docs too: every posting of the rarest
+            # term can be dead — then nothing matches in any family
+            if kind == "phrase":
+                return _result_table(np.empty(0, np.int64),
+                                     np.empty(0, np.int64))
+            if kind == "tfs":
+                return pa.table(
+                    {"docid": pa.array([], pa.int64()),
+                     "tf": pa.array([], pa.int64())}
+                )
+            return _span_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        rd = np.sort(np.concatenate(rid))
         n_r = int(
             min(
                 self.MAX_RANGES,

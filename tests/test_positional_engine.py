@@ -362,3 +362,33 @@ def test_doc_partitioned_hash_ids_fuzz(ray_session, tmp_path):
         assert eng.dist_queries > 0
     finally:
         eng.shutdown()
+
+
+def test_distributed_all_rarest_tombstoned(ray_session, tmp_path):
+    """df counts tombstoned docs: when every posting of a query's rarest
+    term is dead, the distributed planner must return empty (not crash
+    on an empty boundary sample)."""
+    import ray.data
+
+    live = str(tmp_path / "tomb")
+    # 'gamma' appears only in docs 2 and 4; everything else is hot
+    t = _table(
+        [1, 2, 3, 4, 5],
+        ["alpha beta", "alpha gamma", "alpha beta", "gamma beta", "alpha"],
+    )
+    build_position_index(ray.data.from_arrow(t), live, num_shards=2)
+    delete_position_docs(live, [2, 4])
+    eng = PositionalEngine(live, n_shards=2)
+    try:
+        eng.DIST_MIN_SUMDF = 0
+        assert eng.phrase("alpha gamma", k=5).num_rows == 0
+        assert eng.proximity("gamma beta", window=3, k=5).num_rows == 0
+        assert eng.span_near("gamma beta", slop=2, k=5).num_rows == 0
+        from tangent_ray.index.positions import phrase_doc_tfs
+
+        d, tf = phrase_doc_tfs(eng, ["gamma", "beta"], 0)
+        assert len(d) == 0 and len(tf) == 0
+        # live terms still answer
+        assert eng.phrase("alpha beta", k=5).num_rows > 0
+    finally:
+        eng.shutdown()
