@@ -72,9 +72,12 @@ def delete_docs(
 ) -> dict:
     """Tombstone documents by docid and/or dockey. Returns a summary dict.
 
-    ``dockeys`` (e.g. ``"conv_id:turn_idx"`` strings) hash through the same
+    ``dockeys`` (e.g. ``"conv_id:turn_idx"`` strings, or an ingested
+    corpus's file-path / JSONL string keys) hash through the same
     ``dockeys_to_docids`` the build uses, so callers can delete by the
-    natural key without knowing the hash. Idempotent: re-deleting an
+    natural key without knowing the hash. (A keyed corpus whose JSONL
+    ids were INTEGERS passes them through as docids at ingest — delete
+    those via ``docids``, not ``dockeys``.) Idempotent: re-deleting an
     already-tombstoned doc adds no live tombstone (files are deduped at
     load). The new tombstones become visible to NEW readers; long-lived
     scorer actors hold the tombstone set they loaded at startup (restart

@@ -846,7 +846,11 @@ class QueryScorer:
         """Attach a positional-postings source for quoted-phrase clauses:
         a positional index dir (``build_position_index`` output; resident
         cached reader, increments/deletes auto-detected) or any object
-        with ``fetch_terms(terms)`` (e.g. a ``PositionalEngine``)."""
+        with ``fetch_terms(terms)`` (e.g. a ``PositionalEngine``). A dir
+        path loads the WHOLE positional index into this process (a
+        doc-partitioned dir included — the reader merges parts); serving
+        pools past one node's heap should attach a ``PositionalEngine``,
+        whose doc-partitioned broadcast keeps postings on its actors."""
         self.positions = src
         self._pos_sig = None
         self._phrase_cache = {}
