@@ -129,6 +129,16 @@ def read_jsonl_corpus(src: str, text_col: str = "text",
                 f"(have {batch.column_names})"
             )
         ids = batch[id_col]
+        if ids.null_count:
+            raise ValueError(
+                f"jsonl corpus: null values in id column {id_col!r} — "
+                "every document needs a stable key"
+            )
+        if batch[text_col].null_count:
+            raise ValueError(
+                f"jsonl corpus: null values in text column {text_col!r} — "
+                "drop or empty-string them upstream"
+            )
         if pa.types.is_integer(ids.type):
             keys = pc.cast(ids, pa.string())
             docids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
