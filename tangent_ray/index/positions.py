@@ -2001,6 +2001,30 @@ class PositionalEngine:
             "reloaded": sorted(changed),
         }
 
+    def __reduce__(self):
+        """Pickle as a LIGHT handle: the actor handles + layout, caches
+        dropped. Shipping an engine into other actors (e.g.
+        ``search_sharded(..., positions=engine)`` — every BM25 shard
+        scorer attaching the SAME part actors) must not copy the
+        driver's warm postings caches, and the deserialized copy shares
+        the resident actors instead of loading its own positional index
+        (the N-scorers-x-full-index memory blowup this exists to avoid).
+        The driver's original remains the lifecycle owner (refresh /
+        shutdown); a shipped copy is a SNAPSHOT — after a driver-side
+        refresh(), restart the consuming pool (the same reader-refresh
+        rule as any segment change, ``deletes.py``)."""
+        return (
+            _engine_from_handle,
+            (
+                self.pos_dir,
+                self.doc_partitions,
+                [list(g) for g in self._groups],
+                list(self._actors),
+                self._tomb_sig,
+                self._gen,
+            ),
+        )
+
     _instance_seq = iter(range(1 << 62))
 
     def postings_sig(self) -> tuple:
@@ -2019,3 +2043,23 @@ class PositionalEngine:
         for a in self._actors:
             ray.kill(a)
         self._actors = []
+
+
+def _engine_from_handle(pos_dir, doc_partitions, groups, actors, tomb_sig,
+                        gen) -> "PositionalEngine":
+    """Rebuild a (cache-cold) :class:`PositionalEngine` around EXISTING
+    shard actors — the unpickle side of ``PositionalEngine.__reduce__``."""
+    eng = PositionalEngine.__new__(PositionalEngine)
+    eng.pos_dir = pos_dir
+    eng.doc_partitions = doc_partitions
+    eng._groups = groups
+    eng._actors = actors
+    eng._tomb_sig = tomb_sig
+    eng._gen = gen
+    eng._actor_cls = None  # a handle copy never creates actors
+    eng._fetch_cache = {}
+    eng._tk_cache = {}
+    eng._result_cache = {}
+    eng.dist_queries = 0
+    eng.local_queries = 0
+    return eng

@@ -789,19 +789,23 @@ class QueryScorer:
     """
 
     def __init__(self, index_dir: str, topk: int | None = None,
-                 partials: list[str] | None = None):
+                 partials: list[str] | None = None, positions=None):
         self.reader = IndexReader(index_dir, partials=partials)
         self.cfg = self.reader.cfg
         self.topk = topk or self.cfg.topk
         self._dead = self.reader.tombstones  # per-query: tombstones + NOTs
         self._facets = None  # lazy FacetCounter, built on first #col:value
         # positional-postings source for quoted-phrase clauses ("a b"~s):
-        # the conventional <index_dir>/positions sidecar auto-attaches when
-        # present; otherwise attach_positions(). None = phrase syntax raises
-        self.positions: str | None = None
-        _pos = os.path.join(index_dir, "positions")
-        if os.path.isdir(_pos):
-            self.positions = _pos
+        # an explicit ``positions`` (a dir, or a PositionalEngine — engine
+        # HANDLES pickle light, so actor-pool scorers can all share one
+        # resident engine's part actors) wins; else the conventional
+        # <index_dir>/positions sidecar auto-attaches when present;
+        # otherwise attach_positions(). None = phrase syntax raises
+        self.positions: str | None = positions
+        if positions is None:
+            _pos = os.path.join(index_dir, "positions")
+            if os.path.isdir(_pos):
+                self.positions = _pos
         #: last seen positional-source signature (see
         #: ``_check_positions_fresh``) — None until the first phrase query
         self._pos_sig: tuple | None = None
@@ -2588,6 +2592,7 @@ def search_sharded(
     n_shards: int = 2,
     concurrency_per_shard: int | tuple[int, int] = 1,
     topk: int | None = None,
+    positions=None,
 ) -> pa.Table:
     """Sharded serving: each actor group holds a SUBSET of the partials
     (the scale path — one actor cannot hold a 10^12-turn index), scores the
@@ -2606,6 +2611,14 @@ def search_sharded(
     CONCURRENTLY as one unioned plan (each group is its own actor pool);
     the streaming executor schedules pools as resources allow, so a small
     cluster degrades to sequential groups instead of deadlocking.
+
+    ``positions``: explicit positional source for quoted-phrase clauses.
+    Pass a driver-built :class:`~tangent_ray.index.positions.
+    PositionalEngine` so every shard scorer shares its resident part
+    actors (engine handles pickle light) — without it each scorer actor
+    lazily loads the FULL ``<index_dir>/positions`` sidecar on its first
+    phrase query, an N-actors-x-positional-index memory cost that is fine
+    single-node and wrong at cluster scale.
     """
     import ray.data
 
@@ -2644,7 +2657,13 @@ def search_sharded(
         ray.data.from_arrow(qt).map_batches(
             QueryScorer,
             fn_constructor_args=(index_dir, topk),
-            fn_constructor_kwargs={"partials": group},
+            # ``positions``: an explicit positional source for phrase
+            # clauses — pass a driver-built PositionalEngine so EVERY
+            # shard scorer shares its resident part actors (the handle
+            # pickles light) instead of each actor lazily loading the
+            # whole positional index (N x corpus-positional memory)
+            fn_constructor_kwargs={"partials": group,
+                                   "positions": positions},
             batch_format="pyarrow",
             concurrency=concurrency_per_shard,
             batch_size=64,

@@ -508,3 +508,47 @@ def test_positional_change_autodetected_without_refresh(ray_session, tmp_path):
     delete_position_docs(os.path.join(out, "positions"), [2])
     d2, _ = sc.score_query('"alpha beta"', "text", 10)  # NO refresh()
     assert d2.tolist() == [1]
+
+
+def test_search_sharded_shared_engine_identity(idx):
+    """search_sharded(positions=PositionalEngine): every shard scorer
+    attaches the SAME driver-built engine (the handle pickles light —
+    part actors shared, no per-actor full positional load) and results
+    are identical to the dir-attach path. The engine stays usable on the
+    driver afterwards."""
+    import ray
+
+    from tangent_ray.index.positions import PositionalEngine
+    from tangent_ray.query.scorer import search_sharded
+
+    queries = pa.table(
+        {
+            "query_id": pa.array(["p1", "p2"], pa.string()),
+            "kind": pa.array(["text"] * 2, pa.string()),
+            "text": pa.array(
+                ['"alpha beta" gamma', '"alpha beta"~2 -delta'],
+                pa.string(),
+            ),
+        }
+    )
+    eng = PositionalEngine(os.path.join(idx, "positions"), n_shards=2)
+    try:
+        # the pickled handle must be LIGHT even when the driver's caches
+        # are warm (warm them first)
+        eng.phrase("alpha beta", k=5)
+        import pickle
+
+        assert len(pickle.dumps(eng)) < 100_000
+        base = search_sharded(queries, idx, n_shards=3, topk=25)
+        shared = search_sharded(queries, idx, n_shards=3, topk=25,
+                                positions=eng)
+        key = ["query_id", "rank", "docid", "score"]
+
+        def rows(t):
+            return sorted(zip(*[t[c].to_pylist() for c in key]))
+
+        assert rows(base) == rows(shared)
+        # driver's engine still answers after the pool tore down
+        assert eng.phrase("alpha beta", k=5).num_rows >= 0
+    finally:
+        eng.shutdown()
