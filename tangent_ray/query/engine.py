@@ -44,10 +44,11 @@ class _ShardWorker:
     """Ray actor body: one resident ``QueryScorer`` over a partial subset."""
 
     def __init__(self, index_dir: str, topk: int | None,
-                 partials: list[str] | None):
+                 partials: list[str] | None, positions=None):
         from tangent_ray.query.scorer import QueryScorer
 
-        self.scorer = QueryScorer(index_dir, topk, partials=partials)
+        self.scorer = QueryScorer(index_dir, topk, partials=partials,
+                                  positions=positions)
 
     def search(self, queries: pa.Table, mixed_bounds=None) -> pa.Table:
         return self.scorer(queries, mixed_bounds=mixed_bounds)
@@ -74,7 +75,13 @@ class ShardedEngine:
     """
 
     def __init__(self, index_dir: str, n_shards: int = 4,
-                 topk: int | None = None, num_cpus_per_shard: float = 1):
+                 topk: int | None = None, num_cpus_per_shard: float = 1,
+                 positions=None):
+        """``positions``: explicit positional source for phrase clauses —
+        pass a driver-built ``PositionalEngine`` so every resident shard
+        scorer shares its part actors (handles pickle light) instead of
+        each actor loading the whole ``<index_dir>/positions`` sidecar
+        on its first phrase query."""
         import ray
 
         self.index_dir = index_dir
@@ -89,7 +96,8 @@ class ShardedEngine:
         ]
         self._actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(_ShardWorker)
         self._actors = [
-            self._actor_cls.remote(index_dir, topk, g) for g in self._groups
+            self._actor_cls.remote(index_dir, topk, g, positions)
+            for g in self._groups
         ]
         # surface segment-load errors at construction, not first query
         ray.get([a.n_segments.remote() for a in self._actors])

@@ -552,3 +552,28 @@ def test_search_sharded_shared_engine_identity(idx):
         assert eng.phrase("alpha beta", k=5).num_rows >= 0
     finally:
         eng.shutdown()
+
+
+def test_resident_sharded_engine_shared_positions(idx):
+    """ShardedEngine(positions=PositionalEngine): resident BM25 shard
+    scorers share the positional part actors; phrase results identical
+    to the dir-attach engine."""
+    from tangent_ray.index.positions import PositionalEngine
+    from tangent_ray.query.engine import ShardedEngine
+
+    q = [{"query_id": "p", "kind": "text", "text": '"alpha beta" gamma'}]
+    # sequential engines, 1 actor each: the 4-CPU test session cannot
+    # host two resident pools plus the positional actors at once
+    e1 = ShardedEngine(idx, n_shards=1)
+    try:
+        r1 = e1.search(q)
+    finally:
+        e1.shutdown()
+    pe = PositionalEngine(os.path.join(idx, "positions"), n_shards=1)
+    e2 = ShardedEngine(idx, n_shards=1, positions=pe)
+    try:
+        r2 = e2.search(q)
+    finally:
+        e2.shutdown()
+        pe.shutdown()
+    assert r1.equals(r2) and r1.num_rows
